@@ -1,0 +1,7 @@
+from macrobase_spark.functions.text import (  # noqa: F401
+    tokenize_expr,
+    token_count,
+    quality_score,
+    lang_id,
+    fingerprint,
+)

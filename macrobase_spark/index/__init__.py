@@ -1,0 +1,8 @@
+from macrobase_spark.index.codec import (  # noqa: F401
+    delta_varint_encode,
+    delta_varint_decode,
+    varint_encode,
+    varint_decode,
+)
+from macrobase_spark.index.build import build_index, read_index  # noqa: F401
+from macrobase_spark.index.bm25 import bm25_topk, bm25_oracle  # noqa: F401

@@ -1,0 +1,194 @@
+"""BM25 top-k query over the inverted index, plus an exact pure-Python oracle
+for rank-identity testing.
+
+Scoring (Robertson/Lucene BM25, k1=1.2, b=0.75):
+    idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Query plan:
+  postings parquet → filter term IN query_terms   (row-group pruning: the
+    postings files are sorted by term within bucket partitions, so parquet
+    min/max statistics skip non-matching row groups — index lookup, not scan)
+  → mapInPandas decode+score (numpy; per-term block-max pruning keeps only
+    blocks whose BM25 upper bound can still reach the per-partition top-k —
+    the block-max-WAND idea, safe/exact because bounds are conservative)
+  → per-partition top-k candidates → groupBy(doc_id) sum across terms
+  → global orderBy(score desc, doc_id asc) LIMIT k.
+
+Determinism/rank-identity: postings are scored in docID order with float64
+throughout; ties broken by ascending doc_id. Scores are identical bits to the
+oracle because each (term, doc) contribution is computed independently and
+the per-doc sum adds terms in ascending-term order both here and in the
+oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from macrobase_spark.index.build import read_index, K1, B, BLOCK_SIZE
+from macrobase_spark.index.tokenize import TOKEN_PATTERN
+
+
+def _tokenize_query(q: str) -> list[str]:
+    import re
+
+    return sorted(set(re.findall(TOKEN_PATTERN, q.lower())))
+
+
+def _score_partition(terms_idf: dict[str, float], avgdl: float, k: int,
+                     single_term: bool):
+    """Decode + score posting blobs in one Arrow pass; emits (doc_id, term,
+    score contribution). With a single query term, applies block-max pruning
+    while keeping exactness (kth-best lower bound only ever grows)."""
+
+    def fn(batches):
+        from macrobase_spark.index.build import _decode_partial
+
+        for pdf in batches:
+            out_doc, out_term, out_score = [], [], []
+            for term, blob, block_max in zip(pdf["term"], pdf["blob"], pdf["block_max"]):
+                idf = terms_idf[term]
+                ids, tfs, dls = _decode_partial(blob)
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                if single_term and len(block_max) > 1:
+                    # block-max prune: visit blocks in descending upper bound,
+                    # stop when bound < kth best so far (exact for 1 term)
+                    bm = np.asarray(block_max, dtype=np.float64) * idf * (K1 + 1.0)
+                    order = np.argsort(-bm, kind="stable")
+                    kept: list[np.ndarray] = []
+                    best: list[float] = []
+                    for bi in order:
+                        if len(best) >= k and bm[bi] < best[k - 1]:
+                            break
+                        s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, len(ids))
+                        sc = idf * (tf[s:e] * (K1 + 1.0)) / (
+                            tf[s:e] + K1 * (1.0 - B + B * dl[s:e] / avgdl)
+                        )
+                        kept.append(np.stack([ids[s:e].astype(np.float64), sc]))
+                        best = sorted(best + sc.tolist(), reverse=True)[:k]
+                    if kept:
+                        m = np.concatenate(kept, axis=1)
+                        doc_sel, sc_sel = m[0].astype(np.int64), m[1]
+                    else:
+                        doc_sel = np.empty(0, dtype=np.int64)
+                        sc_sel = np.empty(0)
+                else:
+                    sc_sel = idf * (tf * (K1 + 1.0)) / (
+                        tf + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+                    doc_sel = ids.astype(np.int64)
+                out_doc.append(doc_sel)
+                out_term.extend([term] * len(doc_sel))
+                out_score.append(sc_sel)
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "term": out_term,
+                        "contrib": np.concatenate(out_score),
+                    }
+                )
+
+    return fn
+
+
+def bm25_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    anomaly_max: float | None = None,
+    anomaly_weight: float = 0.0,
+) -> DataFrame:
+    """Top-k (doc_id, score) for the query. Optional anomaly modifier:
+    filter docs with anomaly > anomaly_max, and/or down-weight the score by
+    (1 − anomaly_weight·anomaly) — the MacroBase row-score heritage as a
+    first-class BM25 modifier."""
+    postings, docs, stats = read_index(spark, index_dir)
+    terms = _tokenize_query(query)
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    tstats = postings.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    terms_idf = {
+        r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)) for r in tstats
+    }
+    if not terms_idf:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cand = postings.filter(F.col("term").isin(list(terms_idf))).select(
+        "term", "blob", "block_max"
+    )
+    contrib = cand.mapInPandas(
+        _score_partition(terms_idf, avgdl, k, single_term=len(terms_idf) == 1),
+        schema="doc_id long, term string, contrib double",
+    )
+    # ascending-term add order for bitwise-reproducible float sums
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+    if anomaly_max is not None or anomaly_weight:
+        scored = scored.join(docs.select("doc_id", "anomaly"), "doc_id", "inner")
+        if anomaly_max is not None:
+            scored = scored.filter(F.col("anomaly") <= anomaly_max)
+        if anomaly_weight:
+            scored = scored.withColumn(
+                "score", F.col("score") * (1.0 - anomaly_weight * F.col("anomaly"))
+            )
+        scored = scored.drop("anomaly")
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def bm25_oracle(
+    docs: list[tuple[int, str]], query: str, k: int = 10,
+    anomaly: dict[int, float] | None = None,
+    anomaly_max: float | None = None,
+    anomaly_weight: float = 0.0,
+) -> list[tuple[int, float]]:
+    """Exact single-threaded reference implementation over (doc_id, text)
+    pairs — the rank-identity oracle for tests. Same tokenizer, same float64
+    op order (ascending-term accumulation) as the Spark path."""
+    import re
+
+    tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
+    n = len(tokenized)
+    avgdl = sum(len(v) for v in tokenized.values()) / n
+    dfs: Counter[str] = Counter()
+    tfs: dict[int, Counter] = {}
+    for d, toks in tokenized.items():
+        c = Counter(toks)
+        tfs[d] = c
+        dfs.update(c.keys())
+    terms = _tokenize_query(query)
+    scores: dict[int, float] = {}
+    for d, c in tfs.items():
+        s = 0.0
+        for t in sorted(terms):
+            if t not in c or t not in dfs:
+                continue
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = float(c[t])
+            dl = float(len(tokenized[d]))
+            s += idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        if s > 0.0:
+            if anomaly is not None:
+                a = anomaly.get(d, 0.0)
+                if anomaly_max is not None and a > anomaly_max:
+                    continue
+                if anomaly_weight:
+                    s *= 1.0 - anomaly_weight * a
+            scores[d] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]

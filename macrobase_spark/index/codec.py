@@ -1,0 +1,110 @@
+"""Posting-list compression: delta + varint (LEB128), vectorized in numpy.
+
+Encoders/decoders operate on whole arrays inside Arrow batches (pandas UDFs)
+— never per-row Python. Postings are (sorted docID deltas, tf) streams:
+docIDs are strictly increasing per term, so deltas are ≥1 (first value
+stored raw); tfs are ≥1. Layout per posting list:
+
+    varint(n) ‖ varint-deltas(doc_ids) ‖ varint(tfs)
+
+This matches the classic inverted-index layout (cf. Lucene's packed postings)
+and costs ~1-2 bytes/posting on Zipfian data vs 16 raw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized: compute per-value byte
+    lengths, then scatter the 7-bit groups into one output buffer."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length of each value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    max_len = int(nbytes.max())
+    shifted = v.copy()
+    for b in range(max_len):
+        active = nbytes > b  # values that still emit a byte at position b
+        pos = offsets[:-1][active] + b
+        byte = (shifted[active] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[active] - 1) > b  # continuation bit if more bytes follow
+        out[pos] = byte | (cont.astype(np.uint8) << 7)
+        shifted = shifted >> np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None,
+                  offset: int = 0) -> tuple[np.ndarray, int]:
+    """Decode `count` varints (or all) from buf starting at offset.
+    Returns (values uint64, next_offset). Vectorized: find value boundaries
+    from continuation bits, then horner-accumulate 7-bit groups."""
+    raw = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if count is not None:
+        ends = ends[:count]
+    if len(ends) == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    values = np.zeros(len(ends), dtype=np.uint64)
+    width = ends - starts + 1
+    for b in range(int(width.max())):
+        active = width > b
+        byte = raw[starts[active] + b].astype(np.uint64)
+        values[active] |= (byte & np.uint64(0x7F)) << np.uint64(7 * b)
+    consumed = int(ends[-1]) + 1 if len(ends) else 0
+    return values, offset + consumed
+
+
+def delta_varint_encode(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode one posting list: sorted doc_ids (delta-coded) + tfs."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    t = np.asarray(tfs, dtype=np.uint64)
+    assert d.shape == t.shape
+    if d.size == 0:
+        return varint_encode(np.array([0], dtype=np.uint64))
+    deltas = np.empty_like(d)
+    deltas[0] = d[0]
+    deltas[1:] = d[1:] - d[:-1]
+    header = varint_encode(np.array([d.size], dtype=np.uint64))
+    return header + varint_encode(deltas) + varint_encode(t)
+
+
+def delta_varint_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one posting list → (doc_ids uint64 sorted, tfs uint64)."""
+    n_arr, off = varint_decode(buf, count=1)
+    n = int(n_arr[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    deltas, off = varint_decode(buf, count=n, offset=off)
+    tfs, _ = varint_decode(buf, count=n, offset=off)
+    return np.cumsum(deltas, dtype=np.uint64), tfs
+
+
+def merge_posting_blobs(blobs: list[bytes]) -> bytes:
+    """Merge several posting-list blobs for the same term (disjoint or
+    interleaved doc ranges, e.g. salted partials) into one sorted blob."""
+    ids, tfs = [], []
+    for b in blobs:
+        i, t = delta_varint_decode(b)
+        ids.append(i)
+        tfs.append(t)
+    all_ids = np.concatenate(ids)
+    all_tfs = np.concatenate(tfs)
+    order = np.argsort(all_ids, kind="stable")
+    return delta_varint_encode(all_ids[order], all_tfs[order])

@@ -1,0 +1,105 @@
+"""The fused Arrow tokenization pass (north-rule design constraint:
+tokenization, per-turn term frequencies AND the per-turn anomaly/quality
+features are produced by ONE vectorized pandas UDF — no per-row Python UDF
+calls, one Arrow transfer per batch).
+
+MacroBase heritage: the anomaly score is the row-wise-scoring pipeline
+(classify stage) fused into the scan — the repetition/length features feed a
+MAD-normalized score (legacy/.../stats/MAD.java semantics) attached as a
+plain column, filterable in BM25 queries as a score modifier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_PATTERN = r"[a-z0-9]+"
+
+_TOKENIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("doc_len", T.IntegerType()),
+        T.StructField("rep_ratio", T.DoubleType()),
+    ]
+)
+
+
+def _tokenize_batch(text: pd.Series) -> pd.DataFrame:
+    """Vectorized tokenize + per-doc term counting in numpy.
+
+    Strategy: flatten all tokens of the batch, factorize once, then a single
+    np.unique over (row, token_code) composite keys yields every (doc, term,
+    tf) triple — no Python loop over rows or tokens.
+    """
+    token_lists = text.fillna("").str.lower().str.findall(TOKEN_PATTERN)
+    lens = token_lists.str.len().to_numpy(dtype=np.int64)
+    n_rows = len(lens)
+    if n_rows == 0 or lens.sum() == 0:
+        empty_t = [[] for _ in range(n_rows)]
+        return pd.DataFrame(
+            {"terms": empty_t, "tfs": [[] for _ in range(n_rows)],
+             "doc_len": np.zeros(n_rows, dtype=np.int32),
+             "rep_ratio": np.zeros(n_rows)}
+        )
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in token_lists])
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(flat)
+    vocab = np.asarray(uniques, dtype=object)
+    key = row_idx * len(vocab) + codes
+    uk, counts = np.unique(key, return_counts=True)
+    urow = uk // len(vocab)
+    ucode = uk % len(vocab)
+    # per-row boundaries in the sorted (row, code) stream
+    bounds = np.searchsorted(urow, np.arange(n_rows + 1))
+    terms_col, tfs_col = [], []
+    for r in range(n_rows):
+        s, e = bounds[r], bounds[r + 1]
+        terms_col.append(vocab[ucode[s:e]].tolist())
+        tfs_col.append(counts[s:e].astype(np.int32).tolist())
+    n_unique = bounds[1:] - bounds[:-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rep = np.where(lens > 0, 1.0 - n_unique / np.maximum(lens, 1), 0.0)
+    return pd.DataFrame(
+        {"terms": terms_col, "tfs": tfs_col,
+         "doc_len": lens.astype(np.int32), "rep_ratio": rep}
+    )
+
+
+@F.pandas_udf(_TOKENIZED_SCHEMA)
+def tokenize_udf(text: pd.Series) -> pd.DataFrame:
+    return _tokenize_batch(text)
+
+
+def tokenize_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add terms/tfs/doc_len/rep_ratio via the single fused Arrow pass."""
+    return df.withColumn("_tok", tokenize_udf(F.col(text_col))).select(
+        "*", "_tok.terms", "_tok.tfs", "_tok.doc_len", "_tok.rep_ratio"
+    ).drop("_tok")
+
+
+def with_anomaly_score(df: DataFrame, exact: bool = False) -> DataFrame:
+    """MAD-normalized per-turn anomaly score from the fused-pass features:
+    anomaly = max(rep_ratio, tanh(mad_z(log1p(doc_len)) / 6)) ∈ [0, 1).
+
+    Robust-scoring heritage: legacy/.../stats/MAD.java:38-99 (|x−med|/MAD·k).
+    The MAD stats are two tiny global aggregates; the score itself is a
+    codegen'd projection.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    ll = F.log1p(F.col("doc_len").cast("double"))
+    med = df.agg(F.expr(f"{fn}(log1p(cast(doc_len as double)), 0.5)")).collect()[0][0]
+    mad = (
+        df.agg(
+            F.expr(
+                f"{fn}(abs(log1p(cast(doc_len as double)) - {med!r}), 0.5)"
+            )
+        ).collect()[0][0]
+        or 1e-9
+    )
+    z = F.abs(ll - F.lit(med)) / F.lit(mad * 1.4826)
+    return df.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))

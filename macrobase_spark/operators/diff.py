@@ -1,0 +1,270 @@
+"""DIFF — MacroBase's explanation operator, Spark-first.
+
+Given a relation with a 0/1 (or weighted) outlier column, find attribute-value
+combinations (order 1..max_order) over-represented among outliers.
+
+Reference semantics:
+- lattice/kernel: lib/.../summary/aplinear/APrioriLinear.java:79-401
+- orchestration: lib/.../summary/aplinear/APLSummarizer.java:57-101,
+  APLOutlierSummarizer.java:25-92
+- quality metrics: lib/.../summary/util/qualitymetrics/*.java (support =
+  outlier_count/global_outlier_count; global_ratio; risk_ratio with the 0/∞
+  edge cases of lib/.../summary/fpg/RiskRatio.java:4-55; prevalence_ratio
+  with +1 smoothing, PrevalenceRatioQualityMetric.java:20-40)
+- output relation: lib/.../summary/aplinear/APLExplanation.java:84-142
+  (one row per surviving itemset; ON-columns NULL where attribute absent;
+  metric cols; outlier_count / total_count)
+
+Spark plan (NOT a port of the multithreaded hash-table kernel):
+ONE shuffle — `GROUP BY GROUPING SETS` over all attribute subsets of size
+1..max_order — with map-side partial aggregation; metrics are codegen'd
+column expressions over the grouped result; thresholds are filters. The
+reference's per-thread FastFixedHashTable + merge (APrioriLinear.java:113-338)
+is exactly Spark's partial/final hash aggregate, so Catalyst supplies the
+physical strategy. Apriori's between-order support pruning is unnecessary
+here: grouping-sets computes all orders in the single pass and prunes by
+filter afterwards (same result set; at 100 TB the single wide-key shuffle
+with partial aggregation beats 3 dependent shuffles).
+
+Scale notes:
+- grouped cardinality = Σ_combos Π cardinalities — for explanation-style
+  categorical attrs (the operator's contract) this is ≪ row count, so the
+  shuffle is tiny after map-side combine.
+- skewed attr values are handled by partial aggregation (each map task
+  pre-collapses its rows; no hot-key row shuffle survives).
+- optional `prefilter_min_support` drops below-support order-1 values before
+  the grouping-sets pass (AttributeEncoder.encodeAttributesWithSupport
+  semantics, lib/.../summary/util/AttributeEncoder.java:61-181) — useful when
+  attribute cardinality is huge.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RATIO_METRICS = ("global_ratio", "risk_ratio", "prevalence_ratio")
+
+
+def _metric_expr(
+    metric: str,
+    out_cnt: Column,
+    tot_cnt: Column,
+    g_out: float,
+    g_tot: float,
+) -> Column:
+    """Quality-metric column expressions, replicating reference edge cases."""
+    g_in = g_tot - g_out
+    if metric == "global_ratio":
+        # GlobalRatioQualityMetric.java:22-30
+        base = g_out / g_tot
+        return (out_cnt / tot_cnt) / F.lit(base)
+    if metric == "risk_ratio":
+        # RiskRatio.java:4-33 edge cases: no exposure → 0; everything exposed
+        # → 0; all outliers exposed → +Inf
+        unexposed_out = F.lit(g_out) - out_cnt
+        total_minus_exposed = F.lit(g_tot) - tot_cnt
+        return (
+            F.when(tot_cnt == 0, 0.0)
+            .when(total_minus_exposed == 0, 0.0)
+            .when(unexposed_out == 0, float("inf"))
+            .otherwise((out_cnt / tot_cnt) / (unexposed_out / total_minus_exposed))
+        )
+    if metric == "prevalence_ratio":
+        # PrevalenceRatioQualityMetric.java:20-40: +1 smoothing on zero denoms
+        base_out = g_out if g_out != 0.0 else 1.0
+        base = base_out / (g_tot - base_out)
+        denom = F.when(tot_cnt == out_cnt, tot_cnt + 1.0).otherwise(tot_cnt) - out_cnt
+        return (out_cnt / denom) / F.lit(base)
+    raise ValueError(f"unknown ratio metric {metric!r} (want one of {RATIO_METRICS})")
+
+
+def _grouping_sets_sql(attrs: list[str], max_order: int,
+                       fd_pairs: list[tuple[str, str]] | None) -> list[tuple[str, ...]]:
+    """All attribute subsets of size 1..max_order, minus combos containing a
+    functional-dependency pair (APrioriLinear.java:231-233, 258-267)."""
+    fd = {frozenset(p) for p in (fd_pairs or [])}
+    out = []
+    for k in range(1, min(max_order, len(attrs)) + 1):
+        for combo in combinations(attrs, k):
+            if any(f <= set(combo) for f in fd):
+                continue
+            out.append(combo)
+    return out
+
+
+def explanation_columns(df: DataFrame, candidates: list[str] | None = None,
+                        sample_rows: int = 1000, max_distinct_frac: float = 0.25) -> list[str]:
+    """`ON *` auto-selection: sample rows, keep string columns whose distinct
+    count is < max_distinct_frac of the sample.
+    Reference: sql/.../QueryEngine.java:489-512."""
+    string_cols = [f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "string"
+                   and not f.name.startswith("_")
+                   and (candidates is None or f.name in candidates)]
+    if not string_cols:
+        return []
+    sample = df.select(string_cols).limit(sample_rows)
+    aggs = [F.approx_count_distinct(c).alias(c) for c in string_cols]
+    row = sample.agg(*aggs).collect()[0]
+    n = sample.count()
+    return [c for c in string_cols if row[c] < max_distinct_frac * max(n, 1)]
+
+
+def diff(
+    df: DataFrame,
+    attrs: list[str] | None,
+    outlier_col: str = "_OUTLIER",
+    count_col: str | None = None,
+    min_support: float = 0.2,
+    ratio_metric: str = "global_ratio",
+    min_ratio: float = 1.5,
+    max_order: int = 3,
+    fd_pairs: list[tuple[str, str]] | None = None,
+    prefilter_min_support: bool = False,
+) -> DataFrame:
+    """Explanation relation: attrs (NULL = absent) + support + <ratio_metric>
+    + outlier_count + total_count, filtered to support ≥ min_support and
+    ratio ≥ min_ratio, ordered by the ratio metric descending.
+
+    Defaults (0.2 support / 1.5 ratio / order ≤ 3) per the SQL layer:
+    sql/.../tree/DiffQuerySpecification.java:31-36,112-115.
+    """
+    if attrs is None:
+        attrs = explanation_columns(df)
+    combos = _grouping_sets_sql(attrs, max_order, fd_pairs)
+    if not combos:
+        raise ValueError("no attribute combinations to explain")
+
+    w = F.col(count_col).cast("double") if count_col else F.lit(1.0)
+    o = F.col(outlier_col).cast("double")
+    base = df.select(
+        *[F.col(a) for a in attrs],
+        (o * w).alias("_ocnt"),
+        w.alias("_tcnt"),
+    )
+    g = base.agg(F.sum("_ocnt").alias("o"), F.sum("_tcnt").alias("t")).collect()[0]
+    g_out, g_tot = float(g["o"]), float(g["t"])
+    if g_out == 0.0:
+        raise ValueError("no outliers — nothing to explain")
+
+    if prefilter_min_support:
+        # order-1 min-support pushdown (AttributeEncoder semantics): replace
+        # attr values whose outlier-weighted count < min_support*g_out with
+        # NULL so they can't form candidates at any order.
+        ok_sets = []
+        for a in attrs:
+            ok = (
+                base.groupBy(a)
+                .agg(F.sum("_ocnt").alias("oc"))
+                .filter(F.col("oc") >= min_support * g_out)
+                .select(a)
+            )
+            ok_sets.append((a, ok))
+        for a, ok in ok_sets:
+            base = base.join(
+                F.broadcast(ok.withColumnRenamed(a, f"_ok_{a}")),
+                base[a] == F.col(f"_ok_{a}"),
+                "left",
+            ).withColumn(a, F.when(F.col(f"_ok_{a}").isNotNull(), F.col(a))).drop(f"_ok_{a}")
+
+    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
+    view = f"_mb_diff_{abs(hash(tuple(combos))) % 10**8}"
+    base.createOrReplaceTempView(view)
+    attr_list = ", ".join(attrs)
+    grouped = df.sparkSession.sql(
+        f"""
+        SELECT {attr_list},
+               sum(_ocnt) AS outlier_count,
+               sum(_tcnt) AS total_count,
+               grouping_id({attr_list}) AS _gid
+        FROM {view}
+        GROUP BY GROUPING SETS ({sets_sql})
+        """
+    )
+    # grouping_id disambiguates "NULL because attribute absent from this
+    # grouping set" from a genuine NULL data value: keep only rows where every
+    # NULL attr is a grouped-out attr, and null-valued groups are dropped
+    # (reference encoder never emits a NULL item).
+    present = [
+        (a, F.when(F.shiftright("_gid", len(attrs) - 1 - i).bitwiseAND(F.lit(1)) == 0, True)
+             .otherwise(False))
+        for i, a in enumerate(attrs)
+    ]
+    cond = F.lit(True)
+    for a, is_grouped in present:
+        cond = cond & (F.when(is_grouped, F.col(a).isNotNull()).otherwise(F.col(a).isNull()))
+    grouped = grouped.filter(cond)
+
+    oc, tc = F.col("outlier_count"), F.col("total_count")
+    result = (
+        grouped.withColumn("support", oc / F.lit(g_out))
+        .withColumn(ratio_metric, _metric_expr(ratio_metric, oc, tc, g_out, g_tot))
+        .filter((F.col("support") >= min_support) & (F.col(ratio_metric) >= min_ratio))
+        .select(*attrs, "support", ratio_metric, "outlier_count", "total_count")
+        .orderBy(F.col(ratio_metric).desc(), *[F.col(a).asc_nulls_last() for a in attrs])
+    )
+    return result
+
+
+def diff_split(
+    df: DataFrame,
+    where: Column,
+    attrs: list[str] | None,
+    **kwargs,
+) -> DataFrame:
+    """SPLIT form: one relation + predicate → outlier column → diff.
+    Reference: sql/.../QueryEngine.java:203-212."""
+    labeled = df.withColumn("_OUTLIER", F.when(where, 1.0).otherwise(0.0))
+    return diff(labeled, attrs, outlier_col="_OUTLIER", **kwargs)
+
+
+def diff_join(
+    outlier_fk: DataFrame,
+    inlier_fk: DataFrame,
+    dim: DataFrame,
+    fk_col: str,
+    attrs: list[str],
+    min_support: float = 0.2,
+    ratio_metric: str = "global_ratio",
+    min_ratio: float = 1.5,
+    max_order: int = 3,
+) -> DataFrame:
+    """DIFF-JOIN co-optimization: DIFF (R⋈T),(S⋈T) ON attrs without
+    materializing either join.
+
+    Reference algorithm (sql/.../QueryEngine.java:271-318, foreignKeyDiff
+    :370-396, semiJoinAndMerge :398-453): (1) aggregate FK frequencies on the
+    outlier/inlier sides; (2) keep only keys passing the ratio threshold;
+    (3) join the small surviving-key set against the dimension.
+
+    Spark plan: two tiny pre-aggregations (map-side combined) → union →
+    per-key counts → broadcast-join the survivors against `dim` → the normal
+    grouping-sets DIFF over attrs runs on (keys × attrs) weighted by counts.
+    The row tables are touched exactly once each, aggregated by FK — this is
+    the skew-safe version of the PK-FK join (hot FKs collapse map-side).
+    """
+    o_cnt = outlier_fk.groupBy(fk_col).agg(F.count(F.lit(1)).cast("double").alias("_ocnt"))
+    i_cnt = inlier_fk.groupBy(fk_col).agg(F.count(F.lit(1)).cast("double").alias("_icnt"))
+    keys = o_cnt.join(i_cnt, fk_col, "full_outer").fillna(0.0, ["_ocnt", "_icnt"])
+    with_dim = keys.join(dim.select(fk_col, *attrs), fk_col, "inner")
+    weighted = with_dim.select(
+        *attrs,
+        F.col("_ocnt").alias("_OUTLIER_W"),
+        (F.col("_ocnt") + F.col("_icnt")).alias("_TOTAL_W"),
+    )
+    # reuse diff() by expanding sufficient statistics: outlier weight and
+    # total weight per key-row
+    labeled = weighted.withColumn("_OUTLIER", F.col("_OUTLIER_W") / F.col("_TOTAL_W"))
+    return diff(
+        labeled,
+        attrs,
+        outlier_col="_OUTLIER",
+        count_col="_TOTAL_W",
+        min_support=min_support,
+        ratio_metric=ratio_metric,
+        min_ratio=min_ratio,
+        max_order=max_order,
+    )

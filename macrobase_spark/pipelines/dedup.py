@@ -1,0 +1,213 @@
+"""Deduplication operators for training-data pipelines over a `documents`
+table (doc_id, text): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All shuffle-aware by construction:
+- exact dedup: hash-groupBy on a 128-bit content key (map-side combine; no
+  text shuffled, only digests).
+- MinHash+LSH: signatures via one Arrow pass → band → bucket-join → verify.
+  Candidate generation never compares all pairs: only docs sharing a band
+  bucket meet, so cost is Σ_bucket |bucket|² (bounded by banding params).
+- SimHash: 64-bit fingerprint, near-dup = hamming distance ≤ r via
+  pigeonhole block join (4 blocks of 16 bits → r ≤ 3 guaranteed recall).
+- n-gram Jaccard: shingle explode → inverted candidate join → exact verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from macrobase_spark.functions.text import fingerprint, ngrams, tokenize_expr
+
+# 64-bit MinHash over xxhash64 token hashes with fixed odd multipliers:
+# h_i(x) = (a_i * x + b_i) mod 2^61-1  (Mersenne prime)
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep one representative (min id) per exact-content group.
+    Key = md5 of (normalized) text; duplicates never shuffle their text."""
+    key = fingerprint(text_col) if normalize else F.md5(F.col(text_col))
+    keyed = df.withColumn("_key", key)
+    reps = keyed.groupBy("_key").agg(F.min(id_col).alias(id_col))
+    return keyed.join(reps, [id_col, "_key"], "inner").drop("_key")
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64) | 1
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       seed: int = 7) -> DataFrame:
+    """Add `signature: array<long>` — MinHash over word-shingle hashes.
+
+    Shingling + base hashing stays JVM-side (xxhash64 over exploded shingle
+    arrays would shuffle; instead we compute the signature in one Arrow pass
+    per doc via numpy broadcasting: sig = min over shingles of (a·h+b) mod p).
+    """
+    a, b = _minhash_params(num_hashes, seed)
+
+    def sig_batch(it):
+        for pdf in it:
+            out = []
+            for hashes in pdf["_sh"]:
+                h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+                if h.size == 0:
+                    out.append(np.full(num_hashes, np.iinfo(np.int64).max).tolist())
+                    continue
+                # (a[:,None]*h[None,:] + b[:,None]) mod p, min over shingles
+                prod = (a.astype(np.uint64)[:, None] * h[None, :] +
+                        b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+                out.append(prod.min(axis=1).astype(np.int64).tolist())
+            yield pdf.drop(columns=["_sh"]).assign(signature=out)
+
+    shingled = df.withColumn(
+        "_sh", F.transform(ngrams(text_col, shingle_n), lambda s: F.xxhash64(s))
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return shingled.mapInPandas(sig_batch, schema=f"{schema}, signature array<bigint>")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+                      min_jaccard: float = 0.7, seed: int = 7) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by estimated Jaccard
+    (signature agreement rate ≥ min_jaccard). Returns (id_a, id_b, est_jaccard)
+    with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, seed)
+    sigs = sigs.select(F.col(id_col).alias("_id"), "signature")
+    banded = sigs.select(
+        "_id", "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice("signature", i * rows_per_band + 1, rows_per_band), i
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", agree)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add `simhash: long` — 64-bit SimHash (per-bit weighted majority of
+    token hashes). Token hashing stays JVM-side (xxhash64 over the token
+    array); the bit-majority fold is one vectorized Arrow pass (numpy
+    unpackbits over all tokens of the batch at once)."""
+
+    def sim_batch(it):
+        for pdf in it:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, hashes in enumerate(pdf["_th"]):
+                h = np.asarray(hashes, dtype=np.int64)
+                if h.size == 0:
+                    fps[i] = 0
+                    continue
+                bits = np.unpackbits(
+                    h.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1,
+                    bitorder="little",
+                )  # (n_tokens, 64)
+                votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 majority)
+                fp_bits = (votes > 0).astype(np.uint8)
+                fps[i] = np.packbits(fp_bits, bitorder="little").view(np.int64)[0]
+            yield pdf.drop(columns=["_th"]).assign(simhash=fps)
+
+    hashed = df.withColumn(
+        "_th", F.transform(tokenize_expr(text_col), lambda t: F.xxhash64(t))
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return hashed.mapInPandas(sim_batch, schema=f"{schema}, simhash bigint")
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the pigeonhole
+    trick: split 64 bits into 4 16-bit blocks; any pair within distance ≤3
+    agrees exactly on ≥1 block → equi-join per block, then exact verify.
+    Input must already have `simhash`."""
+    blocks = [
+        df.select(
+            F.col(id_col).alias("_id"),
+            "simhash",
+            F.lit(i).alias("blk"),
+            F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+        )
+        for i in range(4)
+    ]
+    b = blocks[0]
+    for x in blocks[1:]:
+        b = b.unionByName(x)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.bkey") == F.col("r.bkey"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                F.col("l.simhash").alias("h_a"), F.col("r.simhash").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(ham <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, min_jaccard: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: shingle-explode → inverted join
+    (docs sharing a shingle) → count shared → |A∩B|/(|A|+|B|−|A∩B|).
+    Quadratic only within shingle posting lists (prune ubiquitous shingles
+    upstream if needed)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(ngrams(text_col, n))).alias("sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    with_sz = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        with_sz.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,127 @@
+"""End-to-end inverted index + BM25 tests against the exact pure-Python
+oracle (north-rule checks: per-turn text equality under stable ordering,
+rank-identical top-k docIDs AND scores, resumable build, hot-term salting)."""
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+from macrobase_spark.index.build import build_index, read_index
+from macrobase_spark.index.bm25 import bm25_topk, bm25_oracle
+
+N_CONVS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = with_doc_id(synth_transcripts(spark, n_convs=N_CONVS, seed=42)).cache()
+    out = str(tmp_path_factory.mktemp("index"))
+    report = build_index(
+        df, out, num_buckets=8, num_groups=2,
+        hot_df_threshold=200, hot_sample_frac=0.5, salt_partitions=4,
+    )
+    docs = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
+    return df, out, report, docs
+
+
+QUERIES = [
+    "the",                # hot stopword-like term (salted path)
+    "rare7",              # rare discriminative term → its conversation
+    "tok0001",            # high-zipf vocab term
+    "tok0042 tok0007",    # multi-term
+    "rare11 the call",    # mixed hot + rare
+    "tok0100 tok0200 tok0300",
+    "missingterm",        # no hits
+]
+
+
+def test_text_equality_invariant(spark):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering,
+    generated at two different parallelism levels (partition independence)."""
+    a = synth_transcripts(spark, n_convs=30, seed=42, partitions=2)
+    b = synth_transcripts(spark, n_convs=30, seed=42, partitions=13)
+    ra = a.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
+    rb = b.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
+    assert ra == rb
+
+
+def test_build_report(corpus):
+    _, _, report, docs = corpus
+    assert report["n_docs"] == len(docs)
+    assert report["postings"] > 0
+    assert "the" in report["hot_terms"]
+
+
+def test_hot_term_salted_fan_in(spark, corpus):
+    _, out, _, _ = corpus
+    postings, _, _ = read_index(spark, out)
+    fan = {r["term"]: r["fan_in"] for r in
+           postings.filter(F.col("term").isin(["the", "rare7"])).collect()}
+    assert fan["the"] > 1      # hot term merged from multiple salted partials
+    assert fan.get("rare7", 1) == 1
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identical_topk(spark, corpus, query):
+    _, out, _, docs = corpus
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, query, k=10).collect()]
+    want = bm25_oracle(docs, query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (query, gs, ws)
+
+
+def test_rare_term_hits_its_conversation(spark, corpus):
+    _, out, _, _ = corpus
+    rows = bm25_topk(spark, out, "rare7", k=5).collect()
+    assert rows, "rare term must hit"
+    assert all(r["doc_id"] // 4096 == 7 for r in rows)
+
+
+def test_anomaly_modifier(spark, corpus):
+    df, out, _, docs = corpus
+    _, docs_df, _ = read_index(spark, out)
+    anom = {r["doc_id"]: r["anomaly"] for r in docs_df.collect()}
+    q = "tok0001"
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, q, k=10, anomaly_max=0.5).collect()]
+    want = bm25_oracle(docs, q, k=10, anomaly=anom, anomaly_max=0.5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # degenerate repeated-token turns score rep_ratio near 1 → filtered out
+    assert all(anom[d] <= 0.5 for d, _ in got)
+
+
+def test_resumable_build(spark, corpus, tmp_path):
+    """Kill/restart mid-build reproduces an identical index: build only group
+    0's buckets, then resume; postings must equal a fresh full build."""
+    df, full_out, _, _ = corpus
+    part_out = str(tmp_path / "partial")
+
+    # simulate a crash after group 0 by building with manifest truncation:
+    # first a full build, then delete half the manifest + its parquet bucket
+    # dirs, then resume.
+    report1 = build_index(df, part_out, num_buckets=8, num_groups=2,
+                          hot_df_threshold=200, hot_sample_frac=0.5)
+    import json, os
+    man = os.path.join(part_out, "manifest.jsonl")
+    with open(man) as f:
+        recs = [json.loads(l) for l in f]
+    keep = [r for r in recs if r["bucket"] < 4]
+    for r in recs:
+        if r["bucket"] >= 4:
+            shutil.rmtree(os.path.join(part_out, "postings", f"bucket={r['bucket']}"))
+    with open(man, "w") as f:
+        for r in keep:
+            f.write(json.dumps(r) + "\n")
+
+    report2 = build_index(df, part_out, num_buckets=8, num_groups=2,
+                          hot_df_threshold=200, hot_sample_frac=0.5, resume=True)
+    p_full, _, _ = read_index(spark, full_out)
+    p_res, _, _ = read_index(spark, part_out)
+    a = {(r["term"]): (r["df"], r["cf"], bytes(r["blob"])) for r in p_full.collect()}
+    b = {(r["term"]): (r["df"], r["cf"], bytes(r["blob"])) for r in p_res.collect()}
+    assert a == b
