@@ -1,38 +1,700 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship classify→DIFF explanation on sf0.001.
+`queries()` — one entry per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline ops), each (spark, sf_dir) → DataFrame.
+`oracle_sql()` — DuckDB-equivalent SQL per query (omitted only for ops whose
+semantics aren't SQL-expressible: index-path BM25, MinHash/SimHash with
+engine-specific hashes, streaming state, multimodal stubs → rows-only checks).
+
+Determinism discipline for value-hash parity:
+- every computed column aliased identically on both sides;
+- money sums in DECIMAL (exact) then cast to double;
+- float ratios/scores rounded (6-9 dp) AFTER identical-formula computation;
+- rankings ordered by (rounded score, id) so ties break identically;
+- timestamps formatted to strings (Spark session TZ pinned to UTC).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- entry ---
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: percentile-classify lineitem prices, DIFF ON order/line
+    attributes (the reference's classify→summarize pipeline,
+    core/.../BasicBatchPipeline.java:193-215)."""
+    from macrobase_spark.operators import classify_percentile, diff
+
+    sf = "/root/testdata/sf0.001"
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    joined = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    labeled = classify_percentile(joined, "l_extendedprice", percentile=1.0,
+                                  include_low=False)
+    return diff(
+        labeled,
+        ["l_returnflag", "l_linestatus", "o_orderpriority"],
+        min_support=0.05, min_ratio=1.1, max_order=2,
+    )
+
+
+# ------------------------------------------------------------- helpers ---
+
+_DEC = "decimal(18,4)"
+
+
+def _dec_sum(col):
+    return F.sum(F.col(col).cast(_DEC))
+
+
+# -------------------------------------------------------------- queries ---
+
+def q01_scan_project_filter(spark, sf):
+    """Projection + predicate pushdown to the parquet scan (§2.2)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .filter((F.col("l_shipdate") >= "1995-06-01") & (F.col("l_discount") > 0.05)
+                & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_quantity",
+                F.col("l_extendedprice").alias("price"))
+        .orderBy("l_orderkey", "price", "l_quantity")
+        .limit(500)
+    )
+
+
+def q02_agg_groupby(spark, sf):
+    """TPC-H Q1-style grouped aggregation (§2.4 two-phase agg)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").cast("double").alias("sum_qty"),
+            _dec_sum("l_extendedprice").cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice").cast(_DEC) *
+                   (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)))
+                  .cast(_DEC)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_orderby_limit(spark, sf):
+    """Top-k = orderBy + limit (§2.7)."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+def q04_join_inner(spark, sf):
+    """Inner equi-join, broadcast dim (§2.3)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             _dec_sum("o_totalprice").cast("double").alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q05_join_left(spark, sf):
+    """Left outer join with null-group (§2.3 join types)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .groupBy(F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+def q06_join_semi(spark, sf):
+    """Left-semi join (EXISTS) (§2.3 semi-join / DIFF-JOIN step 2)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q07_join_anti(spark, sf):
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n_no_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q08_natural_join(spark, sf):
+    """NATURAL-join equivalent: join on the single common key (§2.3)."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .orderBy("region", "nation")
+    )
+
+
+def q09_union_distinct(spark, sf):
+    """unionAll + DISTINCT (§2.7)."""
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("value") > 15).select("event_type")
+    b = e.filter(F.col("user_id") < 10).select("event_type")
+    return a.unionByName(b).distinct().orderBy("event_type")
+
+
+def q10_window_topk_per_group(spark, sf):
+    """Top-3 orders per customer via ranking window (§2.7 top-k)."""
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("o_custkey") < 50))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def q11_rollup(spark, sf):
+    """ROLLUP grouping (§2.4 grouping free in Spark)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def q12_moving_avg(spark, sf):
+    """Trailing moving average (reference MovingAverage §2.8)."""
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 5)
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-9, 0)
+    return (
+        e.withColumn("mov_avg", F.round(F.avg("value").over(w), 6))
+        .select("event_id", "user_id", "mov_avg")
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+def q13_classify_percentile(spark, sf):
+    """PercentileClassifier semantics (§2.5): two-sided 1% cutoffs on
+    l_extendedprice → outlier counts by return flag."""
+    from macrobase_spark.operators import classify_percentile
+
+    li = _t(spark, sf, "lineitem")
+    labeled = classify_percentile(li, "l_extendedprice", percentile=1.0)
+    return (
+        labeled.groupBy("l_returnflag")
+        .agg(F.sum("_OUTLIER").cast("long").alias("n_outliers"),
+             F.count("*").alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_classify_predicate(spark, sf):
+    """PredicateClassifier (§2.5)."""
+    from macrobase_spark.operators import classify_predicate
+
+    e = _t(spark, sf, "events")
+    labeled = classify_predicate(e, "event_type", "==", "error")
+    return (
+        labeled.groupBy("user_id")
+        .agg(F.sum("_OUTLIER").cast("long").alias("n_errors"))
+        .filter(F.col("n_errors") > 0)
+        .orderBy("user_id")
+    )
+
+
+def q15_count_mean_shift(spark, sf):
+    """CountMeanShiftClassifier 4 sufficient-stat columns (§2.5) aggregated
+    per event_type + the mean_shift quality metric (§2.4)."""
+    from macrobase_spark.operators import classify_count_mean_shift
+
+    e = _t(spark, sf, "events")
+    labeled = classify_count_mean_shift(e, "event_type", "value", "==", "error")
+    return (
+        labeled.groupBy(F.expr("user_id % 10").alias("cohort"))
+        .agg(
+            F.sum("_OUTLIERCOUNT").alias("oc"),
+            F.sum("_INLIERCOUNT").alias("ic"),
+            F.round(F.sum("_OUTLIERMEANSUM"), 4).alias("oms"),
+            F.round(F.sum("_INLIERMEANSUM"), 4).alias("ims"),
+        )
+        .withColumn(
+            "mean_shift",
+            F.round((F.col("oms") / F.col("oc")) / (F.col("ims") / F.col("ic")), 6),
+        )
+        .orderBy("cohort")
+    )
+
+
+def q16_mad_score(spark, sf):
+    """MAD scorer (§2.6, legacy/.../stats/MAD.java): robust outlier counts."""
+    from macrobase_spark.operators import mad_score
+
+    li = _t(spark, sf, "lineitem")
+    scored = mad_score(li, "l_extendedprice")
+    return (
+        scored.groupBy("l_returnflag")
+        .agg(F.sum(F.when(F.col("_SCORE") > 3.0, 1).otherwise(0)).alias("n_mad3"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q17_zscore(spark, sf):
+    """ZScore (§2.6)."""
+    from macrobase_spark.operators import zscore
+
+    e = _t(spark, sf, "events")
+    scored = zscore(e, "value")
+    return (
+        scored.groupBy("event_type")
+        .agg(F.sum(F.when(F.abs(F.col("_SCORE")) > 2.0, 1).otherwise(0)).alias("n_z2"))
+        .orderBy("event_type")
+    )
+
+
+def q18_percentile_udf(spark, sf):
+    """Reference `percentile()` UDF semantics: (1-indexed max rank)/n
+    (lib/.../analysis/MBFunction.java:139-161) — NOT percent_rank."""
+    from macrobase_spark.operators import percentile_col
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    p = percentile_col(o, "o_totalprice", output_col="pct")
+    return (
+        p.groupBy("o_orderpriority")
+        .agg(F.round(F.avg("pct"), 9).alias("avg_pct"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q19_normalize_udf(spark, sf):
+    """Reference `normalize()` UDF: shift-to-positive /(max+offset)
+    (MBFunction.java:102-126)."""
+    from macrobase_spark.operators import normalize_col
+
+    o = _t(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    nrm = normalize_col(o, "o_totalprice", output_col="norm")
+    return (
+        nrm.groupBy("o_orderpriority")
+        .agg(F.round(F.avg("norm"), 9).alias("avg_norm"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q20_winsorize(spark, sf):
+    """Winsorizer (§2.6)."""
+    from macrobase_spark.operators import winsorize
+
+    li = _t(spark, sf, "lineitem")
+    wz = winsorize(li, "l_extendedprice", p=5.0, output_col="wp")
+    return (
+        wz.groupBy("l_returnflag")
+        .agg(F.round(F.sum(F.col("wp").cast(_DEC)).cast("double"), 2).alias("sum_wins"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q21_diff_global_ratio(spark, sf):
+    """DIFF (§2.4): outliers = price > p99, ON (l_returnflag, l_linestatus),
+    order ≤ 2, global_ratio metric — the APrioriLinear pipeline as one
+    grouping-sets pass."""
+    from macrobase_spark.operators import classify_percentile, diff
+
+    li = _t(spark, sf, "lineitem")
+    labeled = classify_percentile(li, "l_extendedprice", percentile=1.0,
+                                  include_low=False)
+    expl = diff(labeled, ["l_returnflag", "l_linestatus"],
+                min_support=0.01, min_ratio=0.0, max_order=2)
+    return expl.select(
+        "l_returnflag", "l_linestatus",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy(F.col("global_ratio").desc(),
+              F.col("l_returnflag").asc_nulls_last(),
+              F.col("l_linestatus").asc_nulls_last())
+
+
+def q22_diff_risk_ratio(spark, sf):
+    """DIFF with risk_ratio incl. reference edge cases (RiskRatio.java)."""
+    from macrobase_spark.operators import classify_predicate, diff
+
+    e = _t(spark, sf, "events")
+    labeled = classify_predicate(e, "event_type", "==", "error")
+    expl = diff(labeled.withColumn("cohort", F.expr("cast(user_id % 5 as string)")),
+                ["cohort"], min_support=0.0, ratio_metric="risk_ratio",
+                min_ratio=0.0, max_order=1)
+    return expl.select(
+        "cohort",
+        F.round("support", 6).alias("support"),
+        F.round("risk_ratio", 6).alias("risk_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy("cohort")
+
+
+def q23_diff_prevalence_ratio(spark, sf):
+    """DIFF with prevalence_ratio (+1 smoothing semantics)."""
+    from macrobase_spark.operators import classify_predicate, diff
+
+    o = _t(spark, sf, "orders")
+    labeled = classify_predicate(o, "o_orderstatus", "==", "F")
+    expl = diff(labeled, ["o_orderpriority"], min_support=0.0,
+                ratio_metric="prevalence_ratio", min_ratio=0.0, max_order=1)
+    return expl.select(
+        "o_orderpriority",
+        F.round("support", 6).alias("support"),
+        F.round("prevalence_ratio", 6).alias("prevalence_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy("o_orderpriority")
+
+
+def q24_diff_join(spark, sf):
+    """DIFF-JOIN co-optimization (§2.3/QueryEngine.java:271-318): DIFF of
+    (high-discount lineitem ⋈ part) vs (low-discount ⋈ part) ON p_brand
+    without materializing either join."""
+    from macrobase_spark.operators.diff import diff_join
+
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    out_fk = li.filter(F.col("l_discount") >= 0.08).select(F.col("l_partkey").alias("p_partkey"))
+    in_fk = li.filter(F.col("l_discount") < 0.08).select(F.col("l_partkey").alias("p_partkey"))
+    expl = diff_join(out_fk, in_fk, part, "p_partkey", ["p_brand"],
+                     min_support=0.0, min_ratio=0.0, max_order=1)
+    return expl.select(
+        "p_brand",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy("p_brand")
+
+
+def q25_token_count(spark, sf):
+    """Token counting over documents (§ text analysis)."""
+    from macrobase_spark.functions import token_count
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def q26_dedup_exact(spark, sf):
+    """Exact dedup by content hash (§ dedup): group count per digest."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_key"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("n_copies") >= 1)
+        .orderBy("rep_id")
+    )
+
+
+def q27_fingerprint(spark, sf):
+    """Token-set fingerprint (order/dup-insensitive near-dup key)."""
+    from macrobase_spark.functions import fingerprint
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep_id"))
+        .orderBy("rep_id")
+    )
+
+
+def q28_quality_score(spark, sf):
+    """Document quality heuristic (§ text analysis)."""
+    from macrobase_spark.functions import quality_score
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", quality_score("text").alias("quality"))
+        .orderBy("doc_id").limit(500)
+    )
+
+
+def q29_lang_id(spark, sf):
+    """Stopword-overlap language ID (§ text analysis)."""
+    from macrobase_spark.functions import lang_id
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred").agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q30_term_stats(spark, sf):
+    """Inverted-index term statistics (df, cf) — the posting-list aggregate
+    expressed relationally."""
+    from macrobase_spark.functions.text import tokenize_expr
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+def q31_bm25_relational(spark, sf):
+    """BM25 top-10 (k1=1.2, b=0.75) for a fixed query over `documents`,
+    expressed as pure relational ops (tokenize→tf→df→score) — the oracle-
+    checkable twin of the index path (index path itself is rank-identity
+    tested in tests/test_index_bm25.py)."""
+    from macrobase_spark.functions.text import tokenize_expr
+
+    d = _t(spark, sf, "documents")
+    q_terms = ["merge", "scan", "row"]
+    toks = d.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = d.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    tf = (
+        toks.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            idf * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+def q32_cosine_topk(spark, sf):
+    """Brute-force cosine top-k ANN baseline over embeddings (§ similarity)."""
+    from macrobase_spark.pipelines import cosine_topk_bruteforce
+
+    emb = _t(spark, sf, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    vectors = emb.filter(F.col("vec_id") >= 3)
+    res = cosine_topk_bruteforce(vectors, queries, k=5)
+    return res.select(
+        "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+def q33_tumbling_window(spark, sf):
+    """Tumbling-window aggregation (§2.8 WindowedOperator)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q34_sessionize(spark, sf):
+    """Sessionization: gap > 30 min starts a new session (§2.8 analogue)."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; NTZ→long needs an LTZ hop (session
+    # TZ is pinned to UTC so epoch seconds equal DuckDB's epoch())
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    sess = (
+        e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_s").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q35_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard near-dup pairs over a document subset (§ dedup)."""
+    from macrobase_spark.pipelines import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(d, n=3, min_jaccard=0.3)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# ------- rows-only entries (no SQL-expressible oracle; driver records a
+# ------- weaker rows-only check; semantics are pytest-verified instead)
+
+def q40_bm25_index_path(spark, sf):
+    """BM25 through the real inverted index (build → query). Rank-identity
+    vs the exact oracle is asserted in tests/test_index_bm25.py; here the
+    driver checks stable schema/rows."""
+    import tempfile
+
+    from macrobase_spark.index import build_index, bm25_topk
+
+    d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
+        "turn_idx", F.col("doc_id").cast("int"))
+    cache = os.path.join(tempfile.gettempdir(), f"mb_idx_{abs(hash(sf)) % 10**8}")
+    if not os.path.exists(os.path.join(cache, "stats.json")):
+        build_index(d, cache, num_buckets=4, hot_df_threshold=10**9)
+    return bm25_topk(spark, cache, "merge scan row", k=10).select(
+        "doc_id", F.round("score", 6).alias("score"))
+
+
+def q41_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidate pairs (engine-specific hashes →
+    rows-only; estimator accuracy pytest-verified)."""
+    from macrobase_spark.pipelines import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(d, num_hashes=32, bands=8, min_jaccard=0.5).orderBy(
+        "id_a", "id_b")
+
+
+def q42_simhash(spark, sf):
+    """SimHash fingerprints + near-pairs (xxhash64-specific → rows-only)."""
+    from macrobase_spark.pipelines.dedup import simhash_64, simhash_near_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_pairs(simhash_64(d), max_hamming=6).orderBy("id_a", "id_b")
+
+
+def q43_windowed_diff(spark, sf):
+    """Sliding-window DIFF over the events stream (§2.8)."""
+    from macrobase_spark.operators import classify_predicate
+    from macrobase_spark.streaming import windowed_diff
+
+    e = _t(spark, sf, "events")
+    labeled = classify_predicate(e, "event_type", "==", "error")
+    return windowed_diff(
+        labeled.withColumn("cohort", F.expr("cast(user_id % 5 as string)")),
+        "ts", ["cohort"], window_length="6 hours",
+        min_support=0.0, min_ratio=1.05, max_order=1,
+    ).withColumn("support", F.round("support", 6)).withColumn(
+        "global_ratio", F.round("global_ratio", 6))
+
+
+def q44_multimodal_features(spark, sf):
+    """Multimodal binary-column plumbing (stubbed decode, real schema/UDF
+    batch shape)."""
+    from macrobase_spark.pipelines.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64)
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", F.size("feature").alias("feat_dim"), "ok")
+
+
+def q45_lsh_ann(spark, sf):
+    """LSH-bucketed approximate cosine top-k (scale path; recall<1 →
+    rows-only; bucketing correctness pytest-verified)."""
+    from macrobase_spark.pipelines import lsh_bucketed_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return lsh_bucketed_topk(emb.filter(F.col("vec_id") >= 2), queries, k=5,
+                             n_planes=4).select(
+        "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_scan_project_filter": q01_scan_project_filter,
+        "q02_agg_groupby": q02_agg_groupby,
+        "q03_orderby_limit": q03_orderby_limit,
+        "q04_join_inner": q04_join_inner,
+        "q05_join_left": q05_join_left,
+        "q06_join_semi": q06_join_semi,
+        "q07_join_anti": q07_join_anti,
+        "q08_natural_join": q08_natural_join,
+        "q09_union_distinct": q09_union_distinct,
+        "q10_window_topk_per_group": q10_window_topk_per_group,
+        "q11_rollup": q11_rollup,
+        "q12_moving_avg": q12_moving_avg,
+        "q13_classify_percentile": q13_classify_percentile,
+        "q14_classify_predicate": q14_classify_predicate,
+        "q15_count_mean_shift": q15_count_mean_shift,
+        "q16_mad_score": q16_mad_score,
+        "q17_zscore": q17_zscore,
+        "q18_percentile_udf": q18_percentile_udf,
+        "q19_normalize_udf": q19_normalize_udf,
+        "q20_winsorize": q20_winsorize,
+        "q21_diff_global_ratio": q21_diff_global_ratio,
+        "q22_diff_risk_ratio": q22_diff_risk_ratio,
+        "q23_diff_prevalence_ratio": q23_diff_prevalence_ratio,
+        "q24_diff_join": q24_diff_join,
+        "q25_token_count": q25_token_count,
+        "q26_dedup_exact": q26_dedup_exact,
+        "q27_fingerprint": q27_fingerprint,
+        "q28_quality_score": q28_quality_score,
+        "q29_lang_id": q29_lang_id,
+        "q30_term_stats": q30_term_stats,
+        "q31_bm25_relational": q31_bm25_relational,
+        "q32_cosine_topk": q32_cosine_topk,
+        "q33_tumbling_window": q33_tumbling_window,
+        "q34_sessionize": q34_sessionize,
+        "q35_ngram_jaccard": q35_ngram_jaccard,
+        "q40_bm25_index_path": q40_bm25_index_path,
+        "q41_minhash_lsh": q41_minhash_lsh,
+        "q42_simhash": q42_simhash,
+        "q43_windowed_diff": q43_windowed_diff,
+        "q44_multimodal_features": q44_multimodal_features,
+        "q45_lsh_ann": q45_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from macrobase_spark.oracles import ORACLES
+
+    return dict(ORACLES)

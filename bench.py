@@ -1,0 +1,138 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "index_build": {...}, "scaling": {...}}
+
+Covers the BASELINE.json targets:
+- index-build throughput (turns/sec) on deterministic synthetic transcripts,
+  measured at two parallelism levels (local[N/4] vs local[N] — the sandbox
+  stand-in for N vs 4N executors) → scaling efficiency = tps_4N/(4·tps_N).
+- BM25 top-k query p50 latency over the built index.
+- headline relational/DIFF/dedup queries at $SPARK_GRAFT_SF_DIR (sf0.1).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_TURNS (default ~100k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "12000"))  # ~8.5 turns/conv ≈ 100k turns
+TMP = os.environ.get("BENCH_TMP", "/tmp/mb_bench")
+
+BM25_QUERIES = [
+    "the", "call tool", "rare42", "tok0001", "tok0042 tok0007",
+    "rare101 the run", "tok0100 tok0200 tok0300", "tok0009", "rare7 tok0005",
+]
+
+
+def _fresh_spark(n_cores: int):
+    from macrobase_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    return get_spark(f"bench_{n_cores}", master=f"local[{n_cores}]",
+                     shuffle_partitions=n_cores)
+
+
+def _transcripts_parquet(spark) -> tuple[str, int]:
+    """Materialize the deterministic transcripts table once; both parallelism
+    levels read the same parquet input."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+
+    path = os.path.join(TMP, f"transcripts_{N_CONVS}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = with_doc_id(synth_transcripts(spark, n_convs=N_CONVS, seed=42,
+                                           partitions=max(CPUS, 8)))
+        df.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    return path, n
+
+
+def _build(spark, src: str, out: str) -> float:
+    from macrobase_spark.index.build import build_index
+
+    shutil.rmtree(out, ignore_errors=True)
+    df = spark.read.parquet(src)
+    t0 = time.time()
+    build_index(df, out, num_buckets=max(CPUS, 8), num_groups=1,
+                hot_df_threshold=2000, hot_sample_frac=0.05, resume=False)
+    return time.time() - t0
+
+
+def main():
+    os.makedirs(TMP, exist_ok=True)
+    queries: dict[str, float] = {}
+
+    # --- phase 1: small parallelism (N cores) -----------------------------
+    low = max(CPUS // 4, 1)
+    spark = _fresh_spark(low)
+    src, n_turns = _transcripts_parquet(spark)
+    t_low = _build(spark, src, os.path.join(TMP, "idx_low"))
+    tps_low = n_turns / t_low
+
+    # --- phase 2: 4N cores ------------------------------------------------
+    spark = _fresh_spark(CPUS)
+    t_high = _build(spark, src, os.path.join(TMP, "idx_high"))
+    tps_high = n_turns / t_high
+    queries["index_build"] = round(t_high, 3)
+    efficiency = tps_high / (4.0 * tps_low)
+
+    # --- BM25 query p50 over the built index ------------------------------
+    from macrobase_spark.index.bm25 import bm25_topk
+
+    idx = os.path.join(TMP, "idx_high")
+    lat = []
+    bm25_topk(spark, idx, "warmup", k=10).collect()
+    for q in BM25_QUERIES:
+        t0 = time.time()
+        bm25_topk(spark, idx, q, k=10).collect()
+        lat.append(time.time() - t0)
+    p50 = statistics.median(lat)
+    queries["bm25_topk_p50"] = round(p50, 3)
+
+    # --- headline relational / DIFF / text queries at SF_DIR --------------
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ["q02_agg_groupby", "q04_join_inner", "q13_classify_percentile",
+                 "q21_diff_global_ratio", "q24_diff_join", "q26_dedup_exact",
+                 "q30_term_stats", "q31_bm25_relational", "q32_cosine_topk",
+                 "q33_tumbling_window"]:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "index_build_turns_per_sec_4N",
+        "value": round(tps_high, 1),
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "total_sec": total,
+        "index_build": {
+            "n_turns": n_turns,
+            "turns_per_sec_N": round(tps_low, 1),
+            "turns_per_sec_4N": round(tps_high, 1),
+            "build_sec_N": round(t_low, 3),
+            "build_sec_4N": round(t_high, 3),
+            "cores_N": low,
+            "cores_4N": CPUS,
+        },
+        "scaling": {"efficiency_N_to_4N": round(efficiency, 3)},
+        "bm25_query_p50_sec": round(p50, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

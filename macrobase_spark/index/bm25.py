@@ -115,6 +115,14 @@ def bm25_topk(
     postings, docs, stats = read_index(spark, index_dir)
     terms = _tokenize_query(query)
     n, avgdl = stats["n_docs"], stats["avgdl"]
+    if terms and "num_buckets" in stats:
+        # partition pruning: term → bucket is pmod(xxhash64(term), B); filter
+        # on the partition column so only matching bucket dirs are scanned
+        bdf = spark.createDataFrame([(t,) for t in terms], "term string").select(
+            F.pmod(F.xxhash64("term"), F.lit(stats["num_buckets"])).cast("int").alias("b")
+        )
+        buckets = [r["b"] for r in bdf.distinct().collect()]
+        postings = postings.filter(F.col("bucket").isin(buckets))
     tstats = postings.filter(F.col("term").isin(terms)).select("term", "df").collect()
     terms_idf = {
         r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)) for r in tstats

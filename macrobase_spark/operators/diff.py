@@ -221,6 +221,106 @@ def diff_split(
     return diff(labeled, attrs, outlier_col="_OUTLIER", **kwargs)
 
 
+def diff_mean(
+    df: DataFrame,
+    attrs: list[str],
+    metric_col: str,
+    min_support: float = 0.01,
+    min_mean_dev: float = 1.0,
+    max_order: int = 3,
+) -> DataFrame:
+    """Mean-deviation summarizer: find attribute combos whose subgroup mean
+    deviates from the global mean by ≥ min_mean_dev global standard
+    deviations.
+
+    Reference: lib/.../aplinear/APLMeanSummarizer.java:29-70 (sufficient
+    statistics count / m1=Σx / m2=Σx²) + MeanDevQualityMetric.java
+    (|subMean − globalMean| / globalStd). One grouping-sets shuffle with
+    map-side partial sums — the classic partial+final aggregation.
+    """
+    combos = _grouping_sets_sql(attrs, max_order, None)
+    base = df.select(
+        *attrs,
+        F.col(metric_col).cast("double").alias("_x"),
+    )
+    g = base.agg(
+        F.count("*").alias("n"), F.sum("_x").alias("m1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("m2"),
+    ).collect()[0]
+    g_n, g_mean = float(g["n"]), float(g["m1"]) / float(g["n"])
+    g_std = (float(g["m2"]) / g_n - g_mean * g_mean) ** 0.5
+
+    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
+    view = f"_mb_diffmean_{abs(hash((tuple(attrs), max_order))) % 10**8}"
+    base.createOrReplaceTempView(view)
+    attr_list = ", ".join(attrs)
+    grouped = df.sparkSession.sql(
+        f"""
+        SELECT {attr_list}, count(*) AS cnt, sum(_x) AS m1,
+               grouping_id({attr_list}) AS _gid
+        FROM {view}
+        GROUP BY GROUPING SETS ({sets_sql})
+        """
+    )
+    mean_dev = F.abs(F.col("m1") / F.col("cnt") - F.lit(g_mean)) / F.lit(g_std)
+    return (
+        grouped.withColumn("support", F.col("cnt") / F.lit(g_n))
+        .withColumn("mean_deviation", mean_dev)
+        .filter((F.col("support") >= min_support)
+                & (F.col("mean_deviation") >= min_mean_dev))
+        .select(*attrs, "support", "mean_deviation",
+                F.col("cnt").alias("total_count"))
+        .orderBy(F.col("mean_deviation").desc(),
+                 *[F.col(a).asc_nulls_last() for a in attrs])
+    )
+
+
+def diff_count_mean_shift(
+    df: DataFrame,
+    attrs: list[str],
+    min_support: float = 0.2,
+    min_mean_shift: float = 1.2,
+    max_order: int = 3,
+) -> DataFrame:
+    """Count-mean-shift summarizer over the 4 sufficient-statistic columns
+    produced by classify_count_mean_shift: support(outlier) + mean_shift =
+    (outMeanSum/outCount)/(inMeanSum/inCount).
+
+    Reference: lib/.../aplinear/APLCountMeanShiftSummarizer.java:27-90,
+    MeanShiftQualityMetric.java:33-36.
+    """
+    combos = _grouping_sets_sql(attrs, max_order, None)
+    base = df.select(*attrs, "_OUTLIERCOUNT", "_INLIERCOUNT",
+                     "_OUTLIERMEANSUM", "_INLIERMEANSUM")
+    g = base.agg(F.sum("_OUTLIERCOUNT").alias("o")).collect()[0]
+    g_out = float(g["o"])
+    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
+    view = f"_mb_diffcms_{abs(hash((tuple(attrs), max_order))) % 10**8}"
+    base.createOrReplaceTempView(view)
+    attr_list = ", ".join(attrs)
+    grouped = df.sparkSession.sql(
+        f"""
+        SELECT {attr_list},
+               sum(_OUTLIERCOUNT) AS oc, sum(_INLIERCOUNT) AS ic,
+               sum(_OUTLIERMEANSUM) AS oms, sum(_INLIERMEANSUM) AS ims
+        FROM {view}
+        GROUP BY GROUPING SETS ({sets_sql})
+        """
+    )
+    shift = (F.col("oms") / F.col("oc")) / (F.col("ims") / F.col("ic"))
+    return (
+        grouped.withColumn("support", F.col("oc") / F.lit(g_out))
+        .withColumn("mean_shift", shift)
+        .filter((F.col("support") >= min_support)
+                & (F.col("mean_shift") >= min_mean_shift))
+        .select(*attrs, "support", "mean_shift",
+                F.col("oc").alias("outlier_count"),
+                (F.col("oc") + F.col("ic")).alias("total_count"))
+        .orderBy(F.col("mean_shift").desc(),
+                 *[F.col(a).asc_nulls_last() for a in attrs])
+    )
+
+
 def diff_join(
     outlier_fk: DataFrame,
     inlier_fk: DataFrame,

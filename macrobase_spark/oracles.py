@@ -1,0 +1,428 @@
+"""DuckDB oracle SQL for each queries() entry in __spark_entry__.py.
+
+Each statement runs against pre-registered views (region nation customer
+supplier part orders lineitem events documents embeddings) and must match
+the Spark result on column names, row count, and order-insensitive value
+hash. Mirrors the exact formula + rounding of the Spark side.
+"""
+
+TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_scan_project_filter"] = """
+SELECT l_orderkey, l_quantity, l_extendedprice AS price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05 AND l_quantity < 10
+ORDER BY l_orderkey, price, l_quantity
+LIMIT 500
+"""
+
+ORACLES["q02_agg_groupby"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q03_orderby_limit"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+ORACLES["q04_join_inner"] = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLES["q05_join_left"] = """
+WITH per_cust AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey)
+SELECT COALESCE(cnt, 0) AS n_orders, COUNT(*) AS n_customers
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY COALESCE(cnt, 0) ORDER BY n_orders
+"""
+
+ORACLES["q06_join_semi"] = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLES["q07_join_anti"] = """
+SELECT c_mktsegment, COUNT(*) AS n_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLES["q08_natural_join"] = """
+SELECT r_name AS region, n_name AS nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY region, nation
+"""
+
+ORACLES["q09_union_distinct"] = """
+SELECT DISTINCT event_type FROM (
+  SELECT event_type FROM events WHERE value > 15
+  UNION ALL
+  SELECT event_type FROM events WHERE user_id < 10
+) ORDER BY event_type
+"""
+
+ORACLES["q10_window_topk_per_group"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3 AND o_custkey < 50
+ORDER BY o_custkey, rk
+"""
+
+ORACLES["q11_rollup"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLES["q12_moving_avg"] = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM events WHERE user_id < 5
+ORDER BY event_id LIMIT 1000
+"""
+
+ORACLES["q13_classify_percentile"] = """
+WITH cut AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+         quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_extendedprice > (SELECT hi FROM cut)
+                      OR l_extendedprice < (SELECT lo FROM cut)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["q14_classify_predicate"] = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM events GROUP BY user_id
+HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+ORACLES["q15_count_mean_shift"] = """
+WITH agg AS (
+  SELECT user_id % 10 AS cohort,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS oc,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 0.0 ELSE 1.0 END) AS DOUBLE) AS ic,
+         ROUND(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 4) AS oms,
+         ROUND(SUM(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END), 4) AS ims
+  FROM events GROUP BY user_id % 10
+)
+SELECT cohort, oc, ic, oms, ims,
+       ROUND((oms / oc) / (ims / ic), 6) AS mean_shift
+FROM agg ORDER BY cohort
+"""
+
+ORACLES["q16_mad_score"] = """
+WITH med AS (SELECT quantile_cont(l_extendedprice, 0.5) AS m FROM lineitem),
+     mad AS (SELECT quantile_cont(ABS(l_extendedprice - (SELECT m FROM med)), 0.5) AS d
+             FROM lineitem)
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN ABS(l_extendedprice - (SELECT m FROM med))
+                          / ((SELECT d FROM mad) * 1.4826) > 3.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mad3
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["q17_zscore"] = """
+WITH s AS (SELECT AVG(value) AS m, stddev_pop(value) AS sd FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ABS((value - (SELECT m FROM s)) / (SELECT sd FROM s)) > 2.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_z2
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["q18_percentile_udf"] = """
+WITH p AS (
+  SELECT o_orderpriority,
+         (COUNT(*) OVER () - RANK() OVER (ORDER BY o_totalprice DESC) + 1.0)
+           / COUNT(*) OVER () AS pct
+  FROM orders
+)
+SELECT o_orderpriority, ROUND(AVG(pct), 9) AS avg_pct
+FROM p GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["q19_normalize_udf"] = """
+WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+     n AS (
+       SELECT o_orderpriority,
+              (o_totalprice + CASE WHEN (SELECT lo FROM s) <= 0
+                                   THEN -(SELECT lo FROM s) ELSE 0 END)
+              / ((SELECT hi FROM s) + CASE WHEN (SELECT lo FROM s) <= 0
+                                           THEN -(SELECT lo FROM s) ELSE 0 END) AS norm
+       FROM orders
+     )
+SELECT o_orderpriority, ROUND(AVG(norm), 9) AS avg_norm
+FROM n GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["q20_winsorize"] = """
+WITH cut AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                    quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, (SELECT lo FROM cut)),
+                                 (SELECT hi FROM cut)) AS DECIMAL(18,4)))
+                  AS DOUBLE), 2) AS sum_wins
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["q21_diff_global_ratio"] = """
+WITH cut AS (SELECT quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem),
+lab AS (SELECT l_returnflag, l_linestatus,
+               CASE WHEN l_extendedprice > (SELECT hi FROM cut) THEN 1.0 ELSE 0.0 END AS o
+        FROM lineitem),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+gs AS (SELECT l_returnflag, l_linestatus, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                        (l_returnflag, l_linestatus)))
+SELECT l_returnflag, l_linestatus,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g
+WHERE oc / g.g_out >= 0.01
+ORDER BY global_ratio DESC, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+ORACLES["q22_diff_risk_ratio"] = """
+WITH lab AS (SELECT CAST(user_id % 5 AS VARCHAR) AS cohort,
+                    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS o
+             FROM events),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+gs AS (SELECT cohort, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY cohort)
+SELECT cohort,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND(CASE WHEN tc = 0 THEN 0.0
+                  WHEN g.g_tot - tc = 0 THEN 0.0
+                  WHEN g.g_out - oc = 0 THEN CAST('inf' AS DOUBLE)
+                  ELSE (oc / tc) / ((g.g_out - oc) / (g.g_tot - tc)) END, 6) AS risk_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g ORDER BY cohort
+"""
+
+ORACLES["q23_diff_prevalence_ratio"] = """
+WITH lab AS (SELECT o_orderpriority,
+                    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS o
+             FROM orders),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+gs AS (SELECT o_orderpriority, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / ((CASE WHEN tc = oc THEN tc + 1.0 ELSE tc END) - oc))
+             / ((CASE WHEN g.g_out = 0 THEN 1.0 ELSE g.g_out END)
+                / (g.g_tot - CASE WHEN g.g_out = 0 THEN 1.0 ELSE g.g_out END)), 6)
+         AS prevalence_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g ORDER BY o_orderpriority
+"""
+
+ORACLES["q24_diff_join"] = """
+WITH j AS (SELECT p_brand,
+                  CASE WHEN l_discount >= 0.08 THEN 1.0 ELSE 0.0 END AS o
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM j),
+gs AS (SELECT p_brand, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM j GROUP BY p_brand)
+SELECT p_brand,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g ORDER BY p_brand
+"""
+
+ORACLES["q25_token_count"] = f"""
+SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+ORACLES["q26_dedup_exact"] = """
+SELECT md5(text) AS content_key, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1 ORDER BY rep_id
+"""
+
+ORACLES["q27_fingerprint"] = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fp,
+       COUNT(*) AS n, MIN(doc_id) AS rep_id
+FROM documents GROUP BY 1 ORDER BY rep_id
+"""
+
+ORACLES["q28_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({TOKS}) AS DOUBLE) AS n,
+         CAST(len(list_distinct({TOKS})) AS DOUBLE) AS nu,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           AS n_alnum
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(GREATEST(0.0, LEAST(1.0,
+           (CASE WHEN n > 0 THEN nu / n ELSE 0.0 END)
+         * (1.0 - CASE WHEN n_chars > 0 THEN 1.0 - n_alnum / n_chars ELSE 1.0 END)
+         * (CASE WHEN n >= 5 AND n <= 5000 THEN 1.0 ELSE 0.5 END))), 6) AS quality
+FROM t ORDER BY doc_id LIMIT 500
+"""
+
+_LANGS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+}
+_lang_scores = ",\n".join(
+    f"       len(list_intersect({TOKS}, {words!r})) AS s_{lang}"
+    for lang, words in _LANGS.items()
+)
+ORACLES["q29_lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+{_lang_scores}
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+              ELSE 'de' END AS lang_pred
+  FROM s
+)
+SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+ORACLES["q30_term_stats"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, COUNT(*) AS cf
+FROM toks GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+ORACLES["q31_bm25_relational"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+consts AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                  (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN ('merge', 'scan', 'row') GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLES["q32_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+sims AS (
+  SELECT q.q_id, v.vec_id,
+         CASE WHEN list_aggregate(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+                AND list_aggregate(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+              THEN list_aggregate(list_transform(list_zip(v.embedding, q.q_vec),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(v.embedding,
+                                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.q_vec,
+                                            x -> CAST(x AS DOUBLE) * x), 'sum')))
+              ELSE 0.0 END AS cs
+  FROM v CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, ROUND(cs, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+ORACLES["q33_tumbling_window"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+ORACLES["q34_sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["q35_ngram_jaccard"] = f"""
+WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(0, len(toks) - 3 + 1),
+                                 i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM d
+),
+e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS DOUBLE) AS i
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.3
+ORDER BY id_a, id_b
+"""

@@ -34,13 +34,14 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k of every query against the vector table.
     Returns (q_id, vec_id, cos_sim, rank). Query side is broadcast."""
+    # compute in float64 throughout (deterministic, oracle-matchable)
     v = vectors.select(
-        F.col(id_col), F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_vn"),
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_vn"),
     )
     q = queries.select(
-        F.col(q_id_col), F.col(q_vec_col).alias("_q"),
-        _norm(F.col(q_vec_col)).alias("_qn"),
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("_q"),
+        _norm(F.col(q_vec_col).cast("array<double>")).alias("_qn"),
     )
     dot = F.aggregate(
         F.zip_with("_v", "_q", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x

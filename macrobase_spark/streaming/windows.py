@@ -72,11 +72,12 @@ def windowed_diff(
         SELECT _w, {attr_list},
                sum(_o) AS outlier_count,
                count(*) AS total_count,
-               grouping_id({attr_list}) AS _gid
+               grouping_id(_w, {attr_list}) AS _gid
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
         """
     )
+    # _w is in every grouping set (MSB always 0) → attrs-all-absent mask:
     all_absent = (1 << len(attrs)) - 1
     globals_df = grouped.filter(F.col("_gid") == all_absent).select(
         F.col("_w").alias("_gw"),

@@ -1,0 +1,157 @@
+"""Text functions, dedup family, similarity search, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.functions.text import (
+    fingerprint, lang_id, ngrams, quality_score, token_count, tokenize_expr,
+)
+from macrobase_spark.pipelines.dedup import (
+    dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_64,
+    simhash_near_pairs,
+)
+from macrobase_spark.pipelines.similarity import (
+    cosine_topk_bruteforce, lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # case dup of 0
+        (2, "The quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (3, "el gato que esta en la casa de los vecinos por la tarde"),
+        (4, "completely different content about spark engines and indexes"),
+        (5, "The quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (6, "a a a a a a a a a a a a a a a a"),               # degenerate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_tokenize_and_count(spark, docs):
+    r = {x["doc_id"]: x["n"] for x in
+         docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert r[0] == 9
+    assert r[6] == 16
+
+
+def test_fingerprint_collapses_case_and_order(spark, docs):
+    fps = {x["doc_id"]: x["fp"] for x in
+           docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1] == fps[5]
+    assert fps[0] != fps[2]
+
+
+def test_lang_id(spark, docs):
+    langs = {x["doc_id"]: x["l"] for x in
+             docs.select("doc_id", lang_id("text").alias("l")).collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "es"
+    assert langs[6] == "und"
+
+
+def test_quality_degenerate_low(spark, docs):
+    q = {x["doc_id"]: x["q"] for x in
+         docs.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert q[6] < 0.2 < q[0]
+
+
+def test_ngrams(spark, docs):
+    row = docs.filter("doc_id = 0").select(ngrams("text", 3).alias("g")).collect()[0]
+    assert row["g"][0] == "the quick brown"
+    assert len(row["g"]) == 9 - 3 + 1
+
+
+def test_dedup_exact(spark, docs):
+    kept = dedup_exact(docs, normalize=False)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 5 not in ids and 1 in ids  # case-sensitive without normalize
+    kept_norm = dedup_exact(docs, normalize=True)
+    ids_n = {r["doc_id"] for r in kept_norm.select("doc_id").collect()}
+    assert 0 in ids_n and 1 not in ids_n and 5 not in ids_n
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=32, shingle_n=2,
+                              min_jaccard=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got
+    assert (0, 2) in got  # near-dup (one word differs)
+    assert not any({a, b} & {4} and {a, b} & {0, 1, 2, 5} for a, b in got)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Estimator accuracy: planted overlap → est within ±0.2 of truth."""
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(50)) + " " + " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, num_hashes=128, bands=64, shingle_n=1,
+                              min_jaccard=0.0)
+    est = pairs.collect()[0]["est_jaccard"]
+    true_j = 50 / 150
+    assert abs(est - true_j) < 0.2
+
+
+def test_simhash_near_pairs(spark, docs):
+    with_h = simhash_64(docs)
+    pairs = simhash_near_pairs(with_h, max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 5) in got
+    h = {r["doc_id"]: r["simhash"] for r in with_h.collect()}
+    assert h[0] == h[1] == h[5]  # identical token multisets
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=2, min_jaccard=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(0, 1)] == 1.0
+    assert (0, 2) in rows and rows[(0, 2)] < 1.0
+
+
+def test_cosine_topk_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[7]])], "q_id long, q_vec array<float>")
+    top = cosine_topk_bruteforce(vdf, qdf, k=3).collect()
+    assert top[0]["vec_id"] == 7 and math.isclose(top[0]["cos_sim"], 1.0, rel_tol=1e-6)
+    # verify rank-2 against numpy
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[7]
+    sims[7] = -2
+    assert top[1]["vec_id"] == int(np.argmax(sims))
+
+
+def test_lsh_ann_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((100, 16)).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    # query = near-copy of vector 11 → same LSH bucket with high probability
+    q = base[11] + rng.standard_normal(16).astype("float32") * 0.01
+    qdf = spark.createDataFrame([(0, [float(x) for x in q])],
+                                "q_id long, q_vec array<float>")
+    got = lsh_bucketed_topk(vdf, qdf, k=3, n_planes=6).collect()
+    assert got and got[0]["vec_id"] == 11
+
+
+def test_multimodal_plumbing(spark):
+    from macrobase_spark.pipelines.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=12)
+    feats = extract_features(media).collect()
+    assert len(feats) == 12
+    by_kind = {r["kind"]: len(r["feature"]) for r in feats}
+    assert by_kind["image"] == 64 and by_kind["audio"] == 16 and by_kind["video"] == 24
+    assert all(r["ok"] for r in feats)
