@@ -570,6 +570,67 @@ def q35_ngram_jaccard(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q36_diff_mean(spark, sf):
+    """Mean-deviation summarizer (APLMeanSummarizer §2.4): combos whose mean
+    price deviates ≥0.05 global std."""
+    from macrobase_spark.operators.diff import diff_mean
+
+    li = _t(spark, sf, "lineitem")
+    expl = diff_mean(li, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+                     min_support=0.01, min_mean_dev=0.005, max_order=2)
+    return expl.select(
+        "l_returnflag", "l_linestatus",
+        F.round("support", 6).alias("support"),
+        F.round("mean_deviation", 6).alias("mean_deviation"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy(F.col("mean_deviation").desc(),
+              F.col("l_returnflag").asc_nulls_last(),
+              F.col("l_linestatus").asc_nulls_last())
+
+
+def q37_grouped_mad(spark, sf):
+    """Per-group train-then-score (MBGroupBy §2.8): MAD within event_type."""
+    from macrobase_spark.operators.transform import grouped_mad_score
+
+    e = _t(spark, sf, "events")
+    scored = grouped_mad_score(e, ["event_type"], "value")
+    return (
+        scored.groupBy("event_type")
+        .agg(F.sum(F.when(F.col("_SCORE") > 3.0, 1).otherwise(0)).alias("n_mad3"),
+             F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q38_heavy_hitters(spark, sf):
+    """Heavy hitters (AMC §2.8): part brands covering ≥2% of lineitems."""
+    from macrobase_spark.operators.transform import heavy_hitters
+
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    joined = li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                     li.l_partkey == part.p_partkey)
+    return heavy_hitters(joined, "p_brand", threshold_frac=0.02, exact=True)
+
+
+def q39_count_mean_shift_diff(spark, sf):
+    """CountMeanShift classify → summarize (§2.4/2.5 full pipeline)."""
+    from macrobase_spark.operators import classify_count_mean_shift
+    from macrobase_spark.operators.diff import diff_count_mean_shift
+
+    o = _t(spark, sf, "orders")
+    labeled = classify_count_mean_shift(o, "o_orderstatus", "o_totalprice", "==", "F")
+    expl = diff_count_mean_shift(labeled, ["o_orderpriority"],
+                                 min_support=0.0, min_mean_shift=0.0, max_order=1)
+    return expl.select(
+        "o_orderpriority",
+        F.round("support", 6).alias("support"),
+        F.round("mean_shift", 6).alias("mean_shift"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy("o_orderpriority")
+
+
 # ------- rows-only entries (no SQL-expressible oracle; driver records a
 # ------- weaker rows-only check; semantics are pytest-verified instead)
 
@@ -577,13 +638,15 @@ def q40_bm25_index_path(spark, sf):
     """BM25 through the real inverted index (build → query). Rank-identity
     vs the exact oracle is asserted in tests/test_index_bm25.py; here the
     driver checks stable schema/rows."""
+    import hashlib
     import tempfile
 
     from macrobase_spark.index import build_index, bm25_topk
 
     d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
         "turn_idx", F.col("doc_id").cast("int"))
-    cache = os.path.join(tempfile.gettempdir(), f"mb_idx_{abs(hash(sf)) % 10**8}")
+    key = hashlib.md5(sf.encode()).hexdigest()[:10]
+    cache = os.path.join(tempfile.gettempdir(), f"mb_idx_{key}")
     if not os.path.exists(os.path.join(cache, "stats.json")):
         build_index(d, cache, num_buckets=4, hot_df_threshold=10**9)
     return bm25_topk(spark, cache, "merge scan row", k=10).select(
@@ -631,6 +694,141 @@ def q44_multimodal_features(spark, sf):
     media = synth_media(spark, n=64)
     feats = extract_features(media)
     return feats.select("media_id", "kind", F.size("feature").alias("feat_dim"), "ok")
+
+
+def q50_set_ops(spark, sf):
+    """INTERSECT / EXCEPT (§2.7 — grammar-only in the reference, native
+    here): nations appearing in both halves of a customer split, minus a
+    filtered set."""
+    c = _t(spark, sf, "customer")
+    rich = c.filter(F.col("c_acctbal") > 1000).select("c_nationkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    neg = c.filter((F.col("c_mktsegment") == "BUILDING")
+                   & (F.col("c_acctbal") < 0)).select("c_nationkey")
+    # INTERSECT (set) of nation sets + EXCEPT ALL (bag) multiplicity math
+    inter = rich.intersect(bld)
+    bag = bld.exceptAll(neg)
+    return (
+        bag.join(inter, "c_nationkey", "left_semi")
+        .groupBy("c_nationkey").agg(F.count("*").alias("n"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q51_join_outer(spark, sf):
+    """FULL OUTER join (§2.3 — grammar-only in the reference, native here)."""
+    big_cust = (
+        _t(spark, sf, "orders").groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders")).filter(F.col("n_orders") >= 12)
+    )
+    rich_cust = (
+        _t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey"), "c_acctbal")
+    )
+    j = big_cust.join(rich_cust, big_cust.o_custkey == rich_cust.c_custkey, "full_outer")
+    return (
+        j.select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+        ).orderBy("custkey")
+    )
+
+
+def q52_contextual_mad(spark, sf):
+    """Contextual outlier detection (§2.9): per-context MAD outlier rates
+    over (event_type, cohort) contexts."""
+    from macrobase_spark.operators.contextual import contextual_mad_outliers
+
+    e = _t(spark, sf, "events").withColumn(
+        "cohort", F.expr("cast(user_id % 3 as string)"))
+    res = contextual_mad_outliers(e, ["event_type", "cohort"], "value",
+                                  score_cutoff=2.0, min_context_size=50,
+                                  max_order=2)
+    return res.select(
+        "event_type", "cohort",
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        "context_size",
+        F.round("outlier_rate", 6).alias("outlier_rate"),
+    ).orderBy(F.col("outlier_rate").desc(),
+              F.col("event_type").asc_nulls_last(),
+              F.col("cohort").asc_nulls_last())
+
+
+def q53_ew_percentile(spark, sf):
+    """EW streaming percentile classifier (§2.5/2.8 v0 semantics) — decayed
+    per-pane thresholds; rows-only (decayed weighted percentile has no
+    closed-form SQL)."""
+    from macrobase_spark.streaming.ew import ew_percentile_classify
+
+    e = _t(spark, sf, "events")
+    out = ew_percentile_classify(e, "ts", "value", percentile=95.0,
+                                 pane="2 hours", half_life_panes=4.0)
+    return (
+        out.groupBy("_pane").agg(
+            F.sum("_OUTLIER").cast("long").alias("n_outliers"),
+            F.count("*").alias("n"))
+        .orderBy("_pane")
+        .select(F.date_format("_pane", "yyyy-MM-dd HH:mm").alias("pane"),
+                "n_outliers", "n")
+    )
+
+
+def q46_fpgrowth_diff(spark, sf):
+    """FP-Growth emerging-itemset summarizer (§2.4 FPGrowthSummarizer) —
+    itemset-array output → rows-only; equivalence to diff() pytest-verified."""
+    from macrobase_spark.operators import classify_percentile
+    from macrobase_spark.operators.fpgrowth import fpgrowth_diff
+
+    li = _t(spark, sf, "lineitem").limit(20000)
+    labeled = classify_percentile(li, "l_extendedprice", percentile=1.0,
+                                  include_low=False)
+    return fpgrowth_diff(labeled, ["l_returnflag", "l_linestatus"],
+                         min_support=0.05, min_risk_ratio=0.0, max_order=2)
+
+
+def q47_quantile_classifier(spark, sf):
+    """Cubed quantile classifier (§2.5 QuantileClassifier) — piecewise
+    interpolation; rows-only (no closed-form SQL oracle)."""
+    from macrobase_spark.operators.classify import classify_quantile_cubed
+
+    li = _t(spark, sf, "lineitem")
+    cube = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("double").alias("count"),
+        F.min("l_extendedprice").alias("q0"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("q50"),
+        F.max("l_extendedprice").alias("q100"),
+    )
+    out = classify_quantile_cubed(cube, "count", {0.0: "q0", 0.5: "q50", 1.0: "q100"},
+                                  percentile=5.0)
+    return out.select("l_returnflag", "l_linestatus",
+                      F.round("_OUTLIER", 4).alias("expected_outliers"))
+
+
+def q48_arithmetic_classifier(spark, sf):
+    """Cubed arithmetic classifier (§2.5 ArithmeticClassifier: weighted
+    percentile + normal-CDF tails) — rows-only (erf not in DuckDB)."""
+    from macrobase_spark.operators.classify import classify_arithmetic_cubed
+
+    li = _t(spark, sf, "lineitem")
+    cube = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("double").alias("count"),
+        F.avg("l_extendedprice").alias("mean"),
+        F.stddev_pop("l_extendedprice").alias("std"),
+    )
+    out = classify_arithmetic_cubed(cube, "count", "mean", "std", percentile=2.0)
+    return out.select("l_returnflag", "l_linestatus",
+                      F.round("_OUTLIER", 4).alias("expected_outliers"))
+
+
+def q49_weighted_sample(spark, sf):
+    """Weighted reservoir sampling (AChao §2.8) — stochastic → rows-only."""
+    from macrobase_spark.operators.transform import weighted_reservoir_sample
+
+    e = _t(spark, sf, "events")
+    s = weighted_reservoir_sample(e, frac=0.05, weight_col="value", seed=1)
+    return s.agg(F.count("*").alias("n_sampled"),
+                 F.round(F.avg("value"), 2).alias("avg_value"))
 
 
 def q45_lsh_ann(spark, sf):
@@ -685,12 +883,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_tumbling_window": q33_tumbling_window,
         "q34_sessionize": q34_sessionize,
         "q35_ngram_jaccard": q35_ngram_jaccard,
+        "q36_diff_mean": q36_diff_mean,
+        "q37_grouped_mad": q37_grouped_mad,
+        "q38_heavy_hitters": q38_heavy_hitters,
+        "q39_count_mean_shift_diff": q39_count_mean_shift_diff,
         "q40_bm25_index_path": q40_bm25_index_path,
         "q41_minhash_lsh": q41_minhash_lsh,
         "q42_simhash": q42_simhash,
         "q43_windowed_diff": q43_windowed_diff,
         "q44_multimodal_features": q44_multimodal_features,
         "q45_lsh_ann": q45_lsh_ann,
+        "q46_fpgrowth_diff": q46_fpgrowth_diff,
+        "q47_quantile_classifier": q47_quantile_classifier,
+        "q48_arithmetic_classifier": q48_arithmetic_classifier,
+        "q49_weighted_sample": q49_weighted_sample,
+        "q50_set_ops": q50_set_ops,
+        "q51_join_outer": q51_join_outer,
+        "q52_contextual_mad": q52_contextual_mad,
+        "q53_ew_percentile": q53_ew_percentile,
     }
 
 

@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_CONVS", "12000"))  # ~8.5 turns/conv ≈ 100k turns
+N_CONVS = int(os.environ.get("BENCH_CONVS", "96000"))  # ~8.5 turns/conv ≈ 800k turns
+BUILD_REPS = int(os.environ.get("BENCH_REPS", "2"))  # best-of-N (hypervisor CPU steal)
 TMP = os.environ.get("BENCH_TMP", "/tmp/mb_bench")
 
 BM25_QUERIES = [
@@ -43,6 +44,32 @@ def _fresh_spark(n_cores: int):
                      shuffle_partitions=n_cores)
 
 
+def _build_in_subprocess(n_cores: int, src: str, out: str) -> float:
+    """Run the index build in a FRESH process (own JVM): reusing one JVM
+    across differently-sized local masters degrades the second session."""
+    import subprocess
+
+    code = f"""
+import sys, time, shutil, json
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from macrobase_spark.session import get_spark
+from macrobase_spark.index.build import build_index
+spark = get_spark("bench_sub", master="local[{n_cores}]", shuffle_partitions={n_cores})
+shutil.rmtree({out!r}, ignore_errors=True)
+df = spark.read.parquet({src!r})
+t0 = time.time()
+build_index(df, {out!r}, num_buckets=max({CPUS}, 8), num_groups=1,
+            hot_df_threshold=2000, hot_sample_frac=0.05, resume=False)
+print("BENCH_RESULT", json.dumps(time.time() - t0))
+"""
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1200)
+    for line in res.stdout.splitlines():
+        if line.startswith("BENCH_RESULT"):
+            return float(line.split()[1])
+    raise RuntimeError(f"subprocess build failed: {res.stderr[-2000:]}")
+
+
 def _transcripts_parquet(spark) -> tuple[str, int]:
     """Materialize the deterministic transcripts table once; both parallelism
     levels read the same parquet input."""
@@ -57,32 +84,30 @@ def _transcripts_parquet(spark) -> tuple[str, int]:
     return path, n
 
 
-def _build(spark, src: str, out: str) -> float:
-    from macrobase_spark.index.build import build_index
-
-    shutil.rmtree(out, ignore_errors=True)
-    df = spark.read.parquet(src)
-    t0 = time.time()
-    build_index(df, out, num_buckets=max(CPUS, 8), num_groups=1,
-                hot_df_threshold=2000, hot_sample_frac=0.05, resume=False)
-    return time.time() - t0
 
 
 def main():
     os.makedirs(TMP, exist_ok=True)
     queries: dict[str, float] = {}
 
-    # --- phase 1: small parallelism (N cores) -----------------------------
+    # --- generate the shared input once -----------------------------------
     low = max(CPUS // 4, 1)
-    spark = _fresh_spark(low)
-    src, n_turns = _transcripts_parquet(spark)
-    t_low = _build(spark, src, os.path.join(TMP, "idx_low"))
-    tps_low = n_turns / t_low
-
-    # --- phase 2: 4N cores ------------------------------------------------
     spark = _fresh_spark(CPUS)
-    t_high = _build(spark, src, os.path.join(TMP, "idx_high"))
+    src, n_turns = _transcripts_parquet(spark)
+    spark.stop()
+
+    # --- index build at N and 4N cores, each rep a fresh process/JVM.
+    # Reps are INTERLEAVED (N, 4N, N, 4N, …) and we take per-level minima:
+    # this sandbox shows time-varying hypervisor CPU/disk throttling, and
+    # interleaving exposes both levels to the same conditions.
+    t_low = t_high = float("inf")
+    for _ in range(BUILD_REPS):
+        t_low = min(t_low, _build_in_subprocess(low, src, os.path.join(TMP, "idx_low")))
+        t_high = min(t_high, _build_in_subprocess(CPUS, src, os.path.join(TMP, "idx_high")))
+    tps_low = n_turns / t_low
     tps_high = n_turns / t_high
+
+    spark = _fresh_spark(CPUS)
     queries["index_build"] = round(t_high, 3)
     efficiency = tps_high / (4.0 * tps_low)
 

@@ -42,19 +42,20 @@ def _tokenize_query(q: str) -> list[str]:
     return sorted(set(re.findall(TOKEN_PATTERN, q.lower())))
 
 
-def _score_partition(terms_idf: dict[str, float], avgdl: float, k: int,
-                     single_term: bool):
+def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool):
     """Decode + score posting blobs in one Arrow pass; emits (doc_id, term,
-    score contribution). With a single query term, applies block-max pruning
-    while keeping exactness (kth-best lower bound only ever grows)."""
+    score contribution). idf is derived from the row's own df stat — no
+    separate term-stats job. With a single query term, applies block-max
+    pruning while keeping exactness (kth-best lower bound only grows)."""
 
     def fn(batches):
         from macrobase_spark.index.build import _decode_partial
 
         for pdf in batches:
             out_doc, out_term, out_score = [], [], []
-            for term, blob, block_max in zip(pdf["term"], pdf["blob"], pdf["block_max"]):
-                idf = terms_idf[term]
+            for term, t_df, blob, block_max in zip(
+                    pdf["term"], pdf["df"], pdf["blob"], pdf["block_max"]):
+                idf = math.log(1.0 + (n_docs - t_df + 0.5) / (t_df + 0.5))
                 ids, tfs, dls = _decode_partial(blob)
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
@@ -116,24 +117,20 @@ def bm25_topk(
     terms = _tokenize_query(query)
     n, avgdl = stats["n_docs"], stats["avgdl"]
     if terms and "num_buckets" in stats:
-        # partition pruning: term → bucket is pmod(xxhash64(term), B); filter
-        # on the partition column so only matching bucket dirs are scanned
-        bdf = spark.createDataFrame([(t,) for t in terms], "term string").select(
-            F.pmod(F.xxhash64("term"), F.lit(stats["num_buckets"])).cast("int").alias("b")
-        )
-        buckets = [r["b"] for r in bdf.distinct().collect()]
+        # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
+        # driver-side (pure-Python XXH64, no Spark round trip) so only the
+        # matching bucket directories are even listed
+        from macrobase_spark.index.xxh64 import term_bucket
+
+        buckets = sorted({term_bucket(t, stats["num_buckets"]) for t in terms})
         postings = postings.filter(F.col("bucket").isin(buckets))
-    tstats = postings.filter(F.col("term").isin(terms)).select("term", "df").collect()
-    terms_idf = {
-        r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)) for r in tstats
-    }
-    if not terms_idf:
+    if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    cand = postings.filter(F.col("term").isin(list(terms_idf))).select(
-        "term", "blob", "block_max"
+    cand = postings.filter(F.col("term").isin(terms)).select(
+        "term", "df", "blob", "block_max"
     )
     contrib = cand.mapInPandas(
-        _score_partition(terms_idf, avgdl, k, single_term=len(terms_idf) == 1),
+        _score_partition(n, avgdl, k, single_term=len(terms) == 1),
         schema="doc_id long, term string, contrib double",
     )
     # ascending-term add order for bitwise-reproducible float sums

@@ -43,42 +43,99 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from macrobase_spark.index.codec import delta_varint_encode, delta_varint_decode
-from macrobase_spark.index.tokenize import tokenize_turns, with_anomaly_score
 
 K1 = 1.2
 B = 0.75
 BLOCK_SIZE = 128
 
-_PARTIAL_SCHEMA = (
-    "term string, salt int, n_docs long, cf long, blob binary"
-)
 _POSTINGS_SCHEMA = (
     "term string, df long, cf long, fan_in int, max_impact double, "
     "block_max array<double>, blob binary"
 )
+# phase-1 output: `final` rows are complete posting lists (cold terms, one
+# shard); non-final rows are salted partials awaiting the phase-2 merge.
+_ENC_SCHEMA = _POSTINGS_SCHEMA + ", final boolean"
 
 
-def _encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Phase 1 kernel: one (term, salt) group → one compressed partial blob.
-    Posting payload carries (doc_id, tf, dl) so queries never join docs."""
-    doc_ids = pdf["doc_id"].to_numpy(np.uint64)
-    tfs = pdf["tf"].to_numpy(np.uint64)
-    dls = pdf["dl"].to_numpy(np.uint64)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-    # layout: main stream (delta ids, tfs) then a raw varint stream of dls
+def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    return tf / (tf + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
+
+
+def _block_max(impact: np.ndarray) -> list[float]:
+    n_blocks = (len(impact) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    return [float(impact[i * BLOCK_SIZE:(i + 1) * BLOCK_SIZE].max())
+            for i in range(n_blocks)]
+
+
+def _encode_run(term: str, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                avgdl: float, final: bool) -> dict:
     from macrobase_spark.index.codec import varint_encode
 
-    blob = delta_varint_encode(doc_ids, tfs) + varint_encode(dls)
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "n_docs": [len(doc_ids)],
-            "cf": [int(tfs.sum())],
-            "blob": [blob],
-        }
-    )
+    blob = delta_varint_encode(ids, tfs) + varint_encode(dls)
+    if final:
+        imp = _impact(tfs, dls, avgdl)
+        return dict(term=term, df=len(ids), cf=int(tfs.sum()), fan_in=1,
+                    max_impact=float(imp.max()), block_max=_block_max(imp),
+                    blob=blob, final=True)
+    return dict(term=term, df=len(ids), cf=int(tfs.sum()), fan_in=1,
+                max_impact=0.0, block_max=[], blob=blob, final=False)
+
+
+def _encode_sorted_runs(hot_terms: set[str], avgdl: float):
+    """Phase 1 kernel as a mapInPandas over partitions pre-sorted by
+    (term, salt, doc_id): encode each (term, salt) run with numpy slices —
+    no per-group applyInPandas dispatch. Runs never span partitions (the
+    shuffle key is (term, salt)); runs spanning Arrow batches are carried.
+    Cold terms (single shard) are finalized here, skipping phase 2."""
+
+    def fn(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            terms = pdf["term"].to_numpy(object)
+            salts = pdf["salt"].to_numpy(np.int64)
+            # run boundaries on (term, salt)
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            # hold back the last (possibly incomplete) run
+            if len(starts) == 1:
+                carry = pdf
+                continue
+            last_start = starts[-1]
+            carry = pdf.iloc[last_start:]
+            rows = _encode_slice(pdf, starts[:-1],
+                                 np.concatenate((starts[1:],)), hot_terms, avgdl)
+            if rows:
+                yield pd.DataFrame(rows)
+        if carry is not None and len(carry):
+            terms = carry["term"].to_numpy(object)
+            salts = carry["salt"].to_numpy(np.int64)
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((starts[1:], [len(carry)]))
+            rows = _encode_slice(carry, starts, ends, hot_terms, avgdl)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return fn
+
+
+def _encode_slice(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray,
+                  hot_terms: set[str], avgdl: float) -> list[dict]:
+    ids_all = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+    tfs_all = pdf["tf"].to_numpy(np.int64).astype(np.uint64)
+    dls_all = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
+    terms = pdf["term"].to_numpy(object)
+    rows = []
+    for s, e in zip(starts, ends):
+        t = terms[s]
+        rows.append(_encode_run(t, ids_all[s:e], tfs_all[s:e], dls_all[s:e],
+                                avgdl, final=t not in hot_terms))
+    return rows
 
 
 def _decode_partial(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -95,6 +152,9 @@ def _decode_partial(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _merge_final(avgdl: float):
+    """Phase 2: merge a hot term's salted partial blobs (decode → merge-sort
+    → re-encode). Only hot terms reach here — typically tens of groups."""
+
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = [_decode_partial(b) for b in pdf["blob"]]
         ids = np.concatenate([p[0] for p in parts])
@@ -105,14 +165,7 @@ def _merge_final(avgdl: float):
         from macrobase_spark.index.codec import varint_encode
 
         blob = delta_varint_encode(ids, tfs) + varint_encode(dls)
-        # BM25 impact upper bound per block: tf/(tf + k1·(1−b+b·dl/avgdl))
-        tf_f = tfs.astype(np.float64)
-        impact = tf_f / (tf_f + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
-        n_blocks = (len(ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
-        block_max = [
-            float(impact[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max())
-            for i in range(n_blocks)
-        ]
+        impact = _impact(tfs, dls, avgdl)
         return pd.DataFrame(
             {
                 "term": [pdf["term"].iloc[0]],
@@ -120,7 +173,7 @@ def _merge_final(avgdl: float):
                 "cf": [int(tfs.sum())],
                 "fan_in": [len(parts)],
                 "max_impact": [float(impact.max())],
-                "block_max": [block_max],
+                "block_max": [_block_max(impact)],
                 "blob": [blob],
             }
         )
@@ -128,13 +181,18 @@ def _merge_final(avgdl: float):
     return merge
 
 
-def detect_hot_terms(postings: DataFrame, sample_frac: float, threshold: int) -> list[str]:
-    """Approximate hot-term (heavy-hitter) detection via sampling — the
-    AmortizedMaintenanceCounter role (legacy/.../count/
-    AmortizedMaintenanceCounter.java:35-110) re-expressed as a sampled count:
-    terms whose sampled df exceeds threshold·frac get salted."""
+def detect_hot_terms(src: DataFrame, sample_frac: float, threshold: int,
+                     doc_id_col: str = "doc_id", text_col: str = "text") -> list[str]:
+    """Approximate hot-term (heavy-hitter) detection via DOCUMENT sampling —
+    the AmortizedMaintenanceCounter role (legacy/.../count/
+    AmortizedMaintenanceCounter.java:35-110) re-expressed as a sampled count.
+    Sampling happens BEFORE tokenization, so the pre-pass touches only
+    sample_frac of the text."""
+    from macrobase_spark.index.tokenize import exploded_postings
+
+    sampled = src.sample(fraction=min(1.0, sample_frac), seed=1)
     hot = (
-        postings.sample(fraction=sample_frac, seed=1)
+        exploded_postings(sampled, doc_id_col, text_col)
         .groupBy("term")
         .count()
         .filter(F.col("count") >= max(1.0, threshold * sample_frac))
@@ -172,13 +230,36 @@ def build_index(
                     done[rec["bucket"]] = rec
 
     t0 = time.time()
-    tok = tokenize_turns(df, text_col)
-    docs = with_anomaly_score(tok.drop("terms", "tfs"))
+    from macrobase_spark.index.tokenize import exploded_postings, turn_features  # noqa: F401
+
+    meta_cols = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+    src = df.select(doc_id_col, *meta_cols, text_col)
+    # parallelism floor: small inputs (few parquet files / coalesced splits)
+    # must still fan out across all cores for the Arrow passes — at 100 TB
+    # the file count dominates and this is a no-op
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if src.rdd.getNumPartitions() < n_shuffle:
+        src = src.repartition(n_shuffle)
     docs_path = os.path.join(out_dir, "docs.parquet")
+    docs_raw_path = os.path.join(out_dir, "docs_raw.parquet")
     docs_done = os.path.exists(os.path.join(out_dir, "stats.json")) and resume
     if not docs_done:
-        (docs.select(doc_id_col, "conv_id", "turn_idx", "doc_len", "rep_ratio", "anomaly")
-             .write.mode("overwrite").parquet(docs_path))
+        # ONE Arrow pass over text → raw features parquet; the anomaly score
+        # normalization (MAD over log-lengths) then reads the tiny parquet,
+        # never re-tokenizing.
+        (turn_features(src, text_col).drop(text_col)
+         .write.mode("overwrite").parquet(docs_raw_path))
+        raw = spark.read.parquet(docs_raw_path)
+        ll = "log1p(cast(doc_len as double))"
+        med = raw.agg(F.expr(f"percentile_approx({ll}, 0.5)")).collect()[0][0]
+        mad = raw.agg(
+            F.expr(f"percentile_approx(abs({ll} - {med!r}), 0.5)")
+        ).collect()[0][0] or 1e-9
+        z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
+            mad * 1.4826)
+        (raw.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+            .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
+            .write.mode("overwrite").parquet(docs_path))
     docs_written = spark.read.parquet(docs_path)
     stats_row = docs_written.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -188,17 +269,15 @@ def build_index(
         json.dump({"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B,
                    "block_size": BLOCK_SIZE, "num_buckets": num_buckets}, f)
 
-    postings = (
-        tok.select(
-            F.col(doc_id_col).alias("doc_id"),
-            F.col("doc_len").alias("dl"),
-            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
-        )
-        .select("doc_id", "dl", F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
-    )
+    # single fused Arrow pass text → exploded (doc_id, term, tf, dl);
+    # persisted only when multiple groups would otherwise re-tokenize
+    postings = exploded_postings(src, doc_id_col, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+    if num_groups > 1:
+        postings = postings.persist()
 
-    hot_terms = detect_hot_terms(postings, hot_sample_frac, hot_df_threshold)
+    hot_terms = detect_hot_terms(src, hot_sample_frac, hot_df_threshold,
+                                 doc_id_col, text_col)
     hot_set = set(hot_terms)
 
     groups: list[list[int]] = [
@@ -218,12 +297,21 @@ def build_index(
                 F.pmod(F.col("doc_id"), F.lit(salt_partitions)).cast("int"),
             ).otherwise(F.lit(0)),
         )
-        partials = salted.groupBy("term", "salt").applyInPandas(
-            lambda pdf: _encode_partial(pdf), schema=_PARTIAL_SCHEMA
+        # phase 1: shuffle on (term, salt), sort runs, encode in-place;
+        # cold terms finalize here (fan_in 1), hot partials go to phase 2
+        encoded = (
+            salted.repartition(n_shuffle, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_encode_sorted_runs(hot_set, avgdl), schema=_ENC_SCHEMA)
+        )
+        finals = encoded.filter(F.col("final")).drop("final")
+        merged_hot = (
+            encoded.filter(~F.col("final")).drop("final")
+            .groupBy("term")
+            .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
         )
         merged = (
-            partials.groupBy("term")
-            .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
+            finals.unionByName(merged_hot)
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
             .repartition("bucket")
             .sortWithinPartitions("term")
@@ -255,6 +343,8 @@ def build_index(
                 report_buckets[rec["bucket"]] = rec
                 f.write(json.dumps(rec) + "\n")
 
+    if num_groups > 1:
+        postings.unpersist()
     elapsed = time.time() - t0
     return {
         "n_docs": n_docs,

@@ -82,6 +82,77 @@ def tokenize_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_tok")
 
 
+def _flat_term_counts(text: pd.Series):
+    """Shared vectorized core: flatten batch tokens, factorize, one np.unique
+    over (row, code) keys → (bounds, urow, ucode, counts, vocab, lens)."""
+    token_lists = text.fillna("").str.lower().str.findall(TOKEN_PATTERN)
+    lens = token_lists.str.len().to_numpy(dtype=np.int64)
+    n_rows = len(lens)
+    if n_rows == 0 or lens.sum() == 0:
+        return None, None, None, None, None, lens
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in token_lists])
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(flat)
+    vocab = np.asarray(uniques, dtype=object)
+    key = row_idx * len(vocab) + codes
+    uk, counts = np.unique(key, return_counts=True)
+    urow = uk // len(vocab)
+    ucode = uk % len(vocab)
+    bounds = np.searchsorted(urow, np.arange(n_rows + 1))
+    return bounds, urow, ucode, counts, vocab, lens
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_len", T.IntegerType()),
+        T.StructField("rep_ratio", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_FEATURES_SCHEMA)
+def turn_features_udf(text: pd.Series) -> pd.DataFrame:
+    """Per-turn features WITHOUT materializing token arrays — the docs-table
+    half of the fused pass (cheap, fully vectorized)."""
+    bounds, _, _, _, _, lens = _flat_term_counts(text)
+    if bounds is None:
+        return pd.DataFrame({"doc_len": lens.astype(np.int32),
+                             "rep_ratio": np.zeros(len(lens))})
+    n_unique = bounds[1:] - bounds[:-1]
+    rep = np.where(lens > 0, 1.0 - n_unique / np.maximum(lens, 1), 0.0)
+    return pd.DataFrame({"doc_len": lens.astype(np.int32), "rep_ratio": rep})
+
+
+def turn_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_f", turn_features_udf(F.col(text_col))).select(
+        "*", "_f.doc_len", "_f.rep_ratio").drop("_f")
+
+
+def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """text → exploded (doc_id, term, tf, dl) in ONE Arrow pass, skipping
+    per-row array assembly entirely (the index-build hot path: flat numpy →
+    flat output frame, no Python loop over rows OR tokens)."""
+
+    def explode(batches):
+        for pdf in batches:
+            bounds, urow, ucode, counts, vocab, lens = _flat_term_counts(pdf[text_col])
+            if bounds is None:
+                continue
+            doc_ids = pdf[doc_id_col].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[urow],
+                    "term": vocab[ucode],
+                    "tf": counts.astype(np.int32),
+                    "dl": lens[urow].astype(np.int32),
+                }
+            )
+
+    return df.select(doc_id_col, text_col).mapInPandas(
+        explode, schema="doc_id long, term string, tf int, dl int")
+
+
 def with_anomaly_score(df: DataFrame, exact: bool = False) -> DataFrame:
     """MAD-normalized per-turn anomaly score from the fused-pass features:
     anomaly = max(rep_ratio, tanh(mad_z(log1p(doc_len)) / 6)) ∈ [0, 1).

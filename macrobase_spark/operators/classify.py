@@ -45,12 +45,23 @@ def classify_percentile(
     Reference: lib/.../classify/PercentileClassifier.java:27-47 — cutoffs at
     percentile(p) / percentile(100-p); outlier iff strictly beyond a cutoff
     on an included side.
+
+    Exact tail cutoffs use distributed top-k (operators/quantiles.py) rather
+    than the single-reducer percentile aggregate; exact=False switches to
+    percentile_approx for the 100 TB path.
     """
-    cuts = df.agg(
-        _percentile(df, metric, percentile / 100.0, exact).alias("lo"),
-        _percentile(df, metric, 1.0 - percentile / 100.0, exact).alias("hi"),
-    ).collect()[0]
-    lo, hi = float(cuts["lo"]), float(cuts["hi"])
+    if exact:
+        from macrobase_spark.operators.quantiles import exact_quantiles
+
+        q = exact_quantiles(df, metric,
+                            [percentile / 100.0, 1.0 - percentile / 100.0])
+        lo, hi = q[percentile / 100.0], q[1.0 - percentile / 100.0]
+    else:
+        cuts = df.agg(
+            _percentile(df, metric, percentile / 100.0, exact).alias("lo"),
+            _percentile(df, metric, 1.0 - percentile / 100.0, exact).alias("hi"),
+        ).collect()[0]
+        lo, hi = float(cuts["lo"]), float(cuts["hi"])
     cond = F.lit(False)
     if include_high:
         cond = cond | (F.col(metric) > F.lit(hi))
@@ -151,6 +162,72 @@ def _erf(z: Column) -> Column:
         + F.lit(1.061405429) * t * t * t * t * t
     )
     return sign * (F.lit(1.0) - poly * F.exp(-x * x))
+
+
+def classify_quantile_cubed(
+    df: DataFrame,
+    count_col: str,
+    quantile_cols: dict[float, str],
+    percentile: float = 1.0,
+    include_high: bool = True,
+    include_low: bool = True,
+    output_col: str = OUTLIER_COL,
+) -> DataFrame:
+    """Cubed-input quantile classifier: each group carries quantile columns
+    (e.g. {0.0:'min', 0.5:'median', 1.0:'max'}); estimate the fraction of
+    each group beyond globally-computed cutoffs by linear interpolation of
+    the group's quantile curve.
+
+    Reference: lib/.../classify/QuantileClassifier.java:42-95 +
+    LinearInterpolator.java:1-48 (piecewise-linear inverse CDF). Global
+    cutoffs use the weighted percentile of group quantile points (same
+    approach as the reference's flattened weighted percentile). The
+    interpolation is a codegen'd piecewise `when` chain — no Python.
+    """
+    from pyspark.sql import Window as W
+
+    qs = sorted(quantile_cols.items())
+    # global cutoffs: weighted percentile over all (quantile value, weight)
+    # points, weight = group count × quantile band width
+    pts = None
+    for i, (q, c) in enumerate(qs):
+        band = (
+            (qs[min(i + 1, len(qs) - 1)][0] - qs[max(i - 1, 0)][0]) / 2.0
+        ) or 1.0 / len(qs)
+        p = df.select(F.col(c).alias("v"), (F.col(count_col) * band).alias("w"))
+        pts = p if pts is None else pts.unionByName(p)
+    total = pts.agg(F.sum("w")).collect()[0][0]
+    w_desc = W.orderBy(F.col("v").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = pts.select("v", F.sum("w").over(w_desc).alias("cw"))
+    hi_rank = (percentile / 100.0) * total
+    lo_rank = (1.0 - percentile / 100.0) * total
+    hi = cum.filter(F.col("cw") >= hi_rank).agg(F.max("v")).collect()[0][0]
+    lo = cum.filter(F.col("cw") >= lo_rank).agg(F.max("v")).collect()[0][0]
+
+    def frac_beyond(cut: float, above: bool):
+        """Piecewise-linear estimate of the fraction of the group beyond cut."""
+        expr = None
+        # below first point / above last point
+        first_q, first_c = qs[0]
+        last_q, last_c = qs[-1]
+        segs = []
+        for (q1, c1), (q2, c2) in zip(qs, qs[1:]):
+            # fraction at cut within segment [c1, c2] → q1 + (q2-q1)*t
+            t = (F.lit(cut) - F.col(c1)) / (F.col(c2) - F.col(c1))
+            frac = F.lit(q1) + (F.lit(q2) - F.lit(q1)) * t
+            segs.append(((F.col(c1) <= cut) & (F.col(c2) >= cut), frac))
+        cdf = F.when(F.col(first_c) > cut, F.lit(0.0))
+        for cond, frac in segs:
+            cdf = cdf.when(cond, frac)
+        cdf = cdf.otherwise(F.when(F.col(last_c) < cut, F.lit(1.0)).otherwise(F.lit(1.0)))
+        return (F.lit(1.0) - cdf) if above else cdf
+
+    n_out = F.lit(0.0)
+    if include_high and hi is not None:
+        n_out = n_out + frac_beyond(float(hi), True) * F.col(count_col)
+    if include_low and lo is not None:
+        n_out = n_out + frac_beyond(float(lo), False) * F.col(count_col)
+    return df.withColumn(output_col, F.least(n_out, F.col(count_col).cast("double")))
 
 
 def classify_raw(df: DataFrame, outlier_col: str, output_col: str = OUTLIER_COL) -> DataFrame:

@@ -145,12 +145,10 @@ def diff(
         (o * w).alias("_ocnt"),
         w.alias("_tcnt"),
     )
-    g = base.agg(F.sum("_ocnt").alias("o"), F.sum("_tcnt").alias("t")).collect()[0]
-    g_out, g_tot = float(g["o"]), float(g["t"])
-    if g_out == 0.0:
-        raise ValueError("no outliers — nothing to explain")
 
     if prefilter_min_support:
+        g = base.agg(F.sum("_ocnt").alias("o")).collect()[0]
+        g_out_pre = float(g["o"])
         # order-1 min-support pushdown (AttributeEncoder semantics): replace
         # attr values whose outlier-weighted count < min_support*g_out with
         # NULL so they can't form candidates at any order.
@@ -159,7 +157,7 @@ def diff(
             ok = (
                 base.groupBy(a)
                 .agg(F.sum("_ocnt").alias("oc"))
-                .filter(F.col("oc") >= min_support * g_out)
+                .filter(F.col("oc") >= min_support * g_out_pre)
                 .select(a)
             )
             ok_sets.append((a, ok))
@@ -170,7 +168,10 @@ def diff(
                 "left",
             ).withColumn(a, F.when(F.col(f"_ok_{a}").isNotNull(), F.col(a))).drop(f"_ok_{a}")
 
-    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
+    # include the () grand-total set: the global aggregates come out of the
+    # SAME single shuffle (no separate full-input scan); the grouped relation
+    # is tiny (one row per surviving combo value) so caching it is free.
+    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos) + ", ()"
     view = f"_mb_diff_{abs(hash(tuple(combos))) % 10**8}"
     base.createOrReplaceTempView(view)
     attr_list = ", ".join(attrs)
@@ -183,7 +184,13 @@ def diff(
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
         """
-    )
+    ).persist()
+    all_absent = (1 << len(attrs)) - 1
+    g_row = grouped.filter(F.col("_gid") == all_absent).collect()[0]
+    g_out, g_tot = float(g_row["outlier_count"]), float(g_row["total_count"])
+    if g_out == 0.0:
+        grouped.unpersist()
+        raise ValueError("no outliers — nothing to explain")
     # grouping_id disambiguates "NULL because attribute absent from this
     # grouping set" from a genuine NULL data value: keep only rows where every
     # NULL attr is a grouped-out attr, and null-valued groups are dropped
@@ -193,7 +200,7 @@ def diff(
              .otherwise(False))
         for i, a in enumerate(attrs)
     ]
-    cond = F.lit(True)
+    cond = F.col("_gid") != all_absent
     for a, is_grouped in present:
         cond = cond & (F.when(is_grouped, F.col(a).isNotNull()).otherwise(F.col(a).isNull()))
     grouped = grouped.filter(cond)

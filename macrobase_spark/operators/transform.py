@@ -83,14 +83,20 @@ def winsorize(df: DataFrame, col: str, p: float = 1.0, exact: bool = True,
               output_col: str | None = None) -> DataFrame:
     """Clamp to [percentile(p), percentile(100−p)].
     Reference: legacy/.../stats/Winsorizer.java."""
-    fn = "percentile" if exact else "percentile_approx"
-    s = df.agg(
-        F.expr(f"{fn}({col}, {p / 100.0})").alias("lo"),
-        F.expr(f"{fn}({col}, {1 - p / 100.0})").alias("hi"),
-    ).collect()[0]
+    if exact:
+        from macrobase_spark.operators.quantiles import exact_quantiles
+
+        q = exact_quantiles(df, col, [p / 100.0, 1.0 - p / 100.0])
+        lo, hi = q[p / 100.0], q[1.0 - p / 100.0]
+    else:
+        s = df.agg(
+            F.expr(f"percentile_approx({col}, {p / 100.0})").alias("lo"),
+            F.expr(f"percentile_approx({col}, {1 - p / 100.0})").alias("hi"),
+        ).collect()[0]
+        lo, hi = s["lo"], s["hi"]
     return df.withColumn(
         output_col or col,
-        F.least(F.greatest(F.col(col), F.lit(s["lo"])), F.lit(s["hi"])),
+        F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi)),
     )
 
 
@@ -112,6 +118,62 @@ def metric_bucketize(df: DataFrame, col: str, boundaries: list[float] | None = N
         cond = (F.col(col) >= F.lit(edges[i])) & (F.col(col) < F.lit(edges[i + 1]))
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn(output_col or f"{col}_bucket", expr)
+
+
+def grouped_mad_score(df: DataFrame, keys: list[str], col: str,
+                      output_col: str = "_SCORE") -> DataFrame:
+    """Per-group train-then-score: MAD fitted and applied within each group —
+    the reference's MBGroupBy (one FeatureTransform instance per group,
+    legacy/.../pipeline/operator/MBGroupBy.java:14-69).
+
+    Spark plan: two grouped exact medians via percentile + a join back —
+    all JVM-side; no per-group Python. (applyInPandas is the general form
+    for arbitrary scorers; MAD doesn't need it.)
+    """
+    med = df.groupBy(*keys).agg(F.expr(f"percentile({col}, 0.5)").alias("_med"))
+    j = df.join(F.broadcast(med), keys)
+    mad = (
+        j.groupBy(*keys)
+        .agg(F.expr(f"percentile(abs({col} - _med), 0.5)").alias("_mad"))
+    )
+    out = j.join(F.broadcast(mad), keys).withColumn(
+        output_col,
+        F.abs(F.col(col) - F.col("_med"))
+        / (F.when(F.col("_mad") > 0, F.col("_mad")).otherwise(1e-12) * MAD_TO_ZSCORE),
+    )
+    return out.drop("_med", "_mad")
+
+
+def heavy_hitters(df: DataFrame, col: str, threshold_frac: float = 0.01,
+                  exact: bool = True, sample_frac: float = 0.01) -> DataFrame:
+    """Heavy-hitter detection: values of `col` occurring in ≥ threshold_frac
+    of rows. The reference's AmortizedMaintenanceCounter role
+    (legacy/.../count/AmortizedMaintenanceCounter.java:35-110).
+
+    exact=True → full groupBy (map-side combined, cheap for hot keys);
+    exact=False → sampled estimate (the 100 TB path, same shape the index
+    builder uses for hot-term salting)."""
+    n = df.count()
+    src = df if exact else df.sample(fraction=sample_frac, seed=1)
+    scale = 1.0 if exact else 1.0 / sample_frac
+    return (
+        src.groupBy(col)
+        .agg((F.count("*") * scale).cast("long").alias("est_count"))
+        .filter(F.col("est_count") >= threshold_frac * n)
+        .orderBy(F.col("est_count").desc(), F.col(col).asc())
+    )
+
+
+def weighted_reservoir_sample(df: DataFrame, frac: float, weight_col: str | None = None,
+                              seed: int = 1) -> DataFrame:
+    """Weighted sampling — the reference's AChao damped reservoir
+    (legacy/.../sample/AChao.java:21-106) re-expressed as order-statistics
+    sampling: key = rand^(1/w) (Efraimidis-Spirakis), keep top frac.
+    Distributed: per-row keys, one global threshold (approx via sample)."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    keyed = df.withColumn("_k", F.pow(F.rand(seed), F.lit(1.0) / w))
+    thresh = keyed.approxQuantile("_k", [1.0 - frac], 0.001)[0]
+    return keyed.filter(F.col("_k") >= thresh).drop("_k")
 
 
 def low_metric_transform(df: DataFrame, col: str) -> DataFrame:

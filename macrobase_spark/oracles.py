@@ -401,6 +401,139 @@ SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
+ORACLES["q36_diff_mean"] = """
+WITH g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(l_extendedprice) AS m,
+                  stddev_pop(l_extendedprice) AS sd FROM lineitem),
+gs AS (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS DOUBLE) AS cnt,
+              SUM(l_extendedprice) AS m1
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                               (l_returnflag, l_linestatus)))
+SELECT l_returnflag, l_linestatus,
+       ROUND(cnt / g.n, 6) AS support,
+       ROUND(ABS(m1 / cnt - g.m) / g.sd, 6) AS mean_deviation,
+       CAST(cnt AS BIGINT) AS total_count
+FROM gs, g
+WHERE cnt / g.n >= 0.01 AND ABS(m1 / cnt - g.m) / g.sd >= 0.005
+ORDER BY mean_deviation DESC, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+ORACLES["q37_grouped_mad"] = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+             FROM events GROUP BY event_type),
+mad AS (SELECT e.event_type, quantile_cont(ABS(e.value - med.m), 0.5) AS d
+        FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN ABS(e.value - med.m)
+                          / ((CASE WHEN mad.d > 0 THEN mad.d ELSE 1e-12 END) * 1.4826)
+                          > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mad3,
+       COUNT(*) AS n
+FROM events e JOIN med USING (event_type) JOIN mad ON mad.event_type = e.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+ORACLES["q38_heavy_hitters"] = """
+WITH j AS (SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT COUNT(*) AS total FROM j)
+SELECT p_brand, COUNT(*) AS est_count
+FROM j, n GROUP BY p_brand, n.total
+HAVING COUNT(*) >= 0.02 * n.total
+ORDER BY est_count DESC, p_brand ASC
+"""
+
+ORACLES["q39_count_mean_shift_diff"] = """
+WITH lab AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS oc1,
+         CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE 1.0 END AS ic1,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS oms1,
+         CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END AS ims1
+  FROM orders),
+g AS (SELECT CAST(SUM(oc1) AS DOUBLE) AS g_out FROM lab),
+gs AS (SELECT o_orderpriority, CAST(SUM(oc1) AS DOUBLE) AS oc,
+              CAST(SUM(ic1) AS DOUBLE) AS ic,
+              SUM(oms1) AS oms, SUM(ims1) AS ims
+       FROM lab GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oms / oc) / (ims / ic), 6) AS mean_shift,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(oc + ic AS BIGINT) AS total_count
+FROM gs, g ORDER BY o_orderpriority
+"""
+
+ORACLES["q50_set_ops"] = """
+WITH inter AS (
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 1000
+  INTERSECT
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bag AS (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+)
+SELECT c_nationkey, COUNT(*) AS n
+FROM bag WHERE c_nationkey IN (SELECT c_nationkey FROM inter)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+ORACLES["q51_join_outer"] = """
+WITH big AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             GROUP BY o_custkey HAVING COUNT(*) >= 12),
+rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000)
+SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       ROUND(COALESCE(c_acctbal, 0.0), 2) AS acctbal
+FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
+ORDER BY custkey
+"""
+
+_CTX_ONE = """
+  SELECT {sel_a} AS event_type, {sel_b} AS cohort,
+         SUM(CASE WHEN ABS(e.value - m._med)
+                  / ((CASE WHEN d._mad > 0 THEN d._mad ELSE 1e-12 END) * 1.4826)
+                  > 2.0 THEN 1.0 ELSE 0.0 END) AS outlier_count,
+         COUNT(*) AS context_size
+  FROM ev e
+  JOIN (SELECT {keys}, quantile_cont(value, 0.5) AS _med, COUNT(*) AS _csize
+        FROM ev GROUP BY {keys} HAVING COUNT(*) >= 50) m ON {on_m}
+  JOIN (SELECT {keys3}, quantile_cont(ABS(ev.value - m2._med), 0.5) AS _mad
+        FROM ev JOIN (SELECT {keys2}, quantile_cont(value, 0.5) AS _med,
+                             COUNT(*) AS _c FROM ev GROUP BY {keys2}
+                      HAVING COUNT(*) >= 50) m2 ON {on_m2}
+        GROUP BY {keys3}) d ON {on_d}
+  GROUP BY {gb_outer}
+"""
+
+
+def _ctx_sql(keys: list[str]) -> str:
+    kl = ", ".join(f"ev.{k}" for k in keys)
+    k_plain = ", ".join(keys)
+    sel_a = "e.event_type" if "event_type" in keys else "CAST(NULL AS VARCHAR)"
+    sel_b = "e.cohort" if "cohort" in keys else "CAST(NULL AS VARCHAR)"
+    on_m = " AND ".join(f"e.{k} = m.{k}" for k in keys)
+    on_m2 = " AND ".join(f"ev.{k} = m2.{k}" for k in keys)
+    on_d = " AND ".join(f"e.{k} = d.{k}" for k in keys)
+    keys3 = ", ".join(f"ev.{k}" for k in keys)
+    gb_outer = ", ".join(f"e.{k}" for k in keys)
+    return _CTX_ONE.format(sel_a=sel_a, sel_b=sel_b, keys=k_plain,
+                           keys2=k_plain, keys3=keys3, on_m=on_m,
+                           on_m2=on_m2, on_d=on_d, gb_outer=gb_outer)
+
+
+ORACLES["q52_contextual_mad"] = (
+    "WITH ev AS (SELECT *, CAST(user_id % 3 AS VARCHAR) AS cohort FROM events),\n"
+    "allctx AS (" + "\nUNION ALL\n".join(
+        _ctx_sql(k) for k in (["event_type"], ["cohort"], ["event_type", "cohort"])
+    ) + ")\n"
+    "SELECT event_type, cohort, CAST(outlier_count AS BIGINT) AS outlier_count,\n"
+    "       context_size, ROUND(outlier_count / context_size, 6) AS outlier_rate\n"
+    "FROM allctx\n"
+    "ORDER BY outlier_rate DESC, event_type NULLS LAST, cohort NULLS LAST"
+)
+
 ORACLES["q35_ngram_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),
 sh AS (

@@ -1,0 +1,50 @@
+"""Contextual outlier detection and the EW streaming percentile classifier."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.operators.contextual import contextual_mad_outliers
+from macrobase_spark.streaming.ew import ew_percentile_classify
+
+
+def test_contextual_finds_planted_context(spark):
+    """Values are tight per context except context (B, x) which carries 10%
+    planted spikes → highest contextual outlier rate."""
+    rng = np.random.default_rng(3)
+    n = 6000
+    a = rng.choice(["A", "B", "C"], n)
+    b = rng.choice(["x", "y"], n)
+    v = rng.normal(100, 5, n)
+    planted = (a == "B") & (b == "x") & (rng.random(n) < 0.10)
+    v[planted] += 200.0
+    df = spark.createDataFrame(pd.DataFrame({"a": a, "b": b, "v": v}))
+    res = contextual_mad_outliers(df, ["a", "b"], "v", score_cutoff=3.0,
+                                  min_context_size=50, max_order=2).collect()
+    top = res[0]
+    assert (top["a"], top["b"]) == ("B", "x")
+    assert top["outlier_rate"] > 0.05
+
+
+def test_ew_percentile_adapts_to_drift(spark):
+    """Metric level shifts upward over time; the decayed threshold follows,
+    so late panes are not wholesale flagged."""
+    rng = np.random.default_rng(5)
+    n = 8000
+    ts = pd.Timestamp("2025-04-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 8 * 3600, n)), unit="s")
+    hours = (ts - pd.Timestamp("2025-04-01")).total_seconds() // 3600
+    v = rng.normal(100, 5, n) + hours.to_numpy() * 50.0  # strong drift
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    out = ew_percentile_classify(df, "ts", "v", percentile=95.0,
+                                 pane="1 hour", half_life_panes=2.0)
+    rates = {r["_pane"].hour: r["rate"] for r in (
+        out.groupBy("_pane")
+        .agg((F.sum("_OUTLIER") / F.count("*")).alias("rate"))
+        .collect())}
+    # without adaptation, final pane would be ~100% outliers; decayed
+    # threshold keeps every pane's rate way below that
+    assert all(r <= 0.6 for r in rates.values()), rates
+    # and some outliers exist overall
+    assert out.agg(F.sum("_OUTLIER")).collect()[0][0] > 0

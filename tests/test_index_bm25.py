@@ -21,7 +21,7 @@ def corpus(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("index"))
     report = build_index(
         df, out, num_buckets=8, num_groups=2,
-        hot_df_threshold=200, hot_sample_frac=0.5, salt_partitions=4,
+        hot_df_threshold=120, hot_sample_frac=0.5, salt_partitions=4,
     )
     docs = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
     return df, out, report, docs
@@ -105,7 +105,7 @@ def test_resumable_build(spark, corpus, tmp_path):
     # first a full build, then delete half the manifest + its parquet bucket
     # dirs, then resume.
     report1 = build_index(df, part_out, num_buckets=8, num_groups=2,
-                          hot_df_threshold=200, hot_sample_frac=0.5)
+                          hot_df_threshold=120, hot_sample_frac=0.5)
     import json, os
     man = os.path.join(part_out, "manifest.jsonl")
     with open(man) as f:
@@ -119,7 +119,7 @@ def test_resumable_build(spark, corpus, tmp_path):
             f.write(json.dumps(r) + "\n")
 
     report2 = build_index(df, part_out, num_buckets=8, num_groups=2,
-                          hot_df_threshold=200, hot_sample_frac=0.5, resume=True)
+                          hot_df_threshold=120, hot_sample_frac=0.5, resume=True)
     p_full, _, _ = read_index(spark, full_out)
     p_res, _, _ = read_index(spark, part_out)
     a = {(r["term"]): (r["df"], r["cf"], bytes(r["blob"])) for r in p_full.collect()}
