@@ -564,7 +564,7 @@ def q35_ngram_jaccard(spark, sf):
     from macrobase_spark.pipelines import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    pairs = ngram_jaccard_pairs(d, n=3, min_jaccard=0.3)
+    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.05)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")

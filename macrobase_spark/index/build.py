@@ -241,30 +241,35 @@ def build_index(
     if src.rdd.getNumPartitions() < n_shuffle:
         src = src.repartition(n_shuffle)
     docs_path = os.path.join(out_dir, "docs.parquet")
-    docs_raw_path = os.path.join(out_dir, "docs_raw.parquet")
     docs_done = os.path.exists(os.path.join(out_dir, "stats.json")) and resume
     if not docs_done:
-        # ONE Arrow pass over text → raw features parquet; the anomaly score
-        # normalization (MAD over log-lengths) then reads the tiny parquet,
-        # never re-tokenizing.
-        (turn_features(src, text_col).drop(text_col)
-         .write.mode("overwrite").parquet(docs_raw_path))
-        raw = spark.read.parquet(docs_raw_path)
+        from pyspark import StorageLevel
+
+        # ONE Arrow pass over text → cached narrow features; global stats and
+        # the MAD normalization read the cache, never re-tokenizing; docs
+        # parquet written once with the anomaly column.
+        feats = (turn_features(src, text_col).drop(text_col)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
         ll = "log1p(cast(doc_len as double))"
-        med = raw.agg(F.expr(f"percentile_approx({ll}, 0.5)")).collect()[0][0]
-        mad = raw.agg(
+        row = feats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
+            F.expr(f"percentile_approx({ll}, 0.5)").alias("med"),
+        ).collect()[0]
+        n_docs, avgdl, med = int(row["n"]), float(row["avgdl"]), row["med"]
+        mad = feats.agg(
             F.expr(f"percentile_approx(abs({ll} - {med!r}), 0.5)")
         ).collect()[0][0] or 1e-9
         z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
             mad * 1.4826)
-        (raw.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+        (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
             .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
             .write.mode("overwrite").parquet(docs_path))
-    docs_written = spark.read.parquet(docs_path)
-    stats_row = docs_written.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
+        feats.unpersist()
+    else:
+        stats_row = spark.read.parquet(docs_path).agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump({"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B,
                    "block_size": BLOCK_SIZE, "num_buckets": num_buckets}, f)

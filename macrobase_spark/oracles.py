@@ -538,9 +538,9 @@ ORACLES["q35_ngram_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(toks) >= 3
-              THEN list_distinct(list_transform(range(0, len(toks) - 3 + 1),
-                                 i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         CASE WHEN len(toks) >= 2
+              THEN list_distinct(list_transform(range(0, len(toks) - 2 + 1),
+                                 i -> array_to_string(toks[i + 1 : i + 2], ' ')))
               ELSE [array_to_string(toks, ' ')] END AS shs
   FROM d
 ),
@@ -556,6 +556,6 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= 0.3
+WHERE i / (sa.sz + sb.sz - i) >= 0.05
 ORDER BY id_a, id_b
 """
