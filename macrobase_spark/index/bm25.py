@@ -42,11 +42,14 @@ def _tokenize_query(q: str) -> list[str]:
     return sorted(set(re.findall(TOKEN_PATTERN, q.lower())))
 
 
-def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool):
+def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool,
+                     lambdas: dict[str, float] | None = None):
     """Decode + score posting blobs in one Arrow pass; emits (doc_id, term,
     score contribution). idf is derived from the row's own df stat — no
     separate term-stats job. With a single query term, applies block-max
-    pruning while keeping exactness (kth-best lower bound only grows)."""
+    pruning while keeping exactness (kth-best lower bound only grows).
+    `lambdas` carries per-term block-max-WAND thresholds for multi-term
+    pruning (see bm25_topk wand=True)."""
 
     def fn(batches):
         from macrobase_spark.index.build import _decode_partial
@@ -59,7 +62,27 @@ def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool):
                 ids, tfs, dls = _decode_partial(blob)
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
-                if single_term and len(block_max) > 1:
+                lam = (lambdas or {}).get(term)
+                if lam is not None and len(block_max) > 1:
+                    # multi-term block-max WAND: skip blocks whose best
+                    # possible contribution cannot lift any doc above the
+                    # already-established global lower bound θ
+                    bm = np.asarray(block_max, dtype=np.float64) * idf * (K1 + 1.0)
+                    keep_blocks = np.flatnonzero(bm >= lam)
+                    if len(keep_blocks) < len(bm):
+                        segs = [
+                            np.arange(bi * BLOCK_SIZE,
+                                      min((bi + 1) * BLOCK_SIZE, len(ids)))
+                            for bi in keep_blocks
+                        ]
+                        sel = (np.concatenate(segs) if segs
+                               else np.empty(0, dtype=np.int64))
+                        ids, tf, dl = ids[sel], tf[sel], dl[sel]
+                    sc_sel = idf * (tf * (K1 + 1.0)) / (
+                        tf + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+                    doc_sel = ids.astype(np.int64)
+                elif single_term and len(block_max) > 1:
                     # block-max prune: visit blocks in descending upper bound,
                     # stop when bound < kth best so far (exact for 1 term)
                     bm = np.asarray(block_max, dtype=np.float64) * idf * (K1 + 1.0)
@@ -108,11 +131,22 @@ def bm25_topk(
     k: int = 10,
     anomaly_max: float | None = None,
     anomaly_weight: float = 0.0,
+    wand: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, score) for the query. Optional anomaly modifier:
     filter docs with anomaly > anomaly_max, and/or down-weight the score by
     (1 − anomaly_weight·anomaly) — the MacroBase row-score heritage as a
-    first-class BM25 modifier."""
+    first-class BM25 modifier.
+
+    wand=True enables multi-term block-max WAND pruning (exactness-
+    preserving): θ = the kth best SINGLE-term score of the rarest query term
+    (a valid lower bound on the final kth score); a block of term t is
+    skipped iff ub_t(block) + Σ_{u≠t} ub_u < θ. Any doc with true final
+    score ≥ θ then sits in no pruned block (its presence would force the
+    block's bound above θ), so every candidate that can reach the top-k is
+    fully scored and every pruned doc is provably below the kth. Costs two
+    extra small jobs (metadata + rarest-term pass) — the cluster-scale path
+    for hot multi-term queries; off by default for local latency."""
     postings, docs, stats = read_index(spark, index_dir)
     terms = _tokenize_query(query)
     n, avgdl = stats["n_docs"], stats["avgdl"]
@@ -127,10 +161,31 @@ def bm25_topk(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     cand = postings.filter(F.col("term").isin(terms)).select(
-        "term", "df", "blob", "block_max"
+        "term", "df", "max_impact", "blob", "block_max"
     )
+    lambdas: dict[str, float] | None = None
+    if wand and len(terms) > 1:
+        meta = cand.select("term", "df", "max_impact").collect()
+        if meta:
+            idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+                    for r in meta}
+            ubs = {r["term"]: idfs[r["term"]] * (K1 + 1.0) * r["max_impact"]
+                   for r in meta}
+            rarest = min(meta, key=lambda r: r["df"])
+            if rarest["df"] >= k:
+                r_top = (
+                    cand.filter(F.col("term") == rarest["term"])
+                    .mapInPandas(_score_partition(n, avgdl, k, single_term=True),
+                                 schema="doc_id long, term string, contrib double")
+                    .orderBy(F.col("contrib").desc()).limit(k).collect()
+                )
+                if len(r_top) >= k:
+                    theta = r_top[k - 1]["contrib"]
+                    total_ub = sum(ubs.values())
+                    lambdas = {t: theta - (total_ub - ubs[t]) for t in ubs}
     contrib = cand.mapInPandas(
-        _score_partition(n, avgdl, k, single_term=len(terms) == 1),
+        _score_partition(n, avgdl, k, single_term=len(terms) == 1,
+                         lambdas=lambdas),
         schema="doc_id long, term string, contrib double",
     )
     # ascending-term add order for bitwise-reproducible float sums

@@ -68,20 +68,6 @@ def _block_max(impact: np.ndarray) -> list[float]:
             for i in range(n_blocks)]
 
 
-def _encode_run(term: str, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                avgdl: float, final: bool) -> dict:
-    from macrobase_spark.index.codec import varint_encode
-
-    blob = delta_varint_encode(ids, tfs) + varint_encode(dls)
-    if final:
-        imp = _impact(tfs, dls, avgdl)
-        return dict(term=term, df=len(ids), cf=int(tfs.sum()), fan_in=1,
-                    max_impact=float(imp.max()), block_max=_block_max(imp),
-                    blob=blob, final=True)
-    return dict(term=term, df=len(ids), cf=int(tfs.sum()), fan_in=1,
-                max_impact=0.0, block_max=[], blob=blob, final=False)
-
-
 def _encode_sorted_runs(hot_terms: set[str], avgdl: float):
     """Phase 1 kernel as a mapInPandas over partitions pre-sorted by
     (term, salt, doc_id): encode each (term, salt) run with numpy slices —
@@ -126,15 +112,40 @@ def _encode_sorted_runs(hot_terms: set[str], avgdl: float):
 
 def _encode_slice(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray,
                   hot_terms: set[str], avgdl: float) -> list[dict]:
+    """Encode all runs of a batch at once: whole-array varint streams
+    (codec.encode_run_batch) + reduceat aggregates; the only Python loop is
+    the final row assembly."""
+    from macrobase_spark.index.codec import encode_run_batch
+
     ids_all = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
     tfs_all = pdf["tf"].to_numpy(np.int64).astype(np.uint64)
     dls_all = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
     terms = pdf["term"].to_numpy(object)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+
+    blobs = encode_run_batch(ids_all, tfs_all, dls_all, starts, ends)
+    dfs = (ends - starts).astype(np.int64)
+    # explicit [start, end) sums — reduceat would leak the carried tail of
+    # the batch into the last run's cf
+    csum = np.concatenate(([0], np.cumsum(tfs_all.astype(np.int64))))
+    cfs = csum[ends] - csum[starts]
+    impact_all = _impact(tfs_all, dls_all, avgdl)
+
     rows = []
-    for s, e in zip(starts, ends):
-        t = terms[s]
-        rows.append(_encode_run(t, ids_all[s:e], tfs_all[s:e], dls_all[s:e],
-                                avgdl, final=t not in hot_terms))
+    for i in range(len(starts)):
+        t = terms[starts[i]]
+        final = t not in hot_terms
+        if final:
+            imp = impact_all[starts[i]:ends[i]]
+            rows.append(dict(term=t, df=int(dfs[i]), cf=int(cfs[i]), fan_in=1,
+                             max_impact=float(imp.max()),
+                             block_max=_block_max(imp), blob=blobs[i],
+                             final=True))
+        else:
+            rows.append(dict(term=t, df=int(dfs[i]), cf=int(cfs[i]), fan_in=1,
+                             max_impact=0.0, block_max=[], blob=blobs[i],
+                             final=False))
     return rows
 
 
@@ -350,6 +361,7 @@ def build_index(
 
     if num_groups > 1:
         postings.unpersist()
+    invalidate_index_cache(out_dir)
     elapsed = time.time() - t0
     return {
         "n_docs": n_docs,
@@ -363,9 +375,29 @@ def build_index(
     }
 
 
+_INDEX_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, dict]] = {}
+
+
 def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Open an index (postings df, docs df, stats). DataFrame handles are
+    memoized per (session, path) so repeated queries skip re-listing the
+    parquet metadata; invalidated implicitly by build_index (new session or
+    `invalidate_index_cache`)."""
+    key = (id(spark), os.path.abspath(out_dir))
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     docs = spark.read.parquet(os.path.join(out_dir, "docs.parquet"))
+    _INDEX_CACHE[key] = (postings, docs, stats)
     return postings, docs, stats
+
+
+def invalidate_index_cache(out_dir: str | None = None) -> None:
+    if out_dir is None:
+        _INDEX_CACHE.clear()
+        return
+    path = os.path.abspath(out_dir)
+    for k in [k for k in _INDEX_CACHE if k[1] == path]:
+        del _INDEX_CACHE[k]

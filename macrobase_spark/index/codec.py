@@ -16,13 +16,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized: compute per-value byte
-    lengths, then scatter the 7-bit groups into one output buffer."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array; returns (byte buffer, offsets) where
+    offsets[i] is the byte position of value i (offsets[n] = total bytes).
+    Fully vectorized — one pass per byte position over the whole array, so
+    encoding a million values costs the same few numpy ops as a hundred."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte length of each value: ceil(bitlen/7), min 1
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -37,13 +38,43 @@ def varint_encode(values: np.ndarray) -> bytes:
     max_len = int(nbytes.max())
     shifted = v.copy()
     for b in range(max_len):
-        active = nbytes > b  # values that still emit a byte at position b
+        active = nbytes > b
         pos = offsets[:-1][active] + b
         byte = (shifted[active] & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nbytes[active] - 1) > b  # continuation bit if more bytes follow
+        cont = (nbytes[active] - 1) > b
         out[pos] = byte | (cont.astype(np.uint8) << 7)
         shifted = shifted >> np.uint64(7)
-    return out.tobytes()
+    return out, offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (see varint_encode_offsets)."""
+    buf, _ = varint_encode_offsets(values)
+    return buf.tobytes()
+
+
+def encode_run_batch(ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                     starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """Encode MANY posting runs at once (runs are [starts[i], ends[i])
+    slices of the flat arrays, each sorted by id). One whole-array varint
+    pass per stream, then per-run blobs assembled by byte-offset slicing —
+    identical layout to delta_varint_encode(ids, tfs) + varint_encode(dls).
+    This removes the per-term numpy-call overhead of encoding 50k tiny
+    posting lists individually."""
+    ids = np.ascontiguousarray(ids, dtype=np.uint64)
+    deltas = ids.copy()
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[starts] = ids[starts]  # first value of each run stored raw
+    hdr_buf, hdr_off = varint_encode_offsets((ends - starts).astype(np.uint64))
+    d_buf, d_off = varint_encode_offsets(deltas)
+    t_buf, t_off = varint_encode_offsets(np.asarray(tfs, dtype=np.uint64))
+    l_buf, l_off = varint_encode_offsets(np.asarray(dls, dtype=np.uint64))
+    hb, db, tb, lb = (x.tobytes() for x in (hdr_buf, d_buf, t_buf, l_buf))
+    return [
+        hb[hdr_off[i]:hdr_off[i + 1]]
+        + db[d_off[s]:d_off[e]] + tb[t_off[s]:t_off[e]] + lb[l_off[s]:l_off[e]]
+        for i, (s, e) in enumerate(zip(starts, ends))
+    ]
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None,

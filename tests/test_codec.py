@@ -60,3 +60,26 @@ def test_compression_ratio_on_dense_ids():
     tfs = np.ones_like(ids)
     blob = delta_varint_encode(ids, tfs)
     assert len(blob) < len(ids) * 3  # ~2 bytes/posting vs 16 raw
+
+
+def test_encode_run_batch_matches_single():
+    from macrobase_spark.index.codec import encode_run_batch, varint_encode
+
+    rng = np.random.default_rng(2)
+    runs = []
+    flat_ids, flat_tfs, flat_dls, starts, ends = [], [], [], [], []
+    pos = 0
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        ids = np.sort(rng.choice(10**7, size=n, replace=False).astype(np.uint64))
+        tfs = rng.integers(1, 100, n).astype(np.uint64)
+        dls = rng.integers(1, 500, n).astype(np.uint64)
+        runs.append((ids, tfs, dls))
+        flat_ids.append(ids); flat_tfs.append(tfs); flat_dls.append(dls)
+        starts.append(pos); pos += n; ends.append(pos)
+    blobs = encode_run_batch(
+        np.concatenate(flat_ids), np.concatenate(flat_tfs),
+        np.concatenate(flat_dls), np.array(starts), np.array(ends))
+    for blob, (ids, tfs, dls) in zip(blobs, runs):
+        want = delta_varint_encode(ids, tfs) + varint_encode(dls)
+        assert blob == want

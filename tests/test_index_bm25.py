@@ -125,3 +125,17 @@ def test_resumable_build(spark, corpus, tmp_path):
     a = {(r["term"]): (r["df"], r["cf"], bytes(r["blob"])) for r in p_full.collect()}
     b = {(r["term"]): (r["df"], r["cf"], bytes(r["blob"])) for r in p_res.collect()}
     assert a == b
+
+
+@pytest.mark.parametrize("query", ["the call", "tok0001 tok0002 the",
+                                   "tok0042 tok0007", "rare11 the call"])
+def test_wand_multiterm_rank_identical(spark, corpus, query):
+    """Block-max WAND pruning (wand=True) must stay rank- and score-
+    identical to the exact oracle."""
+    _, out, _, docs = corpus
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, query, k=10, wand=True).collect()]
+    want = bm25_oracle(docs, query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (query, gs, ws)
