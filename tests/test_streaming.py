@@ -81,3 +81,42 @@ def test_structured_streaming_micro_batch(spark, stream, tmp_path):
         assert total == stream.count()
     finally:
         q.stop()
+
+
+def test_stateful_decayed_diff(spark, tmp_path):
+    """applyInPandasWithState: decayed per-key counters across two
+    micro-batches must equal the hand-computed decay recurrence."""
+    import time
+
+    from macrobase_spark.streaming.stateful import streaming_decayed_diff
+
+    src = str(tmp_path / "src")
+    schema = "a0 string, _OUTLIER double"
+    batch1 = spark.createDataFrame(
+        [("x", 1.0)] * 6 + [("x", 0.0)] * 4 + [("y", 0.0)] * 10, schema)
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_decayed_diff(stream, ["a0"], decay=0.5)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("decayed").start())
+    try:
+        q.processAllAvailable()
+        r1 = {r["key"]: r for r in spark.sql("SELECT * FROM decayed").collect()}
+        assert r1["x"]["outlier_decayed"] == 6.0
+        assert r1["x"]["total_decayed"] == 10.0
+
+        batch2 = spark.createDataFrame([("x", 0.0)] * 10, schema)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.5)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM decayed WHERE key = 'x' ORDER BY n_batches DESC"
+        ).collect()
+        latest = rows[0]
+        # decay 0.5: o = 6*0.5 + 0 = 3; t = 10*0.5 + 10 = 15
+        assert latest["outlier_decayed"] == 3.0
+        assert latest["total_decayed"] == 15.0
+        assert abs(latest["ratio"] - 0.2) < 1e-12
+    finally:
+        q.stop()
