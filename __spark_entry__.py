@@ -846,6 +846,32 @@ def q45_lsh_ann(spark, sf):
         "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def q54_transcript_anomaly_diff(spark, sf):
+    """Track A+B synthesis (north star: 'DIFF/explanation capability layered
+    on top'): fused-pass anomaly scores over synthetic transcripts →
+    classify → DIFF ON (role, tool). The generator plants degenerate turns
+    3x as often under tool='browser'; the explanation must surface it
+    (asserted in tests/test_index_bm25.py). Deterministic synthetic input →
+    rows-only gate."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.tokenize import turn_features, with_anomaly_score
+    from macrobase_spark.operators import diff
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=300, seed=42, p_anomaly=0.05))
+    feats = with_anomaly_score(turn_features(t).drop("text"))
+    labeled = feats.withColumn(
+        "_OUTLIER", F.when(F.col("anomaly") > 0.5, 1.0).otherwise(0.0))
+    expl = diff(labeled.fillna("none", ["tool"]), ["role", "tool"],
+                min_support=0.1, min_ratio=1.5, max_order=2)
+    return expl.select(
+        "role", "tool",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_project_filter": q01_scan_project_filter,
@@ -901,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_join_outer": q51_join_outer,
         "q52_contextual_mad": q52_contextual_mad,
         "q53_ew_percentile": q53_ew_percentile,
+        "q54_transcript_anomaly_diff": q54_transcript_anomaly_diff,
     }
 
 

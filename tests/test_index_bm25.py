@@ -139,3 +139,16 @@ def test_wand_multiterm_rank_identical(spark, corpus, query):
     assert [d for d, _ in got] == [d for d, _ in want], query
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12), (query, gs, ws)
+
+
+def test_anomaly_diff_surfaces_planted_tool(spark):
+    """Track A+B: DIFF over role/tool of anomalous turns surfaces
+    tool='browser' (the generator plants degenerate turns 3x as often
+    there)."""
+    import __spark_entry__ as e
+
+    rows = e.q54_transcript_anomaly_diff(spark, "unused").collect()
+    assert rows, "expected explanations"
+    browser = [r for r in rows if r["tool"] == "browser"]
+    assert browser, f"tool=browser not surfaced: {rows[:5]}"
+    assert max(r["global_ratio"] for r in browser) >= 1.5
