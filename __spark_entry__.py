@@ -846,6 +846,23 @@ def q45_lsh_ann(spark, sf):
         "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def q55_ivf_ann(spark, sf):
+    """IVF coarse-quantizer ANN (k-means cells + n_probe rescoring) — the
+    second scale path for similarity search; recall<1 → rows-only (exactness
+    at full probe pytest-verified)."""
+    from macrobase_spark.pipelines.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    res = ivf_topk(emb.filter(F.col("vec_id") >= 2), queries_df, k=5,
+                   n_centroids=8, n_probe=3)
+    return res.select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+                      "rank").orderBy("q_id", "rank")
+
+
 def q54_transcript_anomaly_diff(spark, sf):
     """Track A+B synthesis (north star: 'DIFF/explanation capability layered
     on top'): fused-pass anomaly scores over synthetic transcripts →
@@ -862,7 +879,7 @@ def q54_transcript_anomaly_diff(spark, sf):
     labeled = feats.withColumn(
         "_OUTLIER", F.when(F.col("anomaly") > 0.5, 1.0).otherwise(0.0))
     expl = diff(labeled.fillna("none", ["tool"]), ["role", "tool"],
-                min_support=0.1, min_ratio=1.5, max_order=2)
+                min_support=0.05, min_ratio=1.2, max_order=2)
     return expl.select(
         "role", "tool",
         F.round("support", 6).alias("support"),
@@ -928,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_contextual_mad": q52_contextual_mad,
         "q53_ew_percentile": q53_ew_percentile,
         "q54_transcript_anomaly_diff": q54_transcript_anomaly_diff,
+        "q55_ivf_ann": q55_ivf_ann,
     }
 
 

@@ -59,6 +59,65 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_frac: float = 1.0,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k: k-means coarse quantizer
+    (pyspark.ml KMeans, fitted on a sample) partitions the vector table by
+    nearest centroid; a query probes its n_probe nearest centroids and
+    exact-rescores only those cells.
+
+    Scale path: write the vector table partitioned by `_cell` once, and each
+    query's scan touches n_probe/n_centroids of the data (partition-prunable).
+    Recall < 1 by design; raise n_probe → recall → cost. Centroids are tiny
+    and broadcast; assignment is one JVM-side argmin over the broadcast
+    centroid array (no Python in the row path)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors if sample_frac >= 1.0 else vectors.sample(sample_frac, seed=seed)
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col).cast(
+        "array<double>")).alias("_fv")))
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    def nearest_cells(col, top_n: int):
+        """Column expr: indices of the top_n nearest centroids (L2) for a
+        normalized-comparison via expanded distance = |c|² − 2·c·x."""
+        dists = []
+        for i, c in enumerate(centroids):
+            dot = F.aggregate(
+                F.zip_with(col, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda a, x: a + x)
+            c2 = float((c * c).sum())
+            dists.append(F.struct((F.lit(c2) - 2.0 * dot).alias("d"),
+                                  F.lit(i).alias("i")))
+        arr = F.array_sort(F.array(*dists))
+        return F.transform(F.slice(arr, 1, top_n), lambda s: s["i"])
+
+    v = vectors.withColumn("_cell", nearest_cells(
+        F.col(vec_col).cast("array<double>"), 1)[0])
+    q = queries.withColumn("_cells", nearest_cells(
+        F.col(q_vec_col).cast("array<double>"), n_probe))
+    probe_cells = q.select(F.explode("_cells").alias("_cell")).distinct()
+    cand = v.join(F.broadcast(probe_cells), "_cell", "left_semi").drop("_cell")
+    return cosine_topk_bruteforce(
+        cand, queries, k=k, id_col=id_col, vec_col=vec_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col)
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -155,3 +155,30 @@ def test_multimodal_plumbing(spark):
     by_kind = {r["kind"]: len(r["feature"]) for r in feats}
     assert by_kind["image"] == 64 and by_kind["audio"] == 16 and by_kind["video"] == 24
     assert all(r["ok"] for r in feats)
+
+
+def test_ivf_ann_recall(spark):
+    """IVF coarse-quantizer ANN: near-duplicate query must recall its
+    source vector; n_probe=all centroids ⇒ exact."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import ivf_topk
+
+    rng = np.random.default_rng(4)
+    # clustered data so the quantizer has real structure
+    centers = rng.standard_normal((4, 12)) * 5
+    base = np.concatenate([
+        centers[i] + rng.standard_normal((30, 12)) for i in range(4)
+    ]).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    qv = base[37] + rng.standard_normal(12).astype("float32") * 0.01
+    qdf = spark.createDataFrame([(0, [float(x) for x in qv])],
+                                "q_id long, q_vec array<float>")
+    got = ivf_topk(vdf, qdf, k=3, n_centroids=4, n_probe=2).collect()
+    assert got and got[0]["vec_id"] == 37
+    # full probe = exact brute force
+    exact = cosine_topk_bruteforce(vdf, qdf, k=3).collect()
+    full = ivf_topk(vdf, qdf, k=3, n_centroids=4, n_probe=4).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
