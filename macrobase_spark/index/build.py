@@ -253,6 +253,24 @@ def build_index(
         src = src.repartition(n_shuffle)
     docs_path = os.path.join(out_dir, "docs.parquet")
     docs_done = os.path.exists(os.path.join(out_dir, "stats.json")) and resume
+
+    # hot-term detection is independent of the docs pipeline → run it as a
+    # concurrent Spark job from a helper thread (the local/cluster scheduler
+    # interleaves both), hiding its latency behind the docs pass
+    import threading
+
+    hot_result: dict = {}
+
+    def _hot():
+        try:
+            hot_result["terms"] = detect_hot_terms(
+                src, hot_sample_frac, hot_df_threshold, doc_id_col, text_col)
+        except Exception as exc:  # surfaced after join
+            hot_result["error"] = exc
+
+    hot_thread = threading.Thread(target=_hot, daemon=True)
+    hot_thread.start()
+
     if not docs_done:
         from pyspark import StorageLevel
 
@@ -292,9 +310,10 @@ def build_index(
     if num_groups > 1:
         postings = postings.persist()
 
-    hot_terms = detect_hot_terms(src, hot_sample_frac, hot_df_threshold,
-                                 doc_id_col, text_col)
-    hot_set = set(hot_terms)
+    hot_thread.join()
+    if "error" in hot_result:
+        raise hot_result["error"]
+    hot_set = set(hot_result["terms"])
 
     groups: list[list[int]] = [
         [b for b in range(num_buckets) if b % num_groups == g] for g in range(num_groups)
