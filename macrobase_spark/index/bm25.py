@@ -150,21 +150,30 @@ def bm25_topk(
     postings, docs, stats = read_index(spark, index_dir)
     terms = _tokenize_query(query)
     n, avgdl = stats["n_docs"], stats["avgdl"]
+    allow_prune = True
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
         # matching bucket directories are even listed
+        from macrobase_spark.index.build import bucket_versions
         from macrobase_spark.index.xxh64 import term_bucket
 
         buckets = sorted({term_bucket(t, stats["num_buckets"]) for t in terms})
         postings = postings.filter(F.col("bucket").isin(buckets))
+        # version gate: after an incremental update, buckets the update did
+        # not touch carry block-max metadata computed under an older avgdl —
+        # their bounds are not trustworthy, so disable block pruning
+        # (exactness over speed) until the bucket is rewritten/compacted
+        sv = stats.get("version", 1)
+        bv = bucket_versions(index_dir)
+        allow_prune = all(bv.get(b, 1) == sv for b in buckets)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     cand = postings.filter(F.col("term").isin(terms)).select(
         "term", "df", "max_impact", "blob", "block_max"
     )
     lambdas: dict[str, float] | None = None
-    if wand and len(terms) > 1:
+    if wand and len(terms) > 1 and allow_prune:
         meta = cand.select("term", "df", "max_impact").collect()
         if meta:
             idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
@@ -184,7 +193,8 @@ def bm25_topk(
                     total_ub = sum(ubs.values())
                     lambdas = {t: theta - (total_ub - ubs[t]) for t in ubs}
     contrib = cand.mapInPandas(
-        _score_partition(n, avgdl, k, single_term=len(terms) == 1,
+        _score_partition(n, avgdl, k,
+                         single_term=len(terms) == 1 and allow_prune,
                          lambdas=lambdas),
         schema="doc_id long, term string, contrib double",
     )

@@ -68,7 +68,7 @@ def _block_max(impact: np.ndarray) -> list[float]:
             for i in range(n_blocks)]
 
 
-def _encode_sorted_runs(hot_terms: set[str], avgdl: float):
+def _encode_sorted_runs(hot_terms: set[str] | None, avgdl: float):
     """Phase 1 kernel as a mapInPandas over partitions pre-sorted by
     (term, salt, doc_id): encode each (term, salt) run with numpy slices —
     no per-group applyInPandas dispatch. Runs never span partitions (the
@@ -111,7 +111,7 @@ def _encode_sorted_runs(hot_terms: set[str], avgdl: float):
 
 
 def _encode_slice(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray,
-                  hot_terms: set[str], avgdl: float) -> list[dict]:
+                  hot_terms: set[str] | None, avgdl: float) -> list[dict]:
     """Encode all runs of a batch at once: whole-array varint streams
     (codec.encode_run_batch) + reduceat aggregates; the only Python loop is
     the final row assembly."""
@@ -135,7 +135,8 @@ def _encode_slice(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray,
     rows = []
     for i in range(len(starts)):
         t = terms[starts[i]]
-        final = t not in hot_terms
+        # hot_terms None → every run is a mergeable partial (update path)
+        final = hot_terms is not None and t not in hot_terms
         if final:
             imp = impact_all[starts[i]:ends[i]]
             rows.append(dict(term=t, df=int(dfs[i]), cf=int(cfs[i]), fan_in=1,
@@ -301,7 +302,8 @@ def build_index(
         n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump({"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B,
-                   "block_size": BLOCK_SIZE, "num_buckets": num_buckets}, f)
+                   "block_size": BLOCK_SIZE, "num_buckets": num_buckets,
+                   "version": 1}, f)
 
     # single fused Arrow pass text → exploded (doc_id, term, tf, dl);
     # persisted only when multiple groups would otherwise re-tokenize
@@ -373,7 +375,7 @@ def build_index(
                     "bucket": int(r["bucket"]), "status": "done", "group": g,
                     "terms": int(r["terms"]), "postings": int(r["postings"]),
                     "bytes": int(r["bytes"]), "max_fan_in": int(r["max_fan_in"]),
-                    "ts": time.time(),
+                    "ts": time.time(), "version": 1,
                 }
                 report_buckets[rec["bucket"]] = rec
                 f.write(json.dumps(rec) + "\n")
@@ -392,6 +394,124 @@ def build_index(
         "elapsed_sec": elapsed,
         "turns_per_sec": n_docs / elapsed if elapsed > 0 else None,
     }
+
+
+def update_index(
+    df_new: DataFrame,
+    out_dir: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental append: merge new documents into an existing index.
+
+    - new docs' features append to docs.parquet; global stats (n_docs,
+      avgdl) recompute; stats version bumps.
+    - new postings are encoded (phase-1 kernel) and merged term-by-term with
+      the existing blobs of each TOUCHED bucket; touched buckets are
+      rewritten (dynamic partition overwrite) with fresh block-max metadata
+      under the NEW avgdl and stamped with the new version.
+    - untouched buckets keep their old block-max metadata, which may be
+      stale w.r.t. the new avgdl — the query path disables block pruning for
+      buckets whose manifest version trails stats version (exactness over
+      speed until the next touch/compaction).
+
+    This is the simple rewrite-touched-buckets variant; an LSM-style
+    segment log with background compaction is the natural extension for
+    high-frequency appends at 10¹² scale.
+    """
+    from pyspark import StorageLevel
+
+    from macrobase_spark.index.tokenize import exploded_postings, turn_features
+
+    spark = df_new.sparkSession
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    num_buckets = stats["num_buckets"]
+    version = stats.get("version", 1) + 1
+    t0 = time.time()
+
+    meta_cols = [c for c in ("conv_id", "turn_idx") if c in df_new.columns]
+    src = df_new.select(doc_id_col, *meta_cols, text_col)
+    docs_path = os.path.join(out_dir, "docs.parquet")
+
+    feats = (turn_features(src, text_col).drop(text_col)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    # anomaly normalization over the UPDATED population (old + new lengths)
+    old_docs = spark.read.parquet(docs_path).select("doc_len")
+    all_lens = old_docs.unionByName(feats.select("doc_len"))
+    ll = "log1p(cast(doc_len as double))"
+    row = all_lens.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
+        F.expr(f"percentile_approx({ll}, 0.5)").alias("med"),
+    ).collect()[0]
+    n_docs, avgdl, med = int(row["n"]), float(row["avgdl"]), row["med"]
+    mad = all_lens.agg(
+        F.expr(f"percentile_approx(abs({ll} - {med!r}), 0.5)")
+    ).collect()[0][0] or 1e-9
+    z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
+        mad * 1.4826)
+    (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+        .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
+        .write.mode("append").parquet(docs_path))
+    feats.unpersist()
+
+    # new postings → phase-1 partials (everything routed through the merge)
+    new_post = exploded_postings(src, doc_id_col, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+    touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    new_enc = (
+        new_post.withColumn("salt", F.lit(0))
+        .repartition(n_shuffle, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        # hot set = all terms → every run emitted as a mergeable partial
+        .mapInPandas(_encode_sorted_runs(None, avgdl), schema=_ENC_SCHEMA)
+        .drop("final")
+    )
+    postings_root = os.path.join(out_dir, "postings")
+    existing = (
+        spark.read.parquet(postings_root)
+        .filter(F.col("bucket").isin(touched))
+        .drop("bucket")
+    )
+    merged = (
+        existing.unionByName(new_enc)
+        .groupBy("term")
+        .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+        .repartition("bucket")
+        .sortWithinPartitions("term")
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(postings_root)
+
+    stats.update({"n_docs": n_docs, "avgdl": avgdl, "version": version})
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    with open(manifest_path, "a") as f:
+        for b in sorted(touched):
+            f.write(json.dumps({"bucket": int(b), "status": "done",
+                                "version": version, "op": "update",
+                                "ts": time.time()}) + "\n")
+    invalidate_index_cache(out_dir)
+    return {"n_docs": n_docs, "avgdl": avgdl, "version": version,
+            "touched_buckets": sorted(touched),
+            "elapsed_sec": time.time() - t0}
+
+
+def bucket_versions(out_dir: str) -> dict[int, int]:
+    """Latest manifest version per bucket (for version-gated pruning)."""
+    versions: dict[int, int] = {}
+    path = os.path.join(out_dir, "manifest.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("status") == "done":
+                    versions[rec["bucket"]] = rec.get("version", 1)
+    return versions
 
 
 _INDEX_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, dict]] = {}

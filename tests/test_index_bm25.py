@@ -152,3 +152,31 @@ def test_anomaly_diff_surfaces_planted_tool(spark):
     browser = [r for r in rows if r["tool"] == "browser"]
     assert browser, f"tool=browser not surfaced: {rows[:5]}"
     assert max(r["global_ratio"] for r in browser) >= 1.5
+
+
+def test_incremental_update_rank_identical(spark, tmp_path):
+    """update_index: build on conversations 0..79, append 80..119; queries on
+    the updated index must be rank+score identical to the oracle over the
+    COMBINED corpus (pruning version-gated off for stale buckets)."""
+    from macrobase_spark.index.build import update_index
+
+    base = with_doc_id(synth_transcripts(spark, n_convs=80, seed=42)).cache()
+    extra = with_doc_id(
+        synth_transcripts(spark, n_convs=120, seed=42)
+    ).filter(F.col("conv_id") >= "conv00000080").cache()
+    out = str(tmp_path / "inc_idx")
+    build_index(base, out, num_buckets=8, hot_df_threshold=120,
+                hot_sample_frac=0.5)
+    rep = update_index(extra, out)
+    assert rep["version"] == 2
+    assert rep["n_docs"] == base.count() + extra.count()
+
+    combined = [(r["doc_id"], r["text"]) for r in
+                base.unionByName(extra).select("doc_id", "text").collect()]
+    for q in ["the", "rare7", "rare100", "tok0042 tok0007", "rare111 the call"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=10).collect()]
+        want = bm25_oracle(combined, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
