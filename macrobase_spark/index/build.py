@@ -501,6 +501,56 @@ def update_index(
             "elapsed_sec": time.time() - t0}
 
 
+def compact_index(spark: SparkSession, out_dir: str) -> dict:
+    """Refresh stale buckets after incremental updates: recompute block-max
+    metadata under the CURRENT avgdl for every bucket whose manifest version
+    trails the stats version, and stamp them current. Posting blobs are
+    untouched (decode → recompute impact bounds → rewrite metadata columns),
+    so this is a metadata-only rewrite of the stale partitions; afterwards
+    block-max pruning is active index-wide again."""
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    version = stats.get("version", 1)
+    avgdl = stats["avgdl"]
+    stale = [b for b, v in bucket_versions(out_dir).items() if v != version]
+    if not stale:
+        return {"version": version, "compacted_buckets": []}
+
+    def refresh(batches):
+        for pdf in batches:
+            new_max, new_blocks = [], []
+            for blob in pdf["blob"]:
+                _, tfs, dls = _decode_partial(blob)
+                imp = _impact(tfs, dls, avgdl)
+                new_max.append(float(imp.max()))
+                new_blocks.append(_block_max(imp))
+            yield pdf.assign(max_impact=new_max, block_max=new_blocks)
+
+    postings_root = os.path.join(out_dir, "postings")
+    spark_postings = (
+        spark.read.parquet(postings_root)
+        .filter(F.col("bucket").isin(stale))
+        .drop("bucket")
+    )
+    refreshed = (
+        spark_postings.mapInPandas(refresh, schema=_POSTINGS_SCHEMA)
+        .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                     F.lit(stats["num_buckets"])).cast("int"))
+        .repartition("bucket")
+        .sortWithinPartitions("term")
+    )
+    refreshed.write.mode("overwrite").partitionBy("bucket").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(postings_root)
+    with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
+        for b in sorted(stale):
+            f.write(json.dumps({"bucket": int(b), "status": "done",
+                                "version": version, "op": "compact",
+                                "ts": time.time()}) + "\n")
+    invalidate_index_cache(out_dir)
+    return {"version": version, "compacted_buckets": sorted(stale)}
+
+
 def bucket_versions(out_dir: str) -> dict[int, int]:
     """Latest manifest version per bucket (for version-gated pruning)."""
     versions: dict[int, int] = {}

@@ -180,3 +180,42 @@ def test_incremental_update_rank_identical(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
+
+
+def test_compaction_restores_pruning(spark, tmp_path):
+    """After update_index + compact_index, every bucket is at the current
+    version (pruning re-enabled) and queries remain rank+score identical."""
+    from macrobase_spark.index.build import (
+        bucket_versions, compact_index, update_index,
+    )
+
+    base = with_doc_id(synth_transcripts(spark, n_convs=60, seed=42)).cache()
+    # a single appended turn touches only a few of the 32 buckets → the rest
+    # go stale relative to the bumped stats version
+    extra = with_doc_id(
+        synth_transcripts(spark, n_convs=61, seed=42)
+    ).filter((F.col("conv_id") == "conv00000060")
+             & (F.col("turn_idx") == 0)).cache()
+    out = str(tmp_path / "cmp_idx")
+    build_index(base, out, num_buckets=32, hot_df_threshold=120,
+                hot_sample_frac=0.5)
+    update_index(extra, out)
+    import json as _json, os as _os
+    with open(_os.path.join(out, "stats.json")) as f:
+        v = _json.load(f)["version"]
+    assert any(bv != v for bv in bucket_versions(out).values()), \
+        "expected at least one stale bucket before compaction"
+
+    rep = compact_index(spark, out)
+    assert rep["compacted_buckets"]
+    assert all(bv == v for bv in bucket_versions(out).values())
+
+    combined = [(r["doc_id"], r["text"]) for r in
+                base.unionByName(extra).select("doc_id", "text").collect()]
+    for q in ["the", "rare7", "tok0042 tok0007"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=10).collect()]
+        want = bm25_oracle(combined, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
