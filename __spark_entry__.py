@@ -287,8 +287,9 @@ def q17_zscore(spark, sf):
 
 
 def q18_percentile_udf(spark, sf):
-    """Reference `percentile()` UDF semantics: (1-indexed max rank)/n
-    (lib/.../analysis/MBFunction.java:139-161) — NOT percent_rank."""
+    """Reference `percentile()` UDF semantics: (1-indexed MIN rank)/n, ties
+    share the min position (lib/.../analysis/MBFunction.java:128-161) — NOT
+    percent_rank."""
     from macrobase_spark.operators import percentile_col
 
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -775,16 +776,25 @@ def q53_ew_percentile(spark, sf):
 
 
 def q46_fpgrowth_diff(spark, sf):
-    """FP-Growth emerging-itemset summarizer (§2.4 FPGrowthSummarizer) —
-    itemset-array output → rows-only; equivalence to diff() pytest-verified."""
+    """FP-Growth emerging-itemset summarizer (§2.4 FPGrowthSummarizer).
+    Itemsets are projected as a sorted comma-joined string so the result is
+    hashable/oracle-comparable (grouping-sets enumeration is the DuckDB
+    oracle — identical itemset lattice at max_order ≤ |attrs|)."""
     from macrobase_spark.operators import classify_percentile
     from macrobase_spark.operators.fpgrowth import fpgrowth_diff
 
-    li = _t(spark, sf, "lineitem").limit(20000)
+    li = _t(spark, sf, "lineitem")
     labeled = classify_percentile(li, "l_extendedprice", percentile=1.0,
                                   include_low=False)
-    return fpgrowth_diff(labeled, ["l_returnflag", "l_linestatus"],
+    expl = fpgrowth_diff(labeled, ["l_returnflag", "l_linestatus"],
                          min_support=0.05, min_risk_ratio=0.0, max_order=2)
+    return expl.select(
+        F.concat_ws(",", "items").alias("items"),
+        F.round("support", 6).alias("support"),
+        F.round("risk_ratio", 6).alias("risk_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy("items")
 
 
 def q47_quantile_classifier(spark, sf):
@@ -889,6 +899,73 @@ def q54_transcript_anomaly_diff(spark, sf):
     )
 
 
+def q56_mcd_mahalanobis(spark, sf):
+    """MinCovDet robust multi-dim Mahalanobis scoring (§2.6 — the
+    reference's DEFAULT scorer for >1 metric, MacroBaseConf.java:180) —
+    deterministic fit (hash-sampled, fixed seed) but the FAST-MCD iteration
+    has no SQL form → rows-only; planted-covariance pytest in
+    tests/test_mcd.py."""
+    from macrobase_spark.operators.mcd import mcd_score
+
+    li = _t(spark, sf, "lineitem")
+    scored = mcd_score(li, ["l_quantity", "l_extendedprice"], seed=11)
+    return (
+        scored.groupBy("l_returnflag")
+        .agg(F.sum(F.when(F.col("_SCORE") > 3.0, 1).otherwise(0))
+             .cast("long").alias("n_md3"),
+             F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q57_sql_diff_surface(spark, sf):
+    """The MacroBase SQL surface end-to-end (SqlBase.g4 DIFF/SPLIT grammar →
+    diff() with the reference's containment pruning): with min_ratio=0 every
+    passing order-1 itemset is emitted and (by containment,
+    APrioriLinear.java:340-383) no higher order survives — SQL-expressible,
+    hash-gated."""
+    from macrobase_spark.sql import MacroBaseSQL
+
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    mb = MacroBaseSQL(spark)
+    res = mb.execute(
+        "SELECT * FROM DIFF (SPLIT lineitem WHERE l_discount >= 0.08) "
+        "ON l_returnflag, l_linestatus "
+        "WITH MIN RATIO 0.0 MIN SUPPORT 0.01 MAX COMBO 2"
+    )
+    return res.select(
+        "l_returnflag", "l_linestatus",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q58_random_projection(spark, sf):
+    """Johnson–Lindenstrauss random projection + linear min-max normalizer
+    (§2.6 Truncate/RandomProjection/LinearMetricNormalizer) — fixed-seed
+    projection matrix embedded in the DuckDB oracle too → hash-gated."""
+    from macrobase_spark.operators.transform import (
+        linear_metric_normalizer, random_projection,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    norm = linear_metric_normalizer(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                  "l_discount"),
+        ["l_quantity", "l_extendedprice", "l_discount"])
+    proj = random_projection(
+        norm, ["l_quantity", "l_extendedprice", "l_discount"], k=2, seed=11)
+    return (
+        proj.select("l_orderkey", "l_linenumber",
+                    F.round("rp_0", 6).alias("rp_0"),
+                    F.round("rp_1", 6).alias("rp_1"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(2000)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_project_filter": q01_scan_project_filter,
@@ -946,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_ew_percentile": q53_ew_percentile,
         "q54_transcript_anomaly_diff": q54_transcript_anomaly_diff,
         "q55_ivf_ann": q55_ivf_ann,
+        "q56_mcd_mahalanobis": q56_mcd_mahalanobis,
+        "q57_sql_diff_surface": q57_sql_diff_surface,
+        "q58_random_projection": q58_random_projection,
     }
 
 

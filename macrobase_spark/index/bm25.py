@@ -43,13 +43,16 @@ def _tokenize_query(q: str) -> list[str]:
 
 
 def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool,
-                     lambdas: dict[str, float] | None = None):
+                     lambdas: dict[str, float] | None = None,
+                     idfs: dict[str, float] | None = None):
     """Decode + score posting blobs in one Arrow pass; emits (doc_id, term,
     score contribution). idf is derived from the row's own df stat — no
-    separate term-stats job. With a single query term, applies block-max
-    pruning while keeping exactness (kth-best lower bound only grows).
-    `lambdas` carries per-term block-max-WAND thresholds for multi-term
-    pruning (see bm25_topk wand=True)."""
+    separate term-stats job — EXCEPT on a segmented index (post-update,
+    pre-compaction), where a term spans several rows and the per-term df
+    sums are pre-collected into `idfs`. With a single query term, applies
+    block-max pruning while keeping exactness (kth-best lower bound only
+    grows). `lambdas` carries per-term block-max-WAND thresholds for
+    multi-term pruning (see bm25_topk wand=True)."""
 
     def fn(batches):
         from macrobase_spark.index.build import _decode_partial
@@ -58,7 +61,8 @@ def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool,
             out_doc, out_term, out_score = [], [], []
             for term, t_df, blob, block_max in zip(
                     pdf["term"], pdf["df"], pdf["blob"], pdf["block_max"]):
-                idf = math.log(1.0 + (n_docs - t_df + 0.5) / (t_df + 0.5))
+                idf = idfs[term] if idfs is not None else math.log(
+                    1.0 + (n_docs - t_df + 0.5) / (t_df + 0.5))
                 ids, tfs, dls = _decode_partial(blob)
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
@@ -172,6 +176,16 @@ def bm25_topk(
     cand = postings.filter(F.col("term").isin(terms)).select(
         "term", "df", "max_impact", "blob", "block_max"
     )
+    # segmented index (post-update, pre-compaction): a term may span several
+    # rows, so idf needs the cross-row df sum — one tiny metadata job over
+    # the already-bucket-pruned candidates. Skipped entirely on a compacted
+    # index (the common case), keeping the fast path one job.
+    idfs: dict[str, float] | None = None
+    seg = set(stats.get("segmented_buckets", []))
+    if seg and (("num_buckets" not in stats) or (seg & set(buckets))):
+        df_rows = cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+                for r in df_rows}
     lambdas: dict[str, float] | None = None
     if wand and len(terms) > 1 and allow_prune:
         meta = cand.select("term", "df", "max_impact").collect()
@@ -195,7 +209,7 @@ def bm25_topk(
     contrib = cand.mapInPandas(
         _score_partition(n, avgdl, k,
                          single_term=len(terms) == 1 and allow_prune,
-                         lambdas=lambdas),
+                         lambdas=lambdas, idfs=idfs),
         schema="doc_id long, term string, contrib double",
     )
     # ascending-term add order for bitwise-reproducible float sums

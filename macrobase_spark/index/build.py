@@ -50,7 +50,7 @@ BLOCK_SIZE = 128
 
 _POSTINGS_SCHEMA = (
     "term string, df long, cf long, fan_in int, max_impact double, "
-    "block_max array<double>, blob binary"
+    "block_max array<double>, blob_len long, blob binary"
 )
 # phase-1 output: `final` rows are complete posting lists (cold terms, one
 # shard); non-final rows are salted partials awaiting the phase-2 merge.
@@ -141,11 +141,13 @@ def _encode_slice(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray,
             imp = impact_all[starts[i]:ends[i]]
             rows.append(dict(term=t, df=int(dfs[i]), cf=int(cfs[i]), fan_in=1,
                              max_impact=float(imp.max()),
-                             block_max=_block_max(imp), blob=blobs[i],
+                             block_max=_block_max(imp),
+                             blob_len=len(blobs[i]), blob=blobs[i],
                              final=True))
         else:
             rows.append(dict(term=t, df=int(dfs[i]), cf=int(cfs[i]), fan_in=1,
-                             max_impact=0.0, block_max=[], blob=blobs[i],
+                             max_impact=0.0, block_max=[],
+                             blob_len=len(blobs[i]), blob=blobs[i],
                              final=False))
     return rows
 
@@ -186,6 +188,7 @@ def _merge_final(avgdl: float):
                 "fan_in": [len(parts)],
                 "max_impact": [float(impact.max())],
                 "block_max": [_block_max(impact)],
+                "blob_len": [len(blob)],
                 "blob": [blob],
             }
         )
@@ -275,20 +278,23 @@ def build_index(
     if not docs_done:
         from pyspark import StorageLevel
 
-        # ONE Arrow pass over text → cached narrow features; global stats and
-        # the MAD normalization read the cache, never re-tokenizing; docs
-        # parquet written once with the anomaly column.
+        # ONE Arrow pass over text → cached narrow features; ONE aggregate
+        # job computes count/avgdl AND the robust normalization stats: the
+        # scale estimate is IQR/2 = (q75−q25)/2, numerically the same robust
+        # σ-fraction as the MAD (both = 0.6745·σ under normality) but
+        # available from the same quantile sketch as the median — so the
+        # old dependent second pass (median first, then median of |x−med|)
+        # disappears.
         feats = (turn_features(src, text_col).drop(text_col)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         ll = "log1p(cast(doc_len as double))"
         row = feats.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
-            F.expr(f"percentile_approx({ll}, 0.5)").alias("med"),
+            F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
         ).collect()[0]
-        n_docs, avgdl, med = int(row["n"]), float(row["avgdl"]), row["med"]
-        mad = feats.agg(
-            F.expr(f"percentile_approx(abs({ll} - {med!r}), 0.5)")
-        ).collect()[0][0] or 1e-9
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+        q25, med, q75 = [float(v) for v in row["qs"]]
+        mad = (q75 - q25) / 2.0 or 1e-9
         z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
             mad * 1.4826)
         (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
@@ -303,7 +309,8 @@ def build_index(
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump({"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B,
                    "block_size": BLOCK_SIZE, "num_buckets": num_buckets,
-                   "version": 1}, f)
+                   "version": 1, "salt_partitions": salt_partitions,
+                   "segmented_buckets": []}, f)
 
     # single fused Arrow pass text → exploded (doc_id, term, tf, dl);
     # persisted only when multiple groups would otherwise re-tokenize
@@ -316,6 +323,14 @@ def build_index(
     if "error" in hot_result:
         raise hot_result["error"]
     hot_set = set(hot_result["terms"])
+    # persist the hot-term set: the incremental-update path salts its
+    # encoding shuffle with it (same skew story as the fresh build)
+    stats_path = os.path.join(out_dir, "stats.json")
+    with open(stats_path) as f:
+        _stats = json.load(f)
+    _stats["hot_terms"] = sorted(hot_set)
+    with open(stats_path, "w") as f:
+        json.dump(_stats, f)
 
     groups: list[list[int]] = [
         [b for b in range(num_buckets) if b % num_groups == g] for g in range(num_groups)
@@ -356,7 +371,9 @@ def build_index(
         merged.write.mode("overwrite").partitionBy("bucket").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(postings_root)
-        # per-bucket lineage + metrics from the committed files
+        # per-bucket lineage + metrics from the committed files: blob sizes
+        # were recorded at encode time (blob_len), so this read-back touches
+        # only tiny metadata columns — the blob bytes never re-load
         stats = (
             spark.read.parquet(postings_root)
             .filter(F.col("bucket").isin(todo))
@@ -364,7 +381,7 @@ def build_index(
             .agg(
                 F.count("*").alias("terms"),
                 F.sum("df").alias("postings"),
-                F.sum(F.length("blob")).alias("bytes"),
+                F.sum("blob_len").alias("bytes"),
                 F.max("fan_in").alias("max_fan_in"),
             )
             .collect()
@@ -402,22 +419,29 @@ def update_index(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
-    """Incremental append: merge new documents into an existing index.
+    """Incremental append: LSM-style segment write, NO merge with existing
+    posting lists at update time.
 
     - new docs' features append to docs.parquet; global stats (n_docs,
       avgdl) recompute; stats version bumps.
-    - new postings are encoded (phase-1 kernel) and merged term-by-term with
-      the existing blobs of each TOUCHED bucket; touched buckets are
-      rewritten (dynamic partition overwrite) with fresh block-max metadata
-      under the NEW avgdl and stamped with the new version.
-    - untouched buckets keep their old block-max metadata, which may be
-      stale w.r.t. the new avgdl — the query path disables block pruning for
-      buckets whose manifest version trails stats version (exactness over
-      speed until the next touch/compaction).
+    - new postings are encoded with the SAME salted shuffle as the fresh
+      build (hot terms — persisted in stats.json, unioned with a sampled
+      re-detection over the delta — shard across (term, salt) reducers, so
+      no reducer ever sees more than one shard of one hot term's DELTA) and
+      appended as additional parquet rows in their buckets. Existing blobs
+      are never read, decoded, or re-sorted: update cost is O(delta), and
+      the full historical posting list of a hot term never lands on one
+      task — the scale killer the old rewrite-touched-buckets variant had.
+    - a term may now span several rows (base + per-update segments);
+      the query path sums df across rows for idf and concatenates
+      candidates (exactness unaffected — every (term, doc) posting lives in
+      exactly one segment). Buckets with segments are recorded in
+      stats.json `segmented_buckets`; their block-max metadata is stale
+      w.r.t. the new avgdl so the version gate keeps pruning off there
+      until `compact_index` merges segments back to one row per term.
 
-    This is the simple rewrite-touched-buckets variant; an LSM-style
-    segment log with background compaction is the natural extension for
-    high-frequency appends at 10¹² scale.
+    Reference lineage: the reference has no incremental index; this is the
+    standard Lucene/LSM segment-log design expressed as parquet appends.
     """
     from pyspark import StorageLevel
 
@@ -427,6 +451,7 @@ def update_index(
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     num_buckets = stats["num_buckets"]
+    salt_partitions = stats.get("salt_partitions", 8)
     version = stats.get("version", 1) + 1
     t0 = time.time()
 
@@ -442,12 +467,11 @@ def update_index(
     ll = "log1p(cast(doc_len as double))"
     row = all_lens.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
-        F.expr(f"percentile_approx({ll}, 0.5)").alias("med"),
+        F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
     ).collect()[0]
-    n_docs, avgdl, med = int(row["n"]), float(row["avgdl"]), row["med"]
-    mad = all_lens.agg(
-        F.expr(f"percentile_approx(abs({ll} - {med!r}), 0.5)")
-    ).collect()[0][0] or 1e-9
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+    q25, med, q75 = [float(v) for v in row["qs"]]
+    mad = (q75 - q25) / 2.0 or 1e-9  # IQR/2 — same robust scale as the MAD
     z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
         mad * 1.4826)
     (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
@@ -455,45 +479,52 @@ def update_index(
         .write.mode("append").parquet(docs_path))
     feats.unpersist()
 
-    # new postings → phase-1 partials (everything routed through the merge)
+    # hot set for the delta: persisted build-time hots ∪ sampled re-detection
+    # over the delta (a term can be hot in the delta without being hot in
+    # the base corpus)
+    hot_set = set(stats.get("hot_terms", []))
+    hot_set |= set(detect_hot_terms(src, 0.1, 50_000, doc_id_col, text_col))
+
     new_post = exploded_postings(src, doc_id_col, text_col).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
     touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    salted = new_post.withColumn(
+        "salt",
+        F.when(
+            F.col("term").isin(list(hot_set)) if hot_set else F.lit(False),
+            F.pmod(F.col("doc_id"), F.lit(salt_partitions)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    # encode per (term, salt) run; hot_terms=∅ → every run finalizes with
+    # real per-segment block-max metadata (a hot term's delta becomes up to
+    # `salt_partitions` segment rows — parallel encode, parallel read)
     new_enc = (
-        new_post.withColumn("salt", F.lit(0))
-        .repartition(n_shuffle, "term", "salt")
+        salted.repartition(n_shuffle, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
-        # hot set = all terms → every run emitted as a mergeable partial
-        .mapInPandas(_encode_sorted_runs(None, avgdl), schema=_ENC_SCHEMA)
+        .mapInPandas(_encode_sorted_runs(set(), avgdl), schema=_ENC_SCHEMA)
         .drop("final")
-    )
-    postings_root = os.path.join(out_dir, "postings")
-    existing = (
-        spark.read.parquet(postings_root)
-        .filter(F.col("bucket").isin(touched))
-        .drop("bucket")
-    )
-    merged = (
-        existing.unionByName(new_enc)
-        .groupBy("term")
-        .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
         .repartition("bucket")
         .sortWithinPartitions("term")
     )
-    merged.write.mode("overwrite").partitionBy("bucket").option(
-        "partitionOverwriteMode", "dynamic"
-    ).parquet(postings_root)
+    postings_root = os.path.join(out_dir, "postings")
+    new_enc.write.mode("append").partitionBy("bucket").parquet(postings_root)
 
-    stats.update({"n_docs": n_docs, "avgdl": avgdl, "version": version})
+    seg = sorted(set(stats.get("segmented_buckets", [])) | set(touched))
+    stats.update({"n_docs": n_docs, "avgdl": avgdl, "version": version,
+                  "hot_terms": sorted(hot_set), "segmented_buckets": seg})
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
+    # touched buckets are re-stamped at their PRE-update version: they now
+    # hold mixed-era block-max metadata, so they must read as stale (block
+    # pruning off) until compaction rewrites them
+    bv = bucket_versions(out_dir)
     manifest_path = os.path.join(out_dir, "manifest.jsonl")
     with open(manifest_path, "a") as f:
         for b in sorted(touched):
             f.write(json.dumps({"bucket": int(b), "status": "done",
-                                "version": version, "op": "update",
+                                "version": bv.get(b, 1), "op": "update",
                                 "ts": time.time()}) + "\n")
     invalidate_index_cache(out_dir)
     return {"n_docs": n_docs, "avgdl": avgdl, "version": version,
@@ -502,12 +533,20 @@ def update_index(
 
 
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
-    """Refresh stale buckets after incremental updates: recompute block-max
-    metadata under the CURRENT avgdl for every bucket whose manifest version
-    trails the stats version, and stamp them current. Posting blobs are
-    untouched (decode → recompute impact bounds → rewrite metadata columns),
-    so this is a metadata-only rewrite of the stale partitions; afterwards
-    block-max pruning is active index-wide again."""
+    """Compact stale buckets after incremental updates: merge each term's
+    segment rows (base + per-update deltas) back to ONE row and recompute
+    block-max metadata under the CURRENT avgdl, then stamp the bucket
+    current — block-max pruning is active index-wide again and the per-term
+    idf needs no cross-row aggregation.
+
+    Buckets that are merely metadata-stale (no segments, avgdl moved) get
+    the same pass — for single-row terms the merge degenerates to a
+    decode → re-encode that refreshes the bounds.
+
+    Scale shape: the per-term merge is the SAME blob-level fan-in as the
+    fresh build's phase 2 (pre-compressed partials, decode + merge-sort +
+    re-encode on one reducer per term) — amortized background work, never
+    on the update or query path."""
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     version = stats.get("version", 1)
@@ -516,32 +555,25 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     if not stale:
         return {"version": version, "compacted_buckets": []}
 
-    def refresh(batches):
-        for pdf in batches:
-            new_max, new_blocks = [], []
-            for blob in pdf["blob"]:
-                _, tfs, dls = _decode_partial(blob)
-                imp = _impact(tfs, dls, avgdl)
-                new_max.append(float(imp.max()))
-                new_blocks.append(_block_max(imp))
-            yield pdf.assign(max_impact=new_max, block_max=new_blocks)
-
     postings_root = os.path.join(out_dir, "postings")
-    spark_postings = (
+    merged = (
         spark.read.parquet(postings_root)
         .filter(F.col("bucket").isin(stale))
         .drop("bucket")
-    )
-    refreshed = (
-        spark_postings.mapInPandas(refresh, schema=_POSTINGS_SCHEMA)
+        .groupBy("term")
+        .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
         .withColumn("bucket", F.pmod(F.xxhash64("term"),
                                      F.lit(stats["num_buckets"])).cast("int"))
         .repartition("bucket")
         .sortWithinPartitions("term")
     )
-    refreshed.write.mode("overwrite").partitionBy("bucket").option(
+    merged.write.mode("overwrite").partitionBy("bucket").option(
         "partitionOverwriteMode", "dynamic"
     ).parquet(postings_root)
+    stats["segmented_buckets"] = sorted(
+        set(stats.get("segmented_buckets", [])) - set(stale))
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
     with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
         for b in sorted(stale):
             f.write(json.dumps({"bucket": int(b), "status": "done",
@@ -564,18 +596,22 @@ def bucket_versions(out_dir: str) -> dict[int, int]:
     return versions
 
 
-_INDEX_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, dict]] = {}
+_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame, dict]] = {}
 
 
 def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame, dict]:
     """Open an index (postings df, docs df, stats). DataFrame handles are
-    memoized per (session, path) so repeated queries skip re-listing the
-    parquet metadata; invalidated implicitly by build_index (new session or
-    `invalidate_index_cache`)."""
-    key = (id(spark), os.path.abspath(out_dir))
+    memoized per (applicationId, path, stats version+mtime): a new session
+    never collides with a garbage-collected one (id() reuse), and an
+    update/compact by ANOTHER process bumps the stats file's version/mtime,
+    invalidating naturally. Same-process builders also call
+    `invalidate_index_cache` explicitly."""
+    stats_path = os.path.join(out_dir, "stats.json")
+    mtime = os.stat(stats_path).st_mtime_ns
+    key = (spark.sparkContext.applicationId, os.path.abspath(out_dir), mtime)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    with open(os.path.join(out_dir, "stats.json")) as f:
+    with open(stats_path) as f:
         stats = json.load(f)
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     docs = spark.read.parquet(os.path.join(out_dir, "docs.parquet"))

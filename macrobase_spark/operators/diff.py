@@ -48,6 +48,25 @@ from pyspark.sql import functions as F
 RATIO_METRICS = ("global_ratio", "risk_ratio", "prevalence_ratio")
 
 
+def _metric_value(metric: str, oc: float, tc: float, g_out: float, g_tot: float) -> float:
+    """Python twin of _metric_expr (same float64 op order) for the
+    driver-side containment pass."""
+    if metric == "global_ratio":
+        return (oc / tc) / (g_out / g_tot)
+    if metric == "risk_ratio":
+        if tc == 0 or g_tot - tc == 0:
+            return 0.0
+        if g_out - oc == 0:
+            return float("inf")
+        return (oc / tc) / ((g_out - oc) / (g_tot - tc))
+    if metric == "prevalence_ratio":
+        base_out = g_out if g_out != 0.0 else 1.0
+        base = base_out / (g_tot - base_out)
+        denom = (tc + 1.0 if tc == oc else tc) - oc
+        return (oc / denom) / base
+    raise ValueError(f"unknown ratio metric {metric!r}")
+
+
 def _metric_expr(
     metric: str,
     out_cnt: Column,
@@ -124,6 +143,7 @@ def diff(
     max_order: int = 3,
     fd_pairs: list[tuple[str, str]] | None = None,
     prefilter_min_support: bool = False,
+    containment: bool = False,
 ) -> DataFrame:
     """Explanation relation: attrs (NULL = absent) + support + <ratio_metric>
     + outlier_count + total_count, filtered to support ≥ min_support and
@@ -131,7 +151,17 @@ def diff(
 
     Defaults (0.2 support / 1.5 ratio / order ≤ 3) per the SQL layer:
     sql/.../tree/DiffQuerySpecification.java:31-36,112-115.
-    """
+
+    containment=True replicates the reference APriori's containment pruning
+    (APrioriLinear.java:340-383 + BitmapHelperFunctions.java:63-68): an
+    itemset that passes BOTH thresholds is emitted and its values are
+    withdrawn from higher-order exploration (Action.KEEP vs NEXT), so a
+    (CAN, v1) pair is suppressed when (CAN) alone already explains the
+    outliers; order-3 candidates additionally require every order-2 subset
+    to be in the NEXT set (allPairsValid, APrioriLinear.java:404-421).
+    Default False emits the FULL passing lattice — more informative and the
+    same single-shuffle cost (the pruning is a driver-side post-pass over
+    the explanation-scale grouped relation either way)."""
     if attrs is None:
         attrs = explanation_columns(df)
     combos = _grouping_sets_sql(attrs, max_order, fd_pairs)
@@ -184,13 +214,23 @@ def diff(
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
         """
-    ).persist()
+    )
+    # The grouped relation is explanation-scale by contract (one row per
+    # surviving combo value after map-side combine), so collect it once and
+    # continue on a driver-local DataFrame: the single shuffle executes
+    # exactly once and no cache entry is left behind (no persist leak).
+    grouped_rows = grouped.collect()
+    grouped_schema = grouped.schema
     all_absent = (1 << len(attrs)) - 1
-    g_row = grouped.filter(F.col("_gid") == all_absent).collect()[0]
+    g_row = next(r for r in grouped_rows if r["_gid"] == all_absent)
     g_out, g_tot = float(g_row["outlier_count"]), float(g_row["total_count"])
     if g_out == 0.0:
-        grouped.unpersist()
         raise ValueError("no outliers — nothing to explain")
+    if containment:
+        return _containment_result(
+            df.sparkSession, grouped_rows, grouped_schema, attrs, all_absent,
+            ratio_metric, min_support, min_ratio, g_out, g_tot)
+    grouped = df.sparkSession.createDataFrame(grouped_rows, grouped_schema)
     # grouping_id disambiguates "NULL because attribute absent from this
     # grouping set" from a genuine NULL data value: keep only rows where every
     # NULL attr is a grouped-out attr, and null-valued groups are dropped
@@ -214,6 +254,71 @@ def diff(
         .orderBy(F.col(ratio_metric).desc(), *[F.col(a).asc_nulls_last() for a in attrs])
     )
     return result
+
+
+def _containment_result(spark, rows, grouped_schema, attrs, all_absent,
+                        metric, min_support, min_ratio, g_out, g_tot) -> DataFrame:
+    """Reference-faithful APriori emit/explore pass over the (driver-local,
+    explanation-scale) grouped relation. Action semantics per
+    QualityMetric.java:42-59 + Action.combine: PRUNE if support < min_support
+    (support is monotonic), KEEP if both thresholds pass (emit, withdraw from
+    exploration), else NEXT (explore supersets). An order-k candidate is only
+    considered when every (k−1)-subset is in the NEXT set of its order —
+    singleNextArray gating (BitmapHelperFunctions.java:63-68) + allPairsValid
+    (APrioriLinear.java:404-421), generalized."""
+    n_attrs = len(attrs)
+    by_order: dict[int, list] = {}
+    for r in rows:
+        gid = r["_gid"]
+        if gid == all_absent:
+            continue
+        vals = tuple(
+            (a, r[a]) for i, a in enumerate(attrs)
+            if not (gid >> (n_attrs - 1 - i)) & 1
+        )
+        if any(v is None for _, v in vals):  # encoder never emits NULL items
+            continue
+        by_order.setdefault(len(vals), []).append(
+            (vals, float(r["outlier_count"]), float(r["total_count"])))
+
+    from itertools import combinations as _comb
+
+    next_sets: dict[int, set] = {}
+    emitted: list[tuple] = []
+    for k in sorted(by_order):
+        next_k: set = set()
+        prev = next_sets.get(k - 1)
+        for vals, oc, tc in by_order[k]:
+            if k > 1 and any(frozenset(sub) not in prev
+                             for sub in _comb(vals, k - 1)):
+                continue
+            support = oc / g_out
+            if support < min_support:
+                continue  # PRUNE: support is monotonic
+            ratio = _metric_value(metric, oc, tc, g_out, g_tot)
+            if ratio >= min_ratio:
+                emitted.append((dict(vals), support, ratio, oc, tc))  # KEEP
+            else:
+                next_k.add(frozenset(vals))  # NEXT
+        next_sets[k] = next_k
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    attr_fields = {f.name: f for f in grouped_schema.fields}
+    schema = StructType(
+        [attr_fields[a] for a in attrs]
+        + [StructField("support", DoubleType()),
+           StructField(metric, DoubleType()),
+           StructField("outlier_count", DoubleType()),
+           StructField("total_count", DoubleType())]
+    )
+    data = [
+        tuple(vals.get(a) for a in attrs) + (support, ratio, oc, tc)
+        for vals, support, ratio, oc, tc in emitted
+    ]
+    out = spark.createDataFrame(data, schema)
+    return out.orderBy(F.col(metric).desc(),
+                       *[F.col(a).asc_nulls_last() for a in attrs])
 
 
 def diff_split(

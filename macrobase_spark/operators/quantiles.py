@@ -24,7 +24,13 @@ TAIL = 0.15  # use top-k path when q ≤ TAIL or q ≥ 1-TAIL
 
 def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                     n: int | None = None) -> dict[float, float]:
-    """Exact percentile_cont values for each q in qs."""
+    """Exact percentile_cont values for each q in qs.
+
+    NULLs are excluded on BOTH paths (Spark `percentile` skips them; the
+    top-k path must too, or ascending sorts would put NULLs first and the
+    count would be inflated). `n`, when passed, must be the NON-NULL count.
+    """
+    df = df.filter(F.col(col).isNotNull())
     out: dict[float, float] = {}
     mids = [q for q in qs if TAIL < q < 1.0 - TAIL]
     tails = [q for q in qs if q not in mids]

@@ -60,23 +60,33 @@ def normalize_col(df: DataFrame, col: str, output_col: str | None = None) -> Dat
 
 
 def percentile_col(df: DataFrame, col: str, output_col: str | None = None) -> DataFrame:
-    """percentile(col): per-value percentile = (1-indexed max rank)/n — the
-    max value gets exactly 1.0, ties share the max rank of the tie group.
-    Reference-exact: lib/.../analysis/MBFunction.java:139-161 (NOT the same
-    as percent_rank, which is (rank−1)/(n−1)).
+    """percentile(col): per-value percentile = (1-indexed MIN rank)/n —
+    ties share the min position of the tie group, so a unique max value gets
+    exactly 1.0. Reference-exact: lib/.../analysis/MBFunction.java:128-161
+    (the sorted-position map iterates downward, so the surviving entry per
+    value is its smallest index + 1; NOT percent_rank, which is
+    (rank−1)/(n−1), and NOT the max rank).
 
-    Spark plan: `rank` over a descending sort gives, for each tie group,
-    n − max_ascending_rank + 1; so max_asc_rank = n − rank_desc + 1.
-    Global window = single-partition sort; acceptable for the explanation
-    result sizes this is applied to; for raw-table scale use
-    (count − rank_desc + 1)/count via a groupBy on the value instead.
-    """
+    Scale-safe plan: the min ascending rank of a tie group equals the
+    cumulative row count through the PREVIOUS value + 1, so rank arithmetic
+    runs on the per-VALUE aggregate (groupBy(col).count() → running sum over
+    distinct values → join back on value). The only ordered window is over
+    distinct values — ≪ row count — instead of a single-partition sort of
+    the whole relation. NULL metric values get a NULL percentile."""
     n = df.count()
-    w = W.orderBy(F.col(col).desc())
-    return df.withColumn(
-        output_col or col,
-        (F.lit(float(n)) - F.rank().over(w) + 1.0) / F.lit(float(n)),
+    vals = df.groupBy(F.col(col).alias("_v")).agg(F.count("*").alias("_c"))
+    w = W.orderBy(F.col("_v").asc()).rowsBetween(W.unboundedPreceding, 0)
+    pct = vals.select(
+        "_v",
+        ((F.sum("_c").over(w) - F.col("_c") + F.lit(1)).cast("double")
+         / F.lit(float(n))).alias("_pct"),
     )
+    out = (
+        df.join(pct, df[col] == F.col("_v"), "left")
+        .withColumn(output_col or col, F.col("_pct"))
+        .drop("_v", "_pct")
+    )
+    return out
 
 
 def winsorize(df: DataFrame, col: str, p: float = 1.0, exact: bool = True,
@@ -180,3 +190,55 @@ def low_metric_transform(df: DataFrame, col: str) -> DataFrame:
     """Reciprocal transform for low-bounded metrics (low values anomalous).
     Reference: legacy/.../transform/LowMetricTransform.java."""
     return df.withColumn(col, F.lit(1.0) / F.col(col))
+
+
+def truncate(df: DataFrame, cols: list[str], k: int) -> DataFrame:
+    """Keep the first k metric columns, drop the rest — the reference's
+    Truncate over the metric vector (legacy/.../stats/Truncate.java:28-35).
+    Pure projection: Catalyst column pruning pushes it into the scan."""
+    drop = cols[k:]
+    return df.drop(*drop)
+
+
+def random_projection(df: DataFrame, cols: list[str], k: int,
+                      seed: int = 11, output_prefix: str = "rp_") -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the metric columns to k
+    dims: R ~ N(0, 1/n)^{k×n} sampled once (fixed seed), projection as k
+    codegen'd dot-product expressions — no UDF, one map-side pass.
+    Reference: legacy/.../stats/RandomProjection.java:36-52 (samples R from
+    N(0, diag(1/n)) once on the first batch)."""
+    import numpy as np
+
+    n = len(cols)
+    rng = np.random.default_rng(seed)
+    r = rng.normal(0.0, np.sqrt(1.0 / n), size=(k, n))
+    out = df
+    for i in range(k):
+        expr = None
+        for j, c in enumerate(cols):
+            term = F.col(c).cast("double") * F.lit(float(r[i, j]))
+            expr = term if expr is None else expr + term
+        out = out.withColumn(f"{output_prefix}{i}", expr)
+    return out
+
+
+def linear_metric_normalizer(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column min-max normalization to [0, 1], replicating the
+    reference's zero-seeded min/max accumulators (its min/max vectors start
+    at 0, so the range is [min(0, data_min), max(0, data_max)]) —
+    legacy/.../transform/LinearMetricNormalizer.java:17-50. One global
+    aggregate + a projection."""
+    aggs = []
+    for c in cols:
+        aggs += [F.least(F.lit(0.0), F.min(F.col(c).cast("double"))).alias(f"_lo_{c}"),
+                 F.greatest(F.lit(0.0), F.max(F.col(c).cast("double"))).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        lo, hi = float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])
+        if hi - lo == 0:
+            out = out.withColumn(c, F.lit(0.0))
+        else:
+            out = out.withColumn(
+                c, (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo))
+    return out

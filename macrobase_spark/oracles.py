@@ -161,7 +161,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 ORACLES["q18_percentile_udf"] = """
 WITH p AS (
   SELECT o_orderpriority,
-         (COUNT(*) OVER () - RANK() OVER (ORDER BY o_totalprice DESC) + 1.0)
+         CAST(RANK() OVER (ORDER BY o_totalprice ASC) AS DOUBLE)
            / COUNT(*) OVER () AS pct
   FROM orders
 )
@@ -533,6 +533,71 @@ ORACLES["q52_contextual_mad"] = (
     "FROM allctx\n"
     "ORDER BY outlier_rate DESC, event_type NULLS LAST, cohort NULLS LAST"
 )
+
+ORACLES["q46_fpgrowth_diff"] = """
+WITH cut AS (SELECT quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem),
+lab AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CASE WHEN l_extendedprice > (SELECT hi FROM cut) THEN 1.0 ELSE 0.0 END AS o
+        FROM lineitem),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+gs AS (SELECT array_to_string(list_sort(list_filter(
+                ['l_returnflag=' || rf, 'l_linestatus=' || ls],
+                x -> x IS NOT NULL)), ',') AS items,
+              SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY GROUPING SETS ((rf), (ls), (rf, ls)))
+SELECT items,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND(CASE WHEN tc = 0 THEN 0.0
+                  WHEN g.g_tot - tc = 0 THEN 0.0
+                  WHEN g.g_out - oc = 0 THEN CAST('inf' AS DOUBLE)
+                  ELSE (oc / tc) / ((g.g_out - oc) / (g.g_tot - tc)) END, 6)
+         AS risk_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g
+WHERE oc / g.g_out >= 0.05
+ORDER BY items
+"""
+
+ORACLES["q57_sql_diff_surface"] = """
+WITH lab AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                    CASE WHEN l_discount >= 0.08 THEN 1.0 ELSE 0.0 END AS o
+             FROM lineitem),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+-- containment (reference APriori): with min_ratio = 0 every order-1 itemset
+-- with support >= 0.01 is KEEP, so the NEXT set is empty and no order-2
+-- candidate is ever explored -> exactly the order-1 grouping sets
+gs AS (SELECT rf, ls, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY GROUPING SETS ((rf), (ls)))
+SELECT rf AS l_returnflag, ls AS l_linestatus,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g
+WHERE oc / g.g_out >= 0.01
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# q58: the SAME fixed-seed projection matrix the Spark operator samples
+import numpy as _np
+
+_rp = _np.random.default_rng(11).normal(0.0, _np.sqrt(1.0 / 3), size=(2, 3))
+_MCOLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_mm = ", ".join(
+    f"LEAST(0.0, MIN({c})) AS lo{i}, GREATEST(0.0, MAX({c})) AS hi{i}"
+    for i, c in enumerate(_MCOLS))
+_norm = ", ".join(
+    f"({c} - lo{i}) / (hi{i} - lo{i}) AS n{i}" for i, c in enumerate(_MCOLS))
+_proj = ", ".join(
+    "ROUND(" + " + ".join(f"n{j} * {_rp[i, j]!r}" for j in range(3))
+    + f", 6) AS rp_{i}" for i in range(2))
+ORACLES["q58_random_projection"] = f"""
+WITH mm AS (SELECT {_mm} FROM lineitem),
+n AS (SELECT l_orderkey, l_linenumber, {_norm} FROM lineitem, mm)
+SELECT l_orderkey, l_linenumber, {_proj}
+FROM n ORDER BY l_orderkey, l_linenumber LIMIT 2000
+"""
 
 ORACLES["q35_ngram_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),

@@ -2,8 +2,8 @@
 table (doc_id, text): exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 All shuffle-aware by construction:
-- exact dedup: hash-groupBy on a 128-bit content key (map-side combine; no
-  text shuffled, only digests).
+- exact dedup: keep/drop decided on an (id, digest) projection — text never
+  enters a shuffle; only the (typically tiny) drop-id set joins back.
 - MinHash+LSH: signatures via one Arrow pass → band → bucket-join → verify.
   Candidate generation never compares all pairs: only docs sharing a band
   bucket meet, so cost is Σ_bucket |bucket|² (bounded by banding params).
@@ -17,29 +17,72 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from macrobase_spark.functions.text import fingerprint, ngrams, tokenize_expr
 
-# 64-bit MinHash over xxhash64 token hashes with fixed odd multipliers:
-# h_i(x) = (a_i * x + b_i) mod 2^61-1  (Mersenne prime)
+# 64-bit MinHash over xxhash64 token hashes with the universal hash family
+# h_i(x) = (a_i * x + b_i) mod 2^61-1  (Mersenne prime) — computed EXACTLY
+# (no 2^64 wrap-around) via a 32-bit split multiply, see _mulmod_m61.
 _MERSENNE = (1 << 61) - 1
+_P64 = np.uint64(_MERSENNE)
+
+
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values mod 2^61-1 (two shift-add folds: 2^61 ≡ 1)."""
+    x = (x >> np.uint64(61)) + (x & _P64)
+    x = (x >> np.uint64(61)) + (x & _P64)
+    return np.where(x >= _P64, x - _P64, x)
+
+
+def _mulmod_m61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a*h) mod (2^61-1) exactly, in pure uint64 numpy (no 128-bit ints).
+
+    Both operands must already be < 2^61. Split into 32-bit halves:
+    a·h = a1·h1·2^64 + (a1·h0 + a0·h1)·2^32 + a0·h0, then reduce each term
+    with 2^61 ≡ 1 (mod p): 2^64 ≡ 8, and m·2^32 = (m>>29) + (m&(2^29-1))·2^32.
+    Every intermediate provably fits in uint64 (a1,h1 < 2^29 ⇒ hi < 2^58,
+    mid < 2^62, lo < 2^64)."""
+    mask32 = np.uint64(0xFFFFFFFF)
+    a1, a0 = a >> np.uint64(32), a & mask32
+    h1, h0 = h >> np.uint64(32), h & mask32
+    hi = a1 * h1
+    mid = a1 * h0 + a0 * h1
+    lo = a0 * h0
+    t_hi = hi << np.uint64(3)                        # hi·2^64 ≡ hi·8
+    m1 = mid >> np.uint64(29)
+    m0 = mid & np.uint64((1 << 29) - 1)
+    t_mid = m1 + (m0 << np.uint64(32))               # mid·2^32 ≡ m1 + m0·2^32
+    t_lo = (lo >> np.uint64(61)) + (lo & _P64)
+    return _mod_m61(t_hi + t_mid + t_lo)             # sum < 3·2^61 < 2^64
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 normalize: bool = True) -> DataFrame:
     """Keep one representative (min id) per exact-content group.
-    Key = md5 of (normalized) text; duplicates never shuffle their text."""
+
+    Scale shape: the keep/drop decision is computed on an (id, digest)
+    projection only — document text NEVER enters a shuffle. The drop set
+    (ids of non-representative duplicates) is usually tiny relative to the
+    corpus (only actual duplicates), so the final anti-join broadcasts it
+    under AQE; the worst case (mostly-duplicate corpus) degrades to one
+    uniform id-keyed shuffle of the drop ids, still never the text."""
     key = fingerprint(text_col) if normalize else F.md5(F.col(text_col))
-    keyed = df.withColumn("_key", key)
-    reps = keyed.groupBy("_key").agg(F.min(id_col).alias(id_col))
-    return keyed.join(reps, [id_col, "_key"], "inner").drop("_key")
+    ids = df.select(F.col(id_col), key.alias("_key"))
+    min_w = W.partitionBy("_key")
+    drop_ids = (
+        ids.withColumn("_keep", F.min(id_col).over(min_w))
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
+    return df.join(drop_ids, id_col, "left_anti")
 
 
 def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64) | 1
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -50,21 +93,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     Shingling + base hashing stays JVM-side (xxhash64 over exploded shingle
     arrays would shuffle; instead we compute the signature in one Arrow pass
-    per doc via numpy broadcasting: sig = min over shingles of (a·h+b) mod p).
-    """
+    per doc via numpy broadcasting: sig = min over shingles of (a·h+b) mod p,
+    computed EXACTLY in the Mersenne field — see _mulmod_m61 — so the
+    universal-family Jaccard-estimation guarantee holds)."""
     a, b = _minhash_params(num_hashes, seed)
 
     def sig_batch(it):
         for pdf in it:
             out = []
             for hashes in pdf["_sh"]:
-                h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+                h = _mod_m61(np.asarray(hashes, dtype=np.int64).astype(np.uint64))
                 if h.size == 0:
                     out.append(np.full(num_hashes, np.iinfo(np.int64).max).tolist())
                     continue
-                # (a[:,None]*h[None,:] + b[:,None]) mod p, min over shingles
-                prod = (a.astype(np.uint64)[:, None] * h[None, :] +
-                        b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+                # min over shingles of (a·h + b) mod p, exact field arithmetic
+                prod = _mod_m61(_mulmod_m61(a[:, None], h[None, :]) + b[:, None])
                 out.append(prod.min(axis=1).astype(np.int64).tolist())
             yield pdf.drop(columns=["_sh"]).assign(signature=out)
 
@@ -185,25 +228,50 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, min_jaccard: float = 0.8) -> DataFrame:
+                        n: int = 3, min_jaccard: float = 0.8,
+                        max_df: int = 4096) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: shingle-explode → inverted join
     (docs sharing a shingle) → count shared → |A∩B|/(|A|+|B|−|A∩B|).
-    Quadratic only within shingle posting lists (prune ubiquitous shingles
-    upstream if needed)."""
+
+    Hot-shingle guard (the index builder's hot-term pattern): a shingle in
+    > max_df docs would create a |df|²-pair bucket in the self-join (one
+    boilerplate shingle shared by 1% of a 10⁹-doc corpus ⇒ 10¹⁴ pairs), so
+    candidate generation runs on COLD shingles only. Hot shingles still
+    count toward the EXACT intersection: each doc carries its (small) hot-
+    shingle set as an array and candidate pairs add |hot_a ∩ hot_b|.
+    Reported jaccard values are exact; the only recall loss is pairs whose
+    entire overlap is ubiquitous shingles (≤ #postings/max_df shingles are
+    hot by construction, so the per-doc hot arrays stay tiny)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(ngrams(text_col, n))).alias("sh"),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    l, r = sh.alias("l"), sh.alias("r")
+    hot = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df).select("sh")
+    )
+    cold = sh.join(F.broadcast(hot), "sh", "left_anti")
+    hot_sets = (
+        sh.join(F.broadcast(hot), "sh", "left_semi")
+        .groupBy("_id").agg(F.sort_array(F.collect_set("sh")).alias("_hot"))
+    )
+    l, r = cold.alias("l"), cold.alias("r")
     inter = (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l._id") < F.col("r._id")))
         .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .agg(F.count("*").cast("double").alias("inter"))
+        .agg(F.count("*").cast("double").alias("inter_cold"))
     )
+    empty = F.array().cast("array<string>")
     with_sz = (
         inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .join(hot_sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_hot", "_hot_a"),
+              "id_a", "left")
+        .join(hot_sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_hot", "_hot_b"),
+              "id_b", "left")
+        .withColumn("inter", F.col("inter_cold") + F.size(F.array_intersect(
+            F.coalesce("_hot_a", empty), F.coalesce("_hot_b", empty))).cast("double"))
     )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (

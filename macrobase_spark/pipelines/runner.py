@@ -1,0 +1,132 @@
+"""Config-driven pipeline runner — the reference's YAML entry point
+(`java ... BasicBatchPipeline batch.yaml`) re-expressed over the Spark
+operators.
+
+Reference contracts:
+- BasicBatchPipeline (core/.../pipeline/BasicBatchPipeline.java:33-215):
+  load → classifier(percentile|predicate|countmeanshift) →
+  summarizer(apriori/aplinear|fpgrowth|countmeanshift) → explanation.
+- CubePipeline (core/.../pipeline/CubePipeline.java:60-139): pre-aggregated
+  cube input with a count column; classifiers arithmetic|quantile|
+  countmeanshift; APL summarizer weighted by the count column.
+- PipelineConfig key names and defaults match the reference YAML surface
+  (core/demo/batch.yaml), so a reference user's config file runs as-is:
+  `run_pipeline(spark, "batch.yaml")`.
+
+inputURI schemes: csv://path, parquet://path, table://registered_view.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_RATIO_MAP = {
+    "globalratio": "global_ratio",
+    "global_ratio": "global_ratio",
+    "riskratio": "risk_ratio",
+    "risk_ratio": "risk_ratio",
+    "prevalenceratio": "prevalence_ratio",
+    "prevalence_ratio": "prevalence_ratio",
+}
+
+
+def load_config(conf) -> dict:
+    if isinstance(conf, dict):
+        return dict(conf)
+    with open(conf) as f:
+        text = f.read()
+    try:
+        import yaml
+
+        return yaml.safe_load(text)
+    except ImportError:
+        import json
+
+        return json.loads(text)
+
+
+def _load_input(spark: SparkSession, uri: str, base_dir: str | None) -> DataFrame:
+    scheme, _, path = uri.partition("://")
+    if scheme == "table":
+        return spark.table(path)
+    if not os.path.isabs(path) and base_dir:
+        path = os.path.join(base_dir, path)
+    if scheme == "csv":
+        return spark.read.option("header", "true").option(
+            "inferSchema", "true").csv(path)
+    if scheme == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported inputURI scheme: {uri!r}")
+
+
+def run_pipeline(spark: SparkSession, conf, base_dir: str | None = None) -> DataFrame:
+    """Run a reference-style pipeline config; returns the explanation
+    DataFrame (same output contract as diff())."""
+    from macrobase_spark.operators.classify import (
+        classify_arithmetic_cubed, classify_count_mean_shift,
+        classify_percentile, classify_predicate, classify_quantile_cubed,
+    )
+    from macrobase_spark.operators.diff import diff, diff_count_mean_shift
+    from macrobase_spark.operators.fpgrowth import fpgrowth_diff
+
+    c = load_config(conf)
+    kind = c.get("pipeline", "BasicBatchPipeline").lower()
+    df = _load_input(spark, c["inputURI"], base_dir)
+    attrs = list(c["attributes"])
+    metric_name = _RATIO_MAP[c.get("ratioMetric", "globalratio").lower()]
+    min_support = float(c.get("minSupport", 0.01))
+    min_ratio = float(c.get("minRatioMetric", 3.0))
+    max_order = int(c.get("maxOrder", 3))
+    classifier = c.get("classifier", "percentile").lower()
+    summarizer = c.get("summarizer", "apriori").lower()
+
+    if kind == "cubepipeline":
+        count_col = c.get("countColumn", "count")
+        if classifier == "arithmetic":
+            labeled = classify_arithmetic_cubed(
+                df, count_col, c["meanColumn"], c["stdColumn"],
+                percentile=float(c.get("cutoff", 1.0)))
+        elif classifier == "quantile":
+            labeled = classify_quantile_cubed(
+                df, count_col, dict(c["quantileColumns"]),
+                percentile=float(c.get("cutoff", 1.0)))
+        else:
+            raise ValueError(f"unsupported cube classifier: {classifier!r}")
+        return diff(labeled, attrs, outlier_col="_OUTLIER",
+                    count_col=count_col, min_support=min_support,
+                    ratio_metric=metric_name, min_ratio=min_ratio,
+                    max_order=max_order)
+
+    # BasicBatchPipeline
+    metric = c.get("metric")
+    if classifier == "percentile":
+        labeled = classify_percentile(
+            df, metric, percentile=float(c.get("cutoff", 1.0)),
+            include_high=bool(c.get("includeHi", True)),
+            include_low=bool(c.get("includeLo", True)))
+    elif classifier == "predicate":
+        labeled = classify_predicate(
+            df, metric, c.get("predicate", "==").strip(), c["cutoff"])
+    elif classifier == "countmeanshift":
+        labeled = classify_count_mean_shift(
+            df, metric, c["meanColumn"], c.get("predicate", "==").strip(),
+            c["cutoff"])
+    else:
+        raise ValueError(f"unsupported classifier: {classifier!r}")
+
+    if summarizer in ("apriori", "aplinear"):
+        return diff(labeled, attrs, min_support=min_support,
+                    ratio_metric=metric_name, min_ratio=min_ratio,
+                    max_order=max_order)
+    if summarizer == "fpgrowth":
+        return fpgrowth_diff(labeled, attrs, min_support=min_support,
+                             min_risk_ratio=min_ratio, max_order=max_order)
+    if summarizer == "countmeanshift":
+        return diff_count_mean_shift(
+            labeled, attrs, min_support=min_support,
+            min_mean_shift=float(c.get("meanShiftRatio", 1.0)),
+            max_order=max_order)
+    raise ValueError(f"unsupported summarizer: {summarizer!r}")

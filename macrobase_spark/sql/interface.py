@@ -1,0 +1,349 @@
+"""MacroBase SQL — the reference's SQL dialect over the Spark engine.
+
+The reference's primary UX is a SQL REPL with three extensions on top of
+ANSI SQL (grammar: sql/src/main/antlr4/.../SqlBase.g4; engine:
+sql/src/main/java/.../QueryEngine.java):
+
+1. `IMPORT FROM CSV FILE '<path>' INTO tbl(col type, ...)`  (SqlBase.g4:33-34)
+2. `SELECT * FROM DIFF (<rel>) [alias], (<rel>) [alias] | (SPLIT <rel> WHERE
+   <pred>) ON <cols|*> [WITH MIN RATIO r MIN SUPPORT s] [COMPARE BY
+   metric(COUNT(*))] [MAX COMBO k] [ORDER BY ...] [LIMIT n]
+   [INTO OUTFILE '<f>']`  (SqlBase.g4:67-112; QueryEngine.java:140-253)
+3. the scalar UDF `percentile(col)` usable in SELECT and (via its alias) in
+   WHERE — evaluated over the FULL relation before filtering
+   (QueryEngine.java:1016-1060, 1150-1165; MBFunction.java:139-161)
+
+Everything else is delegated verbatim to `spark.sql` — Catalyst handles the
+standard relational surface, so this layer is a thin translator, not a SQL
+engine. DIFF subqueries/SPLIT relations are evaluated through the same
+translator, so DIFF composes with joins (the diff-joins golden corpus).
+
+DIFF defaults replicate the reference: MIN SUPPORT 0.2, MIN RATIO 1.5,
+MAX COMBO 3, metric global_ratio (DiffQuerySpecification.java:31-36).
+
+Reference quirk kept: `a JOIN b ON col` (bare column, no equality) means
+USING(col) in the reference grammar — rewritten accordingly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TYPE_MAP = {
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "int": "int",
+    "integer": "int",
+    "bigint": "long",
+    "long": "long",
+    "boolean": "boolean",
+}
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split on ';' outside single-quoted strings."""
+    out, cur, in_str = [], [], False
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+            cur.append(ch)
+        elif ch == ";" and not in_str:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx (quote-aware)."""
+    depth, in_str = 0, False
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+    raise ValueError(f"unbalanced parentheses in: {s!r}")
+
+
+_IMPORT_RE = re.compile(
+    r"^\s*IMPORT\s+FROM\s+CSV\s+FILE\s+'(?P<path>[^']+)'\s+INTO\s+"
+    r"(?P<table>\w+)\s*(?:\(\s*(?P<cols>[^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OUTFILE_RE = re.compile(r"\s+INTO\s+OUTFILE\s+'(?P<path>[^']+)'\s*$",
+                         re.IGNORECASE)
+_DIFF_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+DIFF\s+", re.IGNORECASE | re.DOTALL)
+_BARE_ON_RE = re.compile(
+    r"(\bJOIN\s+\w+(?:\s+\w+)?)\s+ON\s+(\w+)(?!\s*(?:=|\.|<|>|!))",
+    re.IGNORECASE)
+_PCT_RE = re.compile(r"percentile\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+
+
+class MacroBaseSQL:
+    """Executes MacroBase SQL text against a SparkSession.
+
+    Tables come from `IMPORT FROM CSV` statements or from any temp view
+    already registered on the session (`df.createOrReplaceTempView`)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir or os.getcwd()
+        self.last_outfile: str | None = None
+        self._view_n = 0
+
+    # ------------------------------------------------------------- public
+
+    def execute(self, text: str) -> DataFrame | None:
+        """Run one or more ';'-separated statements; returns the last
+        statement's DataFrame (IMPORTs return the imported table)."""
+        result = None
+        for stmt in _split_statements(text):
+            result = self._execute_one(stmt)
+        return result
+
+    # ---------------------------------------------------------- internals
+
+    def _fresh_view(self, tag: str) -> str:
+        self._view_n += 1
+        return f"_mbsql_{tag}_{self._view_n}"
+
+    def _execute_one(self, stmt: str) -> DataFrame:
+        m = _IMPORT_RE.match(stmt)
+        if m:
+            return self._import_csv(m)
+        stmt, outfile = self._strip_outfile(stmt)
+        if _DIFF_RE.match(stmt):
+            df = self._diff_query(stmt)
+        else:
+            df = self._plain_query(stmt)
+        if outfile:
+            self.last_outfile = outfile
+        return df
+
+    def _strip_outfile(self, stmt: str) -> tuple[str, str | None]:
+        m = _OUTFILE_RE.search(stmt)
+        if not m:
+            return stmt, None
+        return stmt[: m.start()], m.group("path")
+
+    def _import_csv(self, m: re.Match) -> DataFrame:
+        path = m.group("path")
+        if not os.path.isabs(path):
+            path = os.path.normpath(os.path.join(self.base_dir, path))
+        table = m.group("table")
+        cols = m.group("cols")
+        reader = self.spark.read.option("header", "true")
+        df = reader.csv(path)
+        if cols:
+            casts = []
+            for colspec in cols.split(","):
+                name, typ = colspec.split()
+                casts.append(F.col(name).cast(_TYPE_MAP[typ.lower()]).alias(name))
+            df = df.select(*casts)
+        df.createOrReplaceTempView(table)
+        return df
+
+    # ------------------------------------------------------------- plain
+
+    def _plain_query(self, stmt: str) -> DataFrame:
+        stmt = _BARE_ON_RE.sub(lambda m: f"{m.group(1)} USING ({m.group(2)})", stmt)
+        stmt = self._qualify_join_dups(stmt)
+        if _PCT_RE.search(stmt):
+            stmt = self._rewrite_percentile(stmt)
+        return self.spark.sql(stmt)
+
+    def _qualify_join_dups(self, stmt: str) -> str:
+        """`SELECT * FROM a JOIN b USING (c)` where a and b share NON-join
+        columns: the reference qualifies the ambiguous outputs as `a.x` /
+        `b.x` (QueryEngine.java:712-752) — replicate by expanding * into an
+        explicit projection with those aliases."""
+        jm = re.match(
+            r"^\s*SELECT\s+\*\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+"
+            r"USING\s*\(([^)]*)\)(.*)$",
+            stmt, re.IGNORECASE | re.DOTALL)
+        if not jm:
+            return stmt
+        t1, t2, using, tail = jm.groups()
+        join_cols = [c.strip() for c in using.split(",")]
+        c1 = self.spark.table(t1).columns
+        c2 = self.spark.table(t2).columns
+        dups = (set(c1) & set(c2)) - set(join_cols)
+        if not dups:
+            return stmt
+        sel = list(join_cols)
+        for t, cs in ((t1, c1), (t2, c2)):
+            sel += [f"{t}.{c} AS `{t}.{c}`" if c in dups else c
+                    for c in cs if c not in join_cols]
+        return (f"SELECT {', '.join(sel)} FROM {t1} JOIN {t2} "
+                f"USING ({using}){tail}")
+
+    def _rewrite_percentile(self, stmt: str) -> str:
+        """Evaluate percentile(col) over the FULL base relation, then make
+        it (and its SELECT alias) visible to WHERE — the reference computes
+        UDF columns before applying the predicate (QueryEngine.java:1150-65).
+        """
+        from macrobase_spark.operators.transform import percentile_col
+
+        m = re.search(
+            r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>\w+)"
+            r"(?:\s+WHERE\s+(?P<where>.*?))?"
+            r"(?P<tail>\s+(?:ORDER|GROUP|LIMIT)\b.*)?$",
+            stmt, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot rewrite percentile() in: {stmt!r}")
+        table, sel = m.group("table"), m.group("select")
+        where, tail = m.group("where"), m.group("tail") or ""
+        base = self.spark.table(table)
+        aug = base
+        subs: dict[str, str] = {}
+        for col in {c.lower() for c in _PCT_RE.findall(stmt)}:
+            out = f"__pct_{col}"
+            aug = percentile_col(aug, col, output_col=out)
+            subs[col] = out
+        view = self._fresh_view("pct")
+        aug.createOrReplaceTempView(view)
+
+        aliases: dict[str, str] = {}
+
+        def sub_pct(match: re.Match) -> str:
+            return subs[match.group(1).lower()]
+
+        # SELECT items: replace percentile(c); bare (unaliased) occurrences
+        # keep the reference's output column name `percentile(c)`.
+        items = []
+        for item in re.split(r",(?![^()]*\))", sel):
+            item = item.strip()
+            if item == "*":  # expand against the BASE columns (the augmented
+                items.append(", ".join(base.columns))  # view adds __pct_*)
+                continue
+            pm = _PCT_RE.fullmatch(item)
+            if pm:  # bare `percentile(usage)` — name the column like the ref
+                col = pm.group(1).lower()
+                items.append(f"{subs[col]} AS `percentile({col})`")
+                continue
+            am = re.fullmatch(r"(?is)" + _PCT_RE.pattern + r"\s+AS\s+(\w+)", item)
+            if am:
+                col, alias = am.group(1).lower(), am.group(2)
+                aliases[alias] = subs[col]
+                items.append(f"{subs[col]} AS {alias}")
+                continue
+            items.append(_PCT_RE.sub(sub_pct, item))
+        new_sel = ", ".join(items)
+        if where:
+            where = _PCT_RE.sub(sub_pct, where)
+            for alias, expr in aliases.items():
+                where = re.sub(rf"\b{alias}\b", expr, where)
+            return f"SELECT {new_sel} FROM {view} WHERE {where}{tail}"
+        return f"SELECT {new_sel} FROM {view}{tail}"
+
+    # -------------------------------------------------------------- DIFF
+
+    def _diff_query(self, stmt: str) -> DataFrame:
+        from macrobase_spark.operators.diff import diff, diff_split
+
+        m = _DIFF_RE.match(stmt)
+        select_items = m.group("select")
+        rest = stmt[m.end():].lstrip()
+
+        min_support, min_ratio, max_combo = 0.2, 1.5, 3
+        metric = "global_ratio"
+
+        if re.match(r"^\(\s*SPLIT\b", rest, re.IGNORECASE | re.DOTALL):
+            close = _match_paren(rest, rest.index("("))
+            split_body = rest[rest.index("(") + 1: close]
+            rest = rest[close + 1:].lstrip()
+            sm = re.match(r"^\s*SPLIT\s+(?P<rel>.+?)\s+WHERE\s+(?P<pred>.+)$",
+                          split_body, re.IGNORECASE | re.DOTALL)
+            rel_txt, pred = sm.group("rel").strip(), sm.group("pred").strip()
+            rel = self._relation(rel_txt)
+            mode = ("split", rel, pred)
+        else:
+            first, rest = self._take_subquery(rest)
+            am = re.match(r"^\s*(\w+)?\s*,\s*", rest)
+            rest = rest[am.end():].lstrip()
+            second, rest = self._take_subquery(rest)
+            rest = rest.lstrip()
+            am2 = re.match(r"^(\w+)\s+", rest)
+            if am2 and am2.group(1).upper() != "ON":  # trailing alias
+                rest = rest[am2.end():]
+            mode = ("two", first, second)
+
+        om = re.match(r"^\s*ON\s+(?P<cols>\*|[\w\s,]+?)"
+                      r"(?=\s+(?:WITH|COMPARE|MAX|ORDER|LIMIT)\b|\s*$)",
+                      rest, re.IGNORECASE | re.DOTALL)
+        if not om:
+            raise ValueError(f"DIFF query missing ON clause: {stmt!r}")
+        cols_txt = om.group("cols").strip()
+        attrs = None if cols_txt == "*" else [c.strip() for c in cols_txt.split(",")]
+        rest = rest[om.end():]
+
+        rm = re.search(r"MIN\s+RATIO\s+([\d.eE+-]+)", rest, re.IGNORECASE)
+        if rm:
+            min_ratio = float(rm.group(1))
+        sm_ = re.search(r"MIN\s+SUPPORT\s+([\d.eE+-]+)", rest, re.IGNORECASE)
+        if sm_:
+            min_support = float(sm_.group(1))
+        cm = re.search(r"COMPARE\s+BY\s+(\w+)\s*(?:\([^)]*\))?", rest, re.IGNORECASE)
+        if cm:
+            metric = cm.group(1).lower()
+        mm = re.search(r"MAX\s+COMBO\s+(\d+)", rest, re.IGNORECASE)
+        if mm:
+            max_combo = int(mm.group(1))
+
+        # containment=True: reference APriori emit/explore semantics — an
+        # itemset covered by an already-passing subset is suppressed
+        kwargs = dict(min_support=min_support, ratio_metric=metric,
+                      min_ratio=min_ratio, max_order=max_combo,
+                      containment=True)
+        if mode[0] == "split":
+            result = diff_split(mode[1], F.expr(mode[2]), attrs, **kwargs)
+        else:
+            outliers = mode[1].withColumn("_OUTLIER", F.lit(1.0))
+            inliers = mode[2].withColumn("_OUTLIER", F.lit(0.0))
+            result = diff(outliers.unionByName(inliers), attrs, **kwargs)
+
+        # outer SELECT / ORDER BY / LIMIT over the explanation relation
+        order_m = re.search(r"ORDER\s+BY\s+(?P<ob>[\w\s,]+?(?:\s+(?:ASC|DESC))?)\s*"
+                            r"(?=LIMIT\b|$)", rest, re.IGNORECASE)
+        limit_m = re.search(r"LIMIT\s+(\d+)", rest, re.IGNORECASE)
+        needs_sql = (select_items.strip() != "*") or order_m or limit_m
+        if not needs_sql:
+            return result
+        view = self._fresh_view("diff")
+        result.createOrReplaceTempView(view)
+        q = f"SELECT {select_items} FROM {view}"
+        if order_m:
+            q += f" ORDER BY {order_m.group('ob').strip()}"
+        if limit_m:
+            q += f" LIMIT {limit_m.group(1)}"
+        return self.spark.sql(q)
+
+    def _take_subquery(self, s: str) -> tuple[DataFrame, str]:
+        """Parse a leading '(query)' group; returns (DataFrame, remainder)."""
+        if not s.startswith("("):
+            raise ValueError(f"expected '(' at start of DIFF relation: {s!r}")
+        close = _match_paren(s, 0)
+        inner = s[1:close].strip()
+        return self._relation(inner), s[close + 1:]
+
+    def _relation(self, txt: str) -> DataFrame:
+        """A relation: bare table name, or any SELECT handled recursively."""
+        if re.fullmatch(r"\w+", txt):
+            return self.spark.table(txt)
+        if txt.startswith("(") and txt.endswith(")"):
+            return self._relation(txt[1:-1].strip())
+        return self._execute_one(txt)

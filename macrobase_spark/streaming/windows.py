@@ -26,12 +26,18 @@ from pyspark.sql import Window as W
 
 
 def moving_average(df: DataFrame, ts_col: str, value_col: str,
-                   window_seconds: int, output_col: str = "moving_avg") -> DataFrame:
-    """Trailing time-range moving average (reference MovingAverage pane avg)."""
-    w = (
-        W.orderBy(F.col(ts_col).cast("long"))
-        .rangeBetween(-window_seconds, 0)
-    )
+                   window_seconds: int, output_col: str = "moving_avg",
+                   partition_by: list[str] | None = None) -> DataFrame:
+    """Trailing time-range moving average (reference MovingAverage pane avg).
+
+    `partition_by` names the series keys (sensor id, user id, …): each series
+    sorts independently, so the plan scales with the number of series. A
+    global average (partition_by=None) funnels every row through ONE task —
+    only acceptable on explanation-size relations; at raw-table scale always
+    pass the series keys (or pre-aggregate to panes and average the pane
+    series, which is the reference's own pane semantics)."""
+    w = W.partitionBy(*partition_by) if partition_by else W.partitionBy()
+    w = w.orderBy(F.col(ts_col).cast("long")).rangeBetween(-window_seconds, 0)
     return df.withColumn(output_col, F.avg(value_col).over(w))
 
 

@@ -182,6 +182,38 @@ def test_incremental_update_rank_identical(spark, tmp_path):
             assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
 
 
+def test_update_path_hot_term_sharded(spark, tmp_path):
+    """The LSM update path must NOT funnel a hot term through one reducer:
+    the delta's postings for a hot term are salted across (term, salt)
+    encoders and appended as MULTIPLE segment rows; existing blobs are not
+    rewritten. Compaction then merges back to one row per term."""
+    from macrobase_spark.index.build import compact_index, update_index
+
+    base = with_doc_id(synth_transcripts(spark, n_convs=60, seed=42)).cache()
+    extra = with_doc_id(
+        synth_transcripts(spark, n_convs=120, seed=42)
+    ).filter(F.col("conv_id") >= "conv00000060").cache()
+    out = str(tmp_path / "shard_idx")
+    build_index(base, out, num_buckets=8, hot_df_threshold=120,
+                hot_sample_frac=0.5, salt_partitions=4)
+    postings0, _, stats0 = read_index(spark, out)
+    assert "the" in stats0["hot_terms"]
+    base_rows = postings0.filter(F.col("term") == "the").count()
+    assert base_rows == 1
+
+    update_index(extra, out)
+    postings1, _, stats1 = read_index(spark, out)
+    seg_rows = postings1.filter(F.col("term") == "the").count()
+    # base row + >1 salted delta segments → the delta was encoded in parallel
+    assert seg_rows > 2, f"hot-term delta not sharded: {seg_rows} rows"
+    assert stats1["segmented_buckets"]
+
+    compact_index(spark, out)
+    postings2, _, stats2 = read_index(spark, out)
+    assert postings2.filter(F.col("term") == "the").count() == 1
+    assert stats2["segmented_buckets"] == []
+
+
 def test_compaction_restores_pruning(spark, tmp_path):
     """After update_index + compact_index, every bucket is at the current
     version (pruning re-enabled) and queries remain rank+score identical."""

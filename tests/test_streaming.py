@@ -84,39 +84,82 @@ def test_structured_streaming_micro_batch(spark, stream, tmp_path):
 
 
 def test_stateful_decayed_diff(spark, tmp_path):
-    """applyInPandasWithState: decayed per-key counters across two
-    micro-batches must equal the hand-computed decay recurrence."""
+    """applyInPandasWithState with EVENT-TIME decay periods: counters across
+    two micro-batches must equal the hand-computed decay recurrence with
+    decay**(elapsed periods); a key idle while the watermark advances must
+    ALSO decay (event-time timeout tick), not stay frozen; the multi-column
+    key keeps attribute values as separate typed columns."""
     import time
 
     from macrobase_spark.streaming.stateful import streaming_decayed_diff
 
     src = str(tmp_path / "src")
-    schema = "a0 string, _OUTLIER double"
+    schema = "a0 string, a1 string, ts timestamp, _OUTLIER double"
+    t0 = pd.Timestamp("2025-01-01 00:00:05").to_pydatetime()  # 60 s periods
+    t2 = pd.Timestamp("2025-01-01 00:02:05").to_pydatetime()  # +2 periods
     batch1 = spark.createDataFrame(
-        [("x", 1.0)] * 6 + [("x", 0.0)] * 4 + [("y", 0.0)] * 10, schema)
+        [("x", "u", t0, 1.0)] * 6 + [("x", "u", t0, 0.0)] * 4
+        + [("y", "v", t0, 0.0)] * 10, schema)
     batch1.coalesce(1).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    out = streaming_decayed_diff(stream, ["a0"], decay=0.5)
+    out = streaming_decayed_diff(stream, ["a0", "a1"], ts_col="ts",
+                                 decay=0.5, period_seconds=60)
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName("decayed").start())
     try:
         q.processAllAvailable()
-        r1 = {r["key"]: r for r in spark.sql("SELECT * FROM decayed").collect()}
-        assert r1["x"]["outlier_decayed"] == 6.0
-        assert r1["x"]["total_decayed"] == 10.0
+        r1 = {(r["a0"], r["a1"]): r for r in spark.sql("SELECT * FROM decayed").collect()}
+        assert r1[("x", "u")]["outlier_decayed"] == 6.0
+        assert r1[("x", "u")]["total_decayed"] == 10.0
+        assert r1[("y", "v")]["total_decayed"] == 10.0
 
-        batch2 = spark.createDataFrame([("x", 0.0)] * 10, schema)
+        # batch 2: x gets data at period 2; y stays idle but the watermark
+        # advances past its period-1 timeout → event-time tick
+        batch2 = spark.createDataFrame([("x", "u", t2, 0.0)] * 10, schema)
         batch2.coalesce(1).write.mode("append").parquet(src)
         time.sleep(0.5)
         q.processAllAvailable()
-        rows = spark.sql(
-            "SELECT * FROM decayed WHERE key = 'x' ORDER BY n_batches DESC"
-        ).collect()
-        latest = rows[0]
-        # decay 0.5: o = 6*0.5 + 0 = 3; t = 10*0.5 + 10 = 15
-        assert latest["outlier_decayed"] == 3.0
-        assert latest["total_decayed"] == 15.0
-        assert abs(latest["ratio"] - 0.2) < 1e-12
+        # absolute epoch-based period index (naive ts == UTC: session TZ
+        # pinned, pandas .value is ns-since-epoch for naive timestamps)
+        p0 = int(pd.Timestamp(t0).value // 10 ** 9 // 60)
+        latest = spark.sql(
+            "SELECT * FROM decayed WHERE a0 = 'x' ORDER BY period DESC"
+        ).collect()[0]
+        # two elapsed periods at decay 0.5: o = 6*0.25; t = 10*0.25 + 10
+        assert latest["period"] == p0 + 2
+        assert latest["outlier_decayed"] == 1.5
+        assert latest["total_decayed"] == 12.5
+        assert abs(latest["ratio"] - 0.12) < 1e-12
+        idle = spark.sql(
+            "SELECT * FROM decayed WHERE a0 = 'y' ORDER BY period DESC"
+        ).collect()[0]
+        assert idle["period"] == p0 + 2
+        assert idle["total_decayed"] == 10.0 * 0.25
+    finally:
+        q.stop()
+
+
+def test_stateful_decayed_diff_no_key_collision(spark, tmp_path):
+    """('ab','c') and ('a','bc') are distinct keys (the old concat-based key
+    collided them)."""
+    from macrobase_spark.streaming.stateful import streaming_decayed_diff
+
+    src = str(tmp_path / "src2")
+    schema = "a0 string, a1 string, ts timestamp, _OUTLIER double"
+    t0 = pd.Timestamp("2025-01-01 00:00:05").to_pydatetime()
+    spark.createDataFrame(
+        [("ab", "c", t0, 1.0)] * 3 + [("a", "bc", t0, 0.0)] * 5, schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_decayed_diff(stream, ["a0", "a1"], ts_col="ts", decay=1.0)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("collide").start())
+    try:
+        q.processAllAvailable()
+        rows = {(r["a0"], r["a1"]): r for r in
+                spark.sql("SELECT * FROM collide").collect()}
+        assert rows[("ab", "c")]["total_decayed"] == 3.0
+        assert rows[("a", "bc")]["total_decayed"] == 5.0
     finally:
         q.stop()
