@@ -966,6 +966,51 @@ def q58_random_projection(spark, sf):
     )
 
 
+def q59_embedding_dedup(spark, sf):
+    """Embedding-cosine near-dup pairs (§ dedup family, exact baseline —
+    the oracle twin of the LSH scale path; LSH recall pytest-verified)."""
+    from macrobase_spark.pipelines.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 250)
+    pairs = embedding_cosine_pairs(emb, threshold=0.25, method="exact")
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+def q60_pipeline_runner(spark, sf):
+    """Config-driven pipeline (§3.2 BasicBatchPipeline YAML contract):
+    percentile classify → aplinear DIFF, from a reference-style config
+    dict — SQL-expressible, hash-gated."""
+    from macrobase_spark.pipelines.runner import run_pipeline
+
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_q60")
+    conf = {
+        "pipeline": "BasicBatchPipeline",
+        "inputURI": "table://lineitem_q60",
+        "classifier": "percentile",
+        "metric": "l_extendedprice",
+        "cutoff": 1.0,
+        "includeHi": True,
+        "includeLo": True,
+        "summarizer": "aplinear",
+        "attributes": ["l_returnflag", "l_linestatus"],
+        "ratioMetric": "globalratio",
+        "minRatioMetric": 0.0,
+        "minSupport": 0.01,
+        "maxOrder": 2,
+    }
+    expl = run_pipeline(spark, conf)
+    return expl.select(
+        "l_returnflag", "l_linestatus",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy(F.col("l_returnflag").asc_nulls_last(),
+              F.col("l_linestatus").asc_nulls_last())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_project_filter": q01_scan_project_filter,
@@ -1026,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_mcd_mahalanobis": q56_mcd_mahalanobis,
         "q57_sql_diff_surface": q57_sql_diff_surface,
         "q58_random_projection": q58_random_projection,
+        "q59_embedding_dedup": q59_embedding_dedup,
+        "q60_pipeline_runner": q60_pipeline_runner,
     }
 
 

@@ -599,6 +599,48 @@ SELECT l_orderkey, l_linenumber, {_proj}
 FROM n ORDER BY l_orderkey, l_linenumber LIMIT 2000
 """
 
+ORACLES["q59_embedding_dedup"] = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+d AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_aggregate(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * x), 'sum')) AS nn
+      FROM v),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN a.nn > 0 AND b.nn > 0
+              THEN list_aggregate(list_transform(list_zip(a.e, b.e),
+                                  p -> p[1] * p[2]), 'sum') / (a.nn * b.nn)
+              ELSE 0.0 END AS cs
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+FROM pairs WHERE cs >= 0.25 ORDER BY id_a, id_b
+"""
+
+ORACLES["q60_pipeline_runner"] = """
+WITH cut AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                    quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem),
+lab AS (SELECT l_returnflag, l_linestatus,
+               CASE WHEN l_extendedprice > (SELECT hi FROM cut)
+                      OR l_extendedprice < (SELECT lo FROM cut)
+                    THEN 1.0 ELSE 0.0 END AS o
+        FROM lineitem),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+gs AS (SELECT l_returnflag, l_linestatus, SUM(o) AS oc,
+              CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                        (l_returnflag, l_linestatus)))
+SELECT l_returnflag, l_linestatus,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g
+WHERE oc / g.g_out >= 0.01
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
 ORACLES["q35_ngram_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),
 sh AS (

@@ -227,6 +227,65 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 8,
+    seed: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    cos_sim ≥ threshold and id_a < id_b.
+
+    method='lsh' (the scale path): sign-random-projection buckets — only
+    same-bucket vectors are compared (near-identical embeddings land in the
+    same bucket with probability (1 − θ/π)^n_planes), then EXACT cosine
+    verification; recall < 1 by design. method='exact': full self-join —
+    quadratic, the small-N baseline and the oracle twin.
+
+    Cosine is computed in float64 JVM-side (zip_with/aggregate fold), no
+    Python in the row path."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).withColumn("_n", F.sqrt(F.aggregate(
+        "_e", F.lit(0.0), lambda a, x: a + x * x)))
+    if method == "lsh":
+        rng = np.random.default_rng(seed)
+        dim = len(df.select(vec_col).first()[0])
+        planes = rng.standard_normal((n_planes, dim))
+        bits = [
+            F.when(F.aggregate(
+                F.zip_with("_e", F.array(*[F.lit(float(x)) for x in planes[i]]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda a, x: a + x) > 0, F.lit(2 ** i)).otherwise(0)
+            for i in range(n_planes)
+        ]
+        bkt = bits[0]
+        for b in bits[1:]:
+            bkt = bkt + b
+        v = v.withColumn("_bkt", bkt)
+        l, r = v.alias("l"), v.alias("r")
+        cand = l.join(r, (F.col("l._bkt") == F.col("r._bkt"))
+                      & (F.col("l._id") < F.col("r._id")))
+    else:
+        l, r = v.alias("l"), v.alias("r")
+        cand = l.join(r, F.col("l._id") < F.col("r._id"))
+    dot = F.aggregate(F.zip_with(F.col("l._e"), F.col("r._e"),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    cos = F.when((F.col("l._n") > 0) & (F.col("r._n") > 0),
+                 dot / (F.col("l._n") * F.col("r._n"))).otherwise(0.0)
+    return (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                "cos_sim")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, min_jaccard: float = 0.8,
                         max_df: int = 4096) -> DataFrame:

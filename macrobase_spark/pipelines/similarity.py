@@ -14,6 +14,7 @@ sublinear candidate sets at the cost of recall (probing multiplies tables).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -79,9 +80,10 @@ def ivf_topk(
 
     Scale path: write the vector table partitioned by `_cell` once, and each
     query's scan touches n_probe/n_centroids of the data (partition-prunable).
-    Recall < 1 by design; raise n_probe → recall → cost. Centroids are tiny
-    and broadcast; assignment is one JVM-side argmin over the broadcast
-    centroid array (no Python in the row path)."""
+    Recall < 1 by design; raise n_probe → recall → cost. Centroids travel to
+    workers inside the Arrow-batched assignment UDF (one (B,D)×(D,C) matmul
+    per batch), so the PLAN stays O(1) regardless of the centroid count —
+    inlining 10⁴ centroids as column literals would explode Catalyst."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -92,25 +94,26 @@ def ivf_topk(
         "array<double>")).alias("_fv")))
     centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
-    def nearest_cells(col, top_n: int):
-        """Column expr: indices of the top_n nearest centroids (L2) for a
-        normalized-comparison via expanded distance = |c|² − 2·c·x."""
-        dists = []
-        for i, c in enumerate(centroids):
-            dot = F.aggregate(
-                F.zip_with(col, F.array(*[F.lit(float(x)) for x in c]),
-                           lambda a, b: a * b),
-                F.lit(0.0), lambda a, x: a + x)
-            c2 = float((c * c).sum())
-            dists.append(F.struct((F.lit(c2) - 2.0 * dot).alias("d"),
-                                  F.lit(i).alias("i")))
-        arr = F.array_sort(F.array(*dists))
-        return F.transform(F.slice(arr, 1, top_n), lambda s: s["i"])
+    def nearest_cells_udf(top_n: int):
+        """Arrow-batched top_n nearest centroids (expanded L2:
+        |c|² − 2·c·x); ties broken by centroid index (stable argsort)."""
+        from pyspark.sql.functions import pandas_udf
 
-    v = vectors.withColumn("_cell", nearest_cells(
-        F.col(vec_col).cast("array<double>"), 1)[0])
-    q = queries.withColumn("_cells", nearest_cells(
-        F.col(q_vec_col).cast("array<double>"), n_probe))
+        c2 = (centroids * centroids).sum(axis=1)
+
+        @pandas_udf("array<int>")
+        def f(vecs: pd.Series) -> pd.Series:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            d = c2[None, :] - 2.0 * (x @ centroids.T)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :top_n]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        return f
+
+    v = vectors.withColumn("_cell", nearest_cells_udf(1)(
+        F.col(vec_col).cast("array<double>"))[0])
+    q = queries.withColumn("_cells", nearest_cells_udf(n_probe)(
+        F.col(q_vec_col).cast("array<double>")))
     probe_cells = q.select(F.explode("_cells").alias("_cell")).distinct()
     cand = v.join(F.broadcast(probe_cells), "_cell", "left_semi").drop("_cell")
     return cosine_topk_bruteforce(

@@ -146,15 +146,79 @@ def test_lsh_ann_recall(spark):
     assert got and got[0]["vec_id"] == 11
 
 
-def test_multimodal_plumbing(spark):
+def test_embedding_cosine_pairs_lsh_recall(spark):
+    """Planted near-duplicate embeddings must surface through the LSH
+    bucket path, and the exact path must equal a numpy brute force."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    base[20] = base[3] + rng.standard_normal(16).astype("float32") * 0.01
+    base[31] = base[7] + rng.standard_normal(16).astype("float32") * 0.01
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_cosine_pairs(vdf, 0.95, method="lsh",
+                                           n_planes=6).collect()}
+    assert {(3, 20), (7, 31)} <= lsh
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_cosine_pairs(vdf, 0.95, method="exact").collect()}
+    x = base.astype(np.float64)
+    nrm = np.linalg.norm(x, axis=1)
+    cos = (x @ x.T) / np.outer(nrm, nrm)
+    want = {(i, j) for i in range(40) for j in range(i + 1, 40)
+            if cos[i, j] >= 0.95}
+    assert exact == want
+    assert lsh <= exact  # LSH candidates are verified exactly
+
+
+def test_multimodal_real_decode(spark):
+    """Media payloads are REAL byte formats: BMP images, WAV audio, RAWV
+    frame containers; features are real signal stats. Undecodable payloads
+    (codec-less formats) surface as ok=false, not job failures."""
     from macrobase_spark.pipelines.multimodal import extract_features, synth_media
 
-    media = synth_media(spark, n=12)
+    media = synth_media(spark, n=24)
     feats = extract_features(media).collect()
-    assert len(feats) == 12
-    by_kind = {r["kind"]: len(r["feature"]) for r in feats}
-    assert by_kind["image"] == 64 and by_kind["audio"] == 16 and by_kind["video"] == 24
-    assert all(r["ok"] for r in feats)
+    assert len(feats) == 24
+    ok = [r for r in feats if r["ok"]]
+    bad = [r for r in feats if not r["ok"]]
+    assert bad and all(not r["feature"] for r in bad)  # JPEG-ish rows
+    by_kind = {r["kind"]: len(r["feature"]) for r in ok}
+    # image: 3 mean + 3 std + 8-bin histogram; audio: rms+zc+16 mags;
+    # video: 3 sampled frames × (mean, std)
+    assert by_kind["image"] == 14 and by_kind["audio"] == 18 and by_kind["video"] == 6
+
+
+def test_multimodal_codecs_roundtrip():
+    """BMP/WAV/RAWV encode→decode are exact inverses; resize and
+    frame-sample behave."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.multimodal import (
+        decode_bmp, decode_rawv, decode_wav, encode_bmp, encode_rawv,
+        encode_wav, frame_sample, resize_nearest,
+    )
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    x = (rng.standard_normal(1000) * 10000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(x, rate=8000))
+    assert rate == 8000
+    assert np.allclose(got, x / 32768.0)
+
+    frames = rng.integers(0, 256, size=(7, 5, 6, 3), dtype=np.uint8)
+    assert (decode_rawv(encode_rawv(frames)) == frames).all()
+    samp = frame_sample(frames, 3)
+    assert (samp[0] == frames[0]).all() and (samp[-1] == frames[-1]).all()
+
+    r = resize_nearest(px, 8, 8)
+    assert r.shape == (8, 8, 3)
 
 
 def test_ivf_ann_recall(spark):
