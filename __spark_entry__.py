@@ -1011,6 +1011,90 @@ def q60_pipeline_runner(spark, sf):
               F.col("l_linestatus").asc_nulls_last())
 
 
+def q61_raw_classifier(spark, sf):
+    """RawClassifier pass-through (§2.5, RawClassifier.java:17-24): the
+    outlier count column is already present in cubed data."""
+    from macrobase_spark.operators.classify import classify_raw
+
+    cube = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0))
+             .alias("n_bad"),
+             F.count("*").alias("n"))
+    )
+    out = classify_raw(cube, "n_bad")
+    return out.select(
+        "o_orderpriority",
+        F.col("_OUTLIER").cast("long").alias("outliers"),
+        F.col("n").alias("total"),
+    ).orderBy("o_orderpriority")
+
+
+def q62_metric_bucketize(spark, sf):
+    """MetricBucketTransformer (§2.6): percentile-edge buckets turn a
+    numeric metric into an explanation attribute; integer bucket ids keep
+    the oracle engine-agnostic."""
+    from macrobase_spark.operators.transform import metric_bucketize
+
+    li = _t(spark, sf, "lineitem")
+    b = metric_bucketize(li, "l_extendedprice", pcts=(25.0, 75.0),
+                         output_col="bucket", as_index=True)
+    return (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"))
+        .orderBy("bucket")
+    )
+
+
+def q63_fd_pruning(spark, sf):
+    """Functional-dependency pruning (§2.4, APrioriLinear.java:231-233):
+    combos containing an FD pair are never enumerated."""
+    from macrobase_spark.operators import classify_percentile, diff
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("string"))
+    labeled = classify_percentile(li, "l_extendedprice", percentile=1.0,
+                                  include_low=False)
+    expl = diff(labeled, ["l_returnflag", "l_linestatus", "ship_year"],
+                min_support=0.01, min_ratio=0.0, max_order=2,
+                fd_pairs=[("l_returnflag", "l_linestatus")])
+    return expl.select(
+        "l_returnflag", "l_linestatus", "ship_year",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy(F.col("l_returnflag").asc_nulls_last(),
+              F.col("l_linestatus").asc_nulls_last(),
+              F.col("ship_year").asc_nulls_last())
+
+
+def q64_prefilter_min_support(spark, sf):
+    """AttributeEncoder min-support prefilter (§2.4,
+    AttributeEncoder.java:61-181): below-support order-1 values are NULLed
+    before the grouping-sets pass — result-identical to the plain DIFF
+    (any combo containing a dropped value is below support anyway), so the
+    plain-DIFF SQL is the oracle while the prefilter code path executes."""
+    from macrobase_spark.operators import classify_predicate, diff
+
+    o = _t(spark, sf, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("string"))
+    labeled = classify_predicate(o, "o_orderstatus", "==", "F")
+    expl = diff(labeled, ["o_orderpriority", "order_year"],
+                min_support=0.05, min_ratio=0.0, max_order=2,
+                prefilter_min_support=True)
+    return expl.select(
+        "o_orderpriority", "order_year",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    ).orderBy(F.col("o_orderpriority").asc_nulls_last(),
+              F.col("order_year").asc_nulls_last())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_project_filter": q01_scan_project_filter,
@@ -1073,6 +1157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_random_projection": q58_random_projection,
         "q59_embedding_dedup": q59_embedding_dedup,
         "q60_pipeline_runner": q60_pipeline_runner,
+        "q61_raw_classifier": q61_raw_classifier,
+        "q62_metric_bucketize": q62_metric_bucketize,
+        "q63_fd_pruning": q63_fd_pruning,
+        "q64_prefilter_min_support": q64_prefilter_min_support,
     }
 
 

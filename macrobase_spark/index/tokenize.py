@@ -129,18 +129,29 @@ def turn_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      emit_empty_docs: bool = False) -> DataFrame:
     """text → exploded (doc_id, term, tf, dl) in ONE Arrow pass, skipping
     per-row array assembly entirely (the index-build hot path: flat numpy →
-    flat output frame, no Python loop over rows OR tokens)."""
+    flat output frame, no Python loop over rows OR tokens).
+
+    emit_empty_docs=True adds a (doc_id, NULL, 0, 0) marker row per token-
+    less document so the docs table derived from this relation (the fused
+    single-tokenize build) still covers every document; filter
+    `term IS NOT NULL` for the pure postings view."""
 
     def explode(batches):
         for pdf in batches:
             bounds, urow, ucode, counts, vocab, lens = _flat_term_counts(pdf[text_col])
-            if bounds is None:
-                continue
             doc_ids = pdf[doc_id_col].to_numpy(np.int64)
-            yield pd.DataFrame(
+            if bounds is None:
+                if emit_empty_docs and len(doc_ids):
+                    yield pd.DataFrame(
+                        {"doc_id": doc_ids, "term": [None] * len(doc_ids),
+                         "tf": np.zeros(len(doc_ids), dtype=np.int32),
+                         "dl": np.zeros(len(doc_ids), dtype=np.int32)})
+                continue
+            out = pd.DataFrame(
                 {
                     "doc_id": doc_ids[urow],
                     "term": vocab[ucode],
@@ -148,6 +159,15 @@ def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
                     "dl": lens[urow].astype(np.int32),
                 }
             )
+            if emit_empty_docs:
+                empty = doc_ids[lens == 0]
+                if len(empty):
+                    out = pd.concat([out, pd.DataFrame(
+                        {"doc_id": empty, "term": [None] * len(empty),
+                         "tf": np.zeros(len(empty), dtype=np.int32),
+                         "dl": np.zeros(len(empty), dtype=np.int32)})],
+                        ignore_index=True)
+            yield out
 
     return df.select(doc_id_col, text_col).mapInPandas(
         explode, schema="doc_id long, term string, tf int, dl int")

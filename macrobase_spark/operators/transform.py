@@ -112,10 +112,13 @@ def winsorize(df: DataFrame, col: str, p: float = 1.0, exact: bool = True,
 
 def metric_bucketize(df: DataFrame, col: str, boundaries: list[float] | None = None,
                      pcts: tuple[float, ...] = (10.0, 90.0),
-                     output_col: str | None = None) -> DataFrame:
+                     output_col: str | None = None,
+                     as_index: bool = False) -> DataFrame:
     """Double column → categorical range-label buckets at percentile
     boundaries — makes a metric usable as an explanation attribute.
-    Reference: lib/.../transform/MetricBucketTransformer.java:47-92."""
+    Reference: lib/.../transform/MetricBucketTransformer.java:47-92.
+    as_index=True emits the integer bucket ordinal instead of the
+    "[lo,hi)" label (engine-agnostic for oracle comparison)."""
     if boundaries is None:
         qs = [p / 100.0 for p in pcts]
         row = df.agg(*[F.expr(f"percentile({col}, {q})").alias(f"q{i}")
@@ -124,7 +127,7 @@ def metric_bucketize(df: DataFrame, col: str, boundaries: list[float] | None = N
     edges = [float("-inf")] + sorted(boundaries) + [float("inf")]
     expr = None
     for i in range(len(edges) - 1):
-        label = f"{col}:[{edges[i]:.4g},{edges[i+1]:.4g})"
+        label = i if as_index else f"{col}:[{edges[i]:.4g},{edges[i+1]:.4g})"
         cond = (F.col(col) >= F.lit(edges[i])) & (F.col(col) < F.lit(edges[i + 1]))
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn(output_col or f"{col}_bucket", expr)

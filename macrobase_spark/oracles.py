@@ -641,6 +641,64 @@ WHERE oc / g.g_out >= 0.01
 ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
 """
 
+ORACLES["q61_raw_classifier"] = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS BIGINT)
+         AS outliers,
+       COUNT(*) AS total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["q62_metric_bucketize"] = """
+WITH cut AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                    quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+SELECT CASE WHEN l_extendedprice < (SELECT q1 FROM cut) THEN 0
+            WHEN l_extendedprice < (SELECT q3 FROM cut) THEN 1
+            ELSE 2 END AS bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY 1 ORDER BY bucket
+"""
+
+ORACLES["q63_fd_pruning"] = """
+WITH cut AS (SELECT quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem),
+lab AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(year(l_shipdate) AS VARCHAR) AS sm,
+               CASE WHEN l_extendedprice > (SELECT hi FROM cut) THEN 1.0 ELSE 0.0 END AS o
+        FROM lineitem),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+-- FD pair (rf, ls) excluded from the lattice
+gs AS (SELECT rf, ls, sm, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY GROUPING SETS ((rf), (ls), (sm), (rf, sm), (ls, sm)))
+SELECT rf AS l_returnflag, ls AS l_linestatus, sm AS ship_year,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g
+WHERE oc / g.g_out >= 0.01
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST,
+         ship_year NULLS LAST
+"""
+
+ORACLES["q64_prefilter_min_support"] = """
+WITH lab AS (SELECT o_orderpriority AS op,
+                    CAST(year(o_orderdate) AS VARCHAR) AS sp,
+                    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS o
+             FROM orders),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+gs AS (SELECT op, sp, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY GROUPING SETS ((op), (sp), (op, sp)))
+SELECT op AS o_orderpriority, sp AS order_year,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g
+WHERE oc / g.g_out >= 0.05
+ORDER BY o_orderpriority NULLS LAST, order_year NULLS LAST
+"""
+
 ORACLES["q35_ngram_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),
 sh AS (
