@@ -1095,6 +1095,62 @@ def q64_prefilter_min_support(spark, sf):
               F.col("order_year").asc_nulls_last())
 
 
+def q65_autocorrelation(spark, sf):
+    """Per-series ACF (§2.6 Autocorrelation, FFT method) — the padded-FFT
+    autocovariance equals the direct lag-sum definition, so the DuckDB
+    oracle computes the same r_k/r_0 with LEAD windows."""
+    from macrobase_spark.operators.timeseries import autocorrelation
+
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 10)
+    res = autocorrelation(e, ["user_id"], "event_id", "value", max_lag=3)
+    return res.select(
+        "user_id",
+        F.round(F.col("acf")[0], 6).alias("acf1"),
+        F.round(F.col("acf")[1], 6).alias("acf2"),
+        F.round(F.col("acf")[2], 6).alias("acf3"),
+    ).orderBy("user_id")
+
+
+def q66_kalman_ar(spark, sf):
+    """Kalman smoothing + AR(p) one-step anomaly scores (§2.6 contrib
+    time-series family) — sequential per-series recursions have no SQL
+    form → rows-only; planted-signal pytest in
+    tests/test_timeseries_density.py."""
+    from macrobase_spark.operators.timeseries import ar_scores, kalman_smooth
+
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    sm = kalman_smooth(e, ["user_id"], "event_id", "value", q_scale=1e-3)
+    sc = ar_scores(sm, ["user_id"], "event_id", "_SMOOTHED", p=2,
+                   output_col="_AR")
+    return (
+        sc.groupBy("user_id")
+        .agg(F.round(F.avg("_SMOOTHED"), 6).alias("avg_smoothed"),
+             F.round(F.max("_AR"), 6).alias("max_ar_score"))
+        .orderBy("user_id")
+    )
+
+
+def q67_kde_gmm(spark, sf):
+    """KDE + GMM density scorers (§2.6 contrib KDE/mixture family) —
+    sampled-kernel sums / EM fits have no SQL form → rows-only;
+    planted-outlier pytest."""
+    from macrobase_spark.operators.density import gmm_score, kde_score
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber",
+                                          "l_quantity", "l_extendedprice")
+    kde = kde_score(li, ["l_quantity", "l_extendedprice"], output_col="_KDE")
+    both = gmm_score(kde, ["l_quantity", "l_extendedprice"], k=3,
+                     output_col="_GMM")
+    return (
+        both.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_KDE") > F.lit(-1e-12), 1).otherwise(0))
+            .cast("long").alias("n_kde_isolated"),
+            F.round(F.min("_GMM"), 4).alias("min_gmm_nll"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_project_filter": q01_scan_project_filter,
@@ -1161,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_metric_bucketize": q62_metric_bucketize,
         "q63_fd_pruning": q63_fd_pruning,
         "q64_prefilter_min_support": q64_prefilter_min_support,
+        "q65_autocorrelation": q65_autocorrelation,
+        "q66_kalman_ar": q66_kalman_ar,
+        "q67_kde_gmm": q67_kde_gmm,
     }
 
 

@@ -3,22 +3,16 @@
 Pipeline (all lazy DataFrame stages; Python only inside Arrow batches):
 
   transcripts (conv_id, turn_idx, role, text, tool, ts)
-    → ONE fused Arrow tokenize pass → exploded (doc_id, term, tf, dl),
-      persisted (memory, disk spill); empty docs carried as NULL-term rows
-    → docs table + global stats (N, avgdl, robust length normalization) are
-      AGGREGATES of the persisted postings (doc_len = dl, distinct terms =
-      rows per doc) — the text is tokenized exactly once per build
-    → hot-term detection (sampled approx df counts → broadcast set),
-      running CONCURRENTLY with the main pass
+    → fused Arrow pass: terms+tfs+doc_len+anomaly   (tokenize.py)
+    → docs table + global stats (N, avgdl)
+    → explode to (term, doc_id, tf, dl)
+    → hot-term detection (sampled approx df counts → broadcast set)
     → PHASE 1: groupBy(term, salt)   salt = doc_id % S for hot terms else 0
-        sorted-run encode → partial posting blob (delta+varint)
+        applyInPandas → partial posting blob (sorted, delta+varint)
     → PHASE 2: groupBy(term) merge salted partials → final blob
         + df/cf stats + block-max impact metadata (BM25 upper bounds)
     → write parquet range-partitioned & sorted by term (row-group pruning
       for term-lookup queries), partitioned by bucket for resumability.
-
-Incremental updates are LSM segment appends (update_index) with background
-compaction (compact_index) — see their docstrings.
 
 Skew story: a hot term ("the" — in ~90% of turns) would send its entire
 posting list to ONE reducer in a naive groupBy(term). Salting splits it into
@@ -251,7 +245,7 @@ def build_index(
                     done[rec["bucket"]] = rec
 
     t0 = time.time()
-    from macrobase_spark.index.tokenize import exploded_postings
+    from macrobase_spark.index.tokenize import exploded_postings, turn_features  # noqa: F401
 
     meta_cols = [c for c in ("conv_id", "turn_idx") if c in df.columns]
     src = df.select(doc_id_col, *meta_cols, text_col)
@@ -281,37 +275,20 @@ def build_index(
     hot_thread = threading.Thread(target=_hot, daemon=True)
     hot_thread.start()
 
-    # ONE tokenize pass for the ENTIRE build: the exploded postings are
-    # persisted (memory, spill to disk) and BOTH the docs table and the
-    # encode stages read them — doc features are pure aggregates of the
-    # postings (doc_len = dl, distinct-term count = row count per doc;
-    # empty docs carried as NULL-term marker rows), so the old separate
-    # turn_features pass over the text disappears.
-    from pyspark import StorageLevel
-
-    posts_all = exploded_postings(
-        src, doc_id_col, text_col, emit_empty_docs=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    postings = posts_all.filter(F.col("term").isNotNull()).withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
-
     if not docs_done:
-        # ONE aggregate job computes count/avgdl AND the robust
-        # normalization stats: the scale estimate is IQR/2 = (q75−q25)/2,
-        # numerically the same robust σ-fraction as the MAD (both 0.6745·σ
-        # under normality) but available from the same quantile sketch as
-        # the median — no dependent second pass.
-        doc_feats = (
-            posts_all.groupBy(F.col("doc_id").alias(doc_id_col))
-            .agg(F.first("dl").cast("int").alias("doc_len"),
-                 F.count("term").alias("_nu"))
-            .withColumn("rep_ratio", F.when(
-                F.col("doc_len") > 0,
-                1.0 - F.col("_nu") / F.col("doc_len").cast("double"),
-            ).otherwise(0.0))
-        )
+        from pyspark import StorageLevel
+
+        # ONE Arrow pass over text → cached narrow features; ONE aggregate
+        # job computes count/avgdl AND the robust normalization stats: the
+        # scale estimate is IQR/2 = (q75−q25)/2, numerically the same robust
+        # σ-fraction as the MAD (both = 0.6745·σ under normality) but
+        # available from the same quantile sketch as the median — so the
+        # old dependent second pass (median first, then median of |x−med|)
+        # disappears.
+        feats = (turn_features(src, text_col).drop(text_col)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
         ll = "log1p(cast(doc_len as double))"
-        row = doc_feats.agg(
+        row = feats.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
             F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
         ).collect()[0]
@@ -320,14 +297,10 @@ def build_index(
         mad = (q75 - q25) / 2.0 or 1e-9
         z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
             mad * 1.4826)
-        docs_out = doc_feats.withColumn(
-            "anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
-        if meta_cols:
-            docs_out = docs_out.join(src.select(doc_id_col, *meta_cols),
-                                     doc_id_col)
-        (docs_out.select(doc_id_col, *meta_cols, "doc_len", "rep_ratio",
-                         "anomaly")
+        (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+            .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
             .write.mode("overwrite").parquet(docs_path))
+        feats.unpersist()
     else:
         stats_row = spark.read.parquet(docs_path).agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -338,6 +311,13 @@ def build_index(
                    "block_size": BLOCK_SIZE, "num_buckets": num_buckets,
                    "version": 1, "salt_partitions": salt_partitions,
                    "segmented_buckets": []}, f)
+
+    # single fused Arrow pass text → exploded (doc_id, term, tf, dl);
+    # persisted only when multiple groups would otherwise re-tokenize
+    postings = exploded_postings(src, doc_id_col, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+    if num_groups > 1:
+        postings = postings.persist()
 
     hot_thread.join()
     if "error" in hot_result:
@@ -417,7 +397,8 @@ def build_index(
                 report_buckets[rec["bucket"]] = rec
                 f.write(json.dumps(rec) + "\n")
 
-    posts_all.unpersist()
+    if num_groups > 1:
+        postings.unpersist()
     invalidate_index_cache(out_dir)
     elapsed = time.time() - t0
     return {
@@ -464,7 +445,7 @@ def update_index(
     """
     from pyspark import StorageLevel
 
-    from macrobase_spark.index.tokenize import exploded_postings
+    from macrobase_spark.index.tokenize import exploded_postings, turn_features
 
     spark = df_new.sparkSession
     with open(os.path.join(out_dir, "stats.json")) as f:
@@ -478,23 +459,11 @@ def update_index(
     src = df_new.select(doc_id_col, *meta_cols, text_col)
     docs_path = os.path.join(out_dir, "docs.parquet")
 
-    # ONE tokenize pass over the delta (same fusion as the fresh build):
-    # docs features derive from the persisted exploded postings
-    posts_all = exploded_postings(
-        src, doc_id_col, text_col, emit_empty_docs=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    doc_feats = (
-        posts_all.groupBy(F.col("doc_id").alias(doc_id_col))
-        .agg(F.first("dl").cast("int").alias("doc_len"),
-             F.count("term").alias("_nu"))
-        .withColumn("rep_ratio", F.when(
-            F.col("doc_len") > 0,
-            1.0 - F.col("_nu") / F.col("doc_len").cast("double"),
-        ).otherwise(0.0))
-    )
+    feats = (turn_features(src, text_col).drop(text_col)
+             .persist(StorageLevel.MEMORY_AND_DISK))
     # anomaly normalization over the UPDATED population (old + new lengths)
     old_docs = spark.read.parquet(docs_path).select("doc_len")
-    all_lens = old_docs.unionByName(doc_feats.select("doc_len"))
+    all_lens = old_docs.unionByName(feats.select("doc_len"))
     ll = "log1p(cast(doc_len as double))"
     row = all_lens.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
@@ -505,12 +474,10 @@ def update_index(
     mad = (q75 - q25) / 2.0 or 1e-9  # IQR/2 — same robust scale as the MAD
     z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
         mad * 1.4826)
-    docs_out = doc_feats.withColumn(
-        "anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
-    if meta_cols:
-        docs_out = docs_out.join(src.select(doc_id_col, *meta_cols), doc_id_col)
-    (docs_out.select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
+    (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+        .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
         .write.mode("append").parquet(docs_path))
+    feats.unpersist()
 
     # hot set for the delta: persisted build-time hots ∪ sampled re-detection
     # over the delta (a term can be hot in the delta without being hot in
@@ -518,7 +485,7 @@ def update_index(
     hot_set = set(stats.get("hot_terms", []))
     hot_set |= set(detect_hot_terms(src, 0.1, 50_000, doc_id_col, text_col))
 
-    new_post = posts_all.filter(F.col("term").isNotNull()).withColumn(
+    new_post = exploded_postings(src, doc_id_col, text_col).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
     touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -559,7 +526,6 @@ def update_index(
             f.write(json.dumps({"bucket": int(b), "status": "done",
                                 "version": bv.get(b, 1), "op": "update",
                                 "ts": time.time()}) + "\n")
-    posts_all.unpersist()
     invalidate_index_cache(out_dir)
     return {"n_docs": n_docs, "avgdl": avgdl, "version": version,
             "touched_buckets": sorted(touched),

@@ -699,6 +699,24 @@ WHERE oc / g.g_out >= 0.05
 ORDER BY o_orderpriority NULLS LAST, order_year NULLS LAST
 """
 
+ORACLES["q65_autocorrelation"] = """
+WITH s AS (SELECT user_id, value, event_id FROM events WHERE user_id < 10),
+m AS (SELECT user_id, AVG(value) AS mu FROM s GROUP BY user_id),
+c AS (SELECT s.user_id, (s.value - m.mu) AS xc,
+             ROW_NUMBER() OVER (PARTITION BY s.user_id ORDER BY s.event_id) AS rn
+      FROM s JOIN m ON s.user_id = m.user_id),
+l AS (SELECT user_id, xc,
+             LEAD(xc, 1) OVER (PARTITION BY user_id ORDER BY rn) AS x1,
+             LEAD(xc, 2) OVER (PARTITION BY user_id ORDER BY rn) AS x2,
+             LEAD(xc, 3) OVER (PARTITION BY user_id ORDER BY rn) AS x3
+      FROM c)
+SELECT user_id,
+       ROUND(SUM(xc * x1) / SUM(xc * xc), 6) AS acf1,
+       ROUND(SUM(xc * x2) / SUM(xc * xc), 6) AS acf2,
+       ROUND(SUM(xc * x3) / SUM(xc * xc), 6) AS acf3
+FROM l GROUP BY user_id ORDER BY user_id
+"""
+
 ORACLES["q35_ngram_jaccard"] = f"""
 WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),
 sh AS (
