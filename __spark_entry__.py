@@ -1138,9 +1138,10 @@ def q67_kde_gmm(spark, sf):
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber",
                                           "l_quantity", "l_extendedprice")
-    kde = kde_score(li, ["l_quantity", "l_extendedprice"], output_col="_KDE")
+    kde = kde_score(li, ["l_quantity", "l_extendedprice"], output_col="_KDE",
+                    sample_limit=1024)
     both = gmm_score(kde, ["l_quantity", "l_extendedprice"], k=3,
-                     output_col="_GMM")
+                     output_col="_GMM", fit_sample_limit=5000, max_iter=25)
     return (
         both.agg(
             F.count("*").alias("n"),

@@ -71,7 +71,8 @@ def kde_score(df: DataFrame, cols: list[str], output_col: str = "_SCORE",
 
 def gmm_score(df: DataFrame, cols: list[str], k: int = 3, seed: int = 11,
               output_col: str = "_SCORE",
-              fit_sample_limit: int = 10_000) -> DataFrame:
+              fit_sample_limit: int = 10_000,
+              max_iter: int = 100) -> DataFrame:
     """Gaussian-mixture anomaly score: EM fit via pyspark.ml, then score =
     −log Σ_j w_j · N(x; μ_j, Σ_j) — the mixture's negative log-likelihood
     (a posterior would stay ≈1 for far points and hide anomalies). The k
@@ -90,9 +91,13 @@ def gmm_score(df: DataFrame, cols: list[str], k: int = 3, seed: int = 11,
     if n > fit_sample_limit:
         kk = int(np.ceil(n / fit_sample_limit))
         train = fv.filter(F.pmod(F.xxhash64(*cols), F.lit(kk)) == 0)
+    # EM runs one distributed pass PER ITERATION over the train relation —
+    # cache it so iterations read columnar batches, not the re-filtered scan
+    train = train.select("_fv").cache()
     gm = GaussianMixture(k=k, seed=seed, featuresCol="_fv",
-                         predictionCol="_CLUSTER")
+                         predictionCol="_CLUSTER", maxIter=max_iter)
     model = gm.fit(train)
+    train.unpersist()
     weights = np.asarray(model.weights, dtype=np.float64)
     comps = []
     for g in model.gaussians:

@@ -37,7 +37,9 @@ def moving_average(df: DataFrame, ts_col: str, value_col: str,
     pass the series keys (or pre-aggregate to panes and average the pane
     series, which is the reference's own pane semantics)."""
     w = W.partitionBy(*partition_by) if partition_by else W.partitionBy()
-    w = w.orderBy(F.col(ts_col).cast("long")).rangeBetween(-window_seconds, 0)
+    # NTZ timestamps need the LTZ hop before the epoch-seconds cast
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    w = w.orderBy(sec).rangeBetween(-window_seconds, 0)
     return df.withColumn(output_col, F.avg(value_col).over(w))
 
 
