@@ -129,6 +129,15 @@ def main():
     p50 = statistics.median(lat)
     queries["bm25_topk_p50"] = round(p50, 3)
 
+    # batch path: all queries in ONE job (the serving-throughput shape)
+    from macrobase_spark.index.bm25 import bm25_topk_batch
+
+    t0 = time.time()
+    bm25_topk_batch(spark, idx, list(BM25_QUERIES), k=10).collect()
+    batch_sec = time.time() - t0
+    queries["bm25_batch_all"] = round(batch_sec, 3)
+    bm25_batch_qps = len(BM25_QUERIES) / batch_sec
+
     # --- headline relational / DIFF / text queries at SF_DIR --------------
     import __spark_entry__ as entry
 
@@ -166,6 +175,7 @@ def main():
             "efficiency_4N_to_full": round(efficiency_full, 3),
         },
         "bm25_query_p50_sec": round(p50, 3),
+        "bm25_batch_qps": round(bm25_batch_qps, 1),
     }
     print(json.dumps(out))
 

@@ -235,6 +235,74 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def bm25_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, str] | list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k for MANY queries in ONE scoring job — the throughput shape for
+    query serving: a single pass over the union of all query terms'
+    postings (bucket- and row-group-pruned once), contributions joined to a
+    broadcast (query_id, term) map, per-(query, doc) ascending-term sums
+    (bit-identical to bm25_topk per query), then a per-query top-k window.
+    Returns (query_id, doc_id, score, rank).
+
+    Amortizes the per-job overhead that dominates single-query p50 in
+    local mode; on a cluster it turns q queries × t terms into one shuffle
+    instead of q."""
+    if isinstance(queries, list):
+        queries = {str(i): q for i, q in enumerate(queries)}
+    q_terms = {qid: _tokenize_query(q) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int")
+    postings, _, stats = read_index(spark, index_dir)
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    if "num_buckets" in stats:
+        from macrobase_spark.index.xxh64 import term_bucket
+
+        buckets = sorted({term_bucket(t, stats["num_buckets"])
+                          for t in all_terms})
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    cand = postings.filter(F.col("term").isin(all_terms)).select(
+        "term", "df", "max_impact", "blob", "block_max")
+    idfs: dict[str, float] | None = None
+    if stats.get("segmented_buckets"):
+        df_rows = cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+                for r in df_rows}
+    contrib = cand.mapInPandas(
+        _score_partition(n, avgdl, k, single_term=False, idfs=idfs),
+        schema="doc_id long, term string, contrib double",
+    )
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in q_terms.items() for t in ts],
+        "query_id string, term string",
+    )
+    joined = contrib.join(F.broadcast(qmap), "term")
+    scored = (
+        joined.groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def bm25_oracle(
     docs: list[tuple[int, str]], query: str, k: int = 10,
     anomaly: dict[int, float] | None = None,

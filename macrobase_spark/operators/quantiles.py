@@ -2,9 +2,13 @@
 
 Spark's exact `percentile` aggregate funnels every value through one reducer
 (a counting hash map) — ~3-4 s on 600k doubles. For TAIL quantiles (the
-classifier cutoffs: p1/p99 etc.) the same exact value comes from a
-TakeOrderedAndProject top-k (per-partition heaps, tiny collect): ~3× faster
-and it scales with executors instead of bottlenecking on one reducer.
+classifier cutoffs: p1/p99 etc.) the same exact values come from
+per-partition head/tail extremes merged on the driver: each partition
+contributes its k smallest and k largest values (tiny numpy partial-sorts),
+ONE job total for BOTH tails, and the global order statistics are exact
+because any global top-k is contained in the union of per-partition top-ks.
+Scales with executors instead of bottlenecking on one reducer, and replaces
+the two TakeOrderedAndProject jobs (one per tail) of the naive approach.
 
 Interpolation replicates percentile_cont (and DuckDB quantile_cont):
 idx = (n−1)·q; v = v[floor]·(1−frac) + v[ceil]·frac — bit-identical to the
@@ -16,10 +20,40 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TAIL = 0.15  # use top-k path when q ≤ TAIL or q ≥ 1-TAIL
+TAIL = 0.15  # use the tail path when q ≤ TAIL or q ≥ 1-TAIL
+
+
+def _partition_extremes(k_lo: int, k_hi: int):
+    def fn(batches):
+        lo: np.ndarray | None = None
+        hi: np.ndarray | None = None
+        n = 0
+        for pdf in batches:
+            v = pdf["_v"].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            n += len(v)
+            if len(v) == 0:
+                continue
+            lo_c = v if lo is None else np.concatenate([lo, v])
+            if k_lo and len(lo_c) > k_lo:
+                lo_c = np.partition(lo_c, k_lo - 1)[:k_lo]
+            lo = lo_c if k_lo else np.empty(0)
+            hi_c = v if hi is None else np.concatenate([hi, v])
+            if k_hi and len(hi_c) > k_hi:
+                hi_c = np.partition(hi_c, len(hi_c) - k_hi)[len(hi_c) - k_hi:]
+            hi = hi_c if k_hi else np.empty(0)
+        yield pd.DataFrame({
+            "lo": [(lo if lo is not None else np.empty(0)).tolist()],
+            "hi": [(hi if hi is not None else np.empty(0)).tolist()],
+            "n": [n],
+        })
+
+    return fn
 
 
 def exact_quantiles(df: DataFrame, col: str, qs: list[float],
@@ -27,9 +61,8 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     """Exact percentile_cont values for each q in qs.
 
     NULLs are excluded on BOTH paths (Spark `percentile` skips them; the
-    top-k path must too, or ascending sorts would put NULLs first and the
-    count would be inflated). `n`, when passed, must be the NON-NULL count.
-    """
+    tail path filters them in the kernel). `n`, when passed, must be the
+    NON-NULL count."""
     df = df.filter(F.col(col).isNotNull())
     out: dict[float, float] = {}
     mids = [q for q in qs if TAIL < q < 1.0 - TAIL]
@@ -40,25 +73,57 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
             for i, q in enumerate(mids)
         ]).collect()[0]
         out.update({q: float(row[f"q{i}"]) for i, q in enumerate(mids)})
-    if tails:
-        if n is None:
-            n = df.count()
-        for q in tails:
-            idx = (n - 1) * q
-            lo_i, hi_i = math.floor(idx), math.ceil(idx)
-            if q <= 0.5:
-                k = hi_i + 1
-                vals = [r[0] for r in df.select(col)
-                        .orderBy(F.col(col).asc()).limit(k).tail(2)]
-                v_lo, v_hi = (vals[0], vals[-1]) if hi_i > lo_i else (vals[-1], vals[-1])
-            else:
-                k = n - lo_i
-                vals = [r[0] for r in df.select(col)
-                        .orderBy(F.col(col).desc()).limit(k).tail(2)]
-                # vals are the two smallest of the top-k: [v_hi? ...] desc order
-                v_lo, v_hi = (vals[-1], vals[0]) if hi_i > lo_i else (vals[-1], vals[-1])
-            frac = idx - lo_i
-            # two-sided weighted form — bit-identical to DuckDB quantile_cont
-            # AND Spark percentile (verified in tests/test_operators_misc.py)
-            out[q] = v_lo * (1.0 - frac) + v_hi * frac
+    if not tails:
+        return out
+
+    # both tails in ONE pass: per-partition k smallest + k largest, merged
+    # driver-side. k must cover the deepest requested order statistic; we
+    # need n for that — if unknown, overshoot with a bound from the first
+    # computation (n is returned by the same job, so compute k from the
+    # requested fractions against a cheap upper bound: use fraction·n after
+    # the job by re-running only if the initial k was too shallow).
+    lo_qs = [q for q in tails if q <= 0.5]
+    hi_qs = [q for q in tails if q > 0.5]
+
+    def run(k_lo: int, k_hi: int):
+        rows = (
+            df.select(F.col(col).cast("double").alias("_v"))
+            .mapInPandas(_partition_extremes(k_lo, k_hi),
+                         schema="lo array<double>, hi array<double>, n long")
+            .collect()
+        )
+        lo = np.sort(np.concatenate([np.asarray(r["lo"]) for r in rows]))
+        hi = np.sort(np.concatenate([np.asarray(r["hi"]) for r in rows]))
+        return lo, hi, int(sum(r["n"] for r in rows))
+
+    if n is None:
+        # first pass with a generous guess (covers p1/p99 up to ~6.5M rows
+        # in one job); deepen only if the guess was shallow. Driver traffic
+        # is k × num_partitions × 8 B per tail — at extreme n·q depths use
+        # the approx path instead (classifier exact=False).
+        guess = 65536
+        lo_v, hi_v, n = run(guess if lo_qs else 0, guess if hi_qs else 0)
+        need_lo = max((math.ceil((n - 1) * q) + 1 for q in lo_qs), default=0)
+        need_hi = max((n - math.floor((n - 1) * q) for q in hi_qs), default=0)
+        if (lo_qs and need_lo > guess) or (hi_qs and need_hi > guess):
+            lo_v, hi_v, n = run(need_lo, need_hi)
+    else:
+        need_lo = max((math.ceil((n - 1) * q) + 1 for q in lo_qs), default=0)
+        need_hi = max((n - math.floor((n - 1) * q) for q in hi_qs), default=0)
+        lo_v, hi_v, n = run(need_lo, need_hi)
+
+    for q in tails:
+        idx = (n - 1) * q
+        lo_i, hi_i = math.floor(idx), math.ceil(idx)
+        if q <= 0.5:
+            v_lo, v_hi = lo_v[lo_i], lo_v[hi_i]
+        else:
+            # hi_v holds the k largest in ascending order: global rank r
+            # (0-based) maps to hi_v[len(hi_v) - (n - r)]
+            v_lo = hi_v[len(hi_v) - (n - lo_i)]
+            v_hi = hi_v[len(hi_v) - (n - hi_i)]
+        frac = idx - lo_i
+        # two-sided weighted form — bit-identical to DuckDB quantile_cont
+        # AND Spark percentile (verified in tests/test_operators_misc.py)
+        out[q] = float(v_lo) * (1.0 - frac) + float(v_hi) * frac
     return out

@@ -141,6 +141,27 @@ def test_wand_multiterm_rank_identical(spark, corpus, query):
         assert math.isclose(gs, ws, rel_tol=1e-12), (query, gs, ws)
 
 
+def test_batch_topk_matches_single_queries(spark, corpus):
+    """bm25_topk_batch (one job, many queries) must be rank- and score-
+    identical to per-query bm25_topk for every query."""
+    from macrobase_spark.index.bm25 import bm25_topk_batch
+
+    _, out, _, docs = corpus
+    qs = {"a": "the", "b": "rare7", "c": "tok0042 tok0007",
+          "d": "rare11 the call", "e": "missingterm"}
+    batch = bm25_topk_batch(spark, out, qs, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        single = [(i + 1, r["doc_id"], r["score"]) for i, r in
+                  enumerate(bm25_topk(spark, out, q, k=10).collect())]
+        got = sorted(by_q.get(qid, []))
+        assert got == single, qid
+        want = bm25_oracle(docs, q, k=10)
+        assert [d for _, d, _ in got] == [d for d, _ in want], qid
+
+
 def test_anomaly_diff_surfaces_planted_tool(spark):
     """Track A+B: DIFF over role/tool of anomalous turns surfaces
     tool='browser' (the generator plants degenerate turns 3x as often
