@@ -275,6 +275,8 @@ def build_index(
     hot_thread = threading.Thread(target=_hot, daemon=True)
     hot_thread.start()
 
+    docs_thread: "threading.Thread | None" = None
+    docs_result: dict = {}
     if not docs_done:
         from pyspark import StorageLevel
 
@@ -297,10 +299,24 @@ def build_index(
         mad = (q75 - q25) / 2.0 or 1e-9
         z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
             mad * 1.4826)
-        (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
-            .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
-            .write.mode("overwrite").parquet(docs_path))
-        feats.unpersist()
+
+        # the docs write needs only the cached feats + the stats just
+        # computed — it is independent of the postings pipeline, so it runs
+        # as a CONCURRENT Spark job behind the encode shuffle (same pattern
+        # as hot-term detection), shaving one serial job off the build
+        def _write_docs():
+            try:
+                (feats.withColumn(
+                    "anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+                    .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio",
+                            "anomaly")
+                    .write.mode("overwrite").parquet(docs_path))
+                feats.unpersist()
+            except Exception as exc:  # surfaced after join
+                docs_result["error"] = exc
+
+        docs_thread = threading.Thread(target=_write_docs, daemon=True)
+        docs_thread.start()
     else:
         stats_row = spark.read.parquet(docs_path).agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -397,6 +413,10 @@ def build_index(
                 report_buckets[rec["bucket"]] = rec
                 f.write(json.dumps(rec) + "\n")
 
+    if docs_thread is not None:
+        docs_thread.join()
+        if "error" in docs_result:
+            raise docs_result["error"]
     if num_groups > 1:
         postings.unpersist()
     invalidate_index_cache(out_dir)
