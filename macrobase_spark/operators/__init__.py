@@ -14,3 +14,20 @@ from macrobase_spark.operators.transform import (  # noqa: F401
     winsorize,
     metric_bucketize,
 )
+from macrobase_spark.operators.mcd import (  # noqa: F401
+    mad_or_mcd,
+    mcd_fit,
+    mcd_score,
+)
+from macrobase_spark.operators.density import gmm_score, kde_score  # noqa: F401
+from macrobase_spark.operators.timeseries import (  # noqa: F401
+    ar_scores,
+    autocorrelation,
+    fft_features,
+    kalman_smooth,
+)
+from macrobase_spark.operators.transform import (  # noqa: F401
+    linear_metric_normalizer,
+    random_projection,
+    truncate,
+)

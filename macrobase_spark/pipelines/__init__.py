@@ -9,3 +9,6 @@ from macrobase_spark.pipelines.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     lsh_bucketed_topk,
 )
+from macrobase_spark.pipelines.dedup import embedding_cosine_pairs  # noqa: F401
+from macrobase_spark.pipelines.similarity import ivf_topk  # noqa: F401
+from macrobase_spark.pipelines.runner import run_pipeline  # noqa: F401

@@ -1,1 +1,2 @@
 from macrobase_spark.sources.csv import read_csv_macrobase, write_csv  # noqa: F401
+from macrobase_spark.sources.rest import read_rest, read_rest_partitioned  # noqa: F401

@@ -3,3 +3,5 @@ from macrobase_spark.streaming.windows import (  # noqa: F401
     moving_average,
     streaming_windowed_counts,
 )
+from macrobase_spark.streaming.stateful import streaming_decayed_diff  # noqa: F401
+from macrobase_spark.streaming.ew import ew_percentile_classify  # noqa: F401
