@@ -291,10 +291,14 @@ def build_index(
                  .persist(StorageLevel.MEMORY_AND_DISK))
         ll = "log1p(cast(doc_len as double))"
         row = feats.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
+            F.count("*").alias("n"),
+            F.sum("doc_len").alias("sum_dl"),
             F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
         ).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+        n_docs, sum_dl = int(row["n"]), int(row["sum_dl"])
+        avgdl = sum_dl / n_docs  # exact int sum / int count — matches the
+        # oracle's sum(len)/n bit-for-bit AND survives O(1) incremental
+        # updates (update_index adds the delta's integer sum)
         q25, med, q75 = [float(v) for v in row["qs"]]
         mad = (q75 - q25) / 2.0 or 1e-9
         z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
@@ -319,11 +323,18 @@ def build_index(
         docs_thread.start()
     else:
         stats_row = spark.read.parquet(docs_path).agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl"),
         ).collect()[0]
-        n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"])
+        n_docs, sum_dl = int(stats_row["n"]), int(stats_row["sum_dl"])
+        avgdl = sum_dl / n_docs
+        med = mad = None  # resume path: docs already written
+        if os.path.exists(os.path.join(out_dir, "stats.json")):
+            with open(os.path.join(out_dir, "stats.json")) as f:
+                _old = json.load(f)
+            med, mad = _old.get("len_med"), _old.get("len_mad")
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl, "k1": K1, "b": B,
+        json.dump({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+                   "len_med": med, "len_mad": mad, "k1": K1, "b": B,
                    "block_size": BLOCK_SIZE, "num_buckets": num_buckets,
                    "version": 1, "salt_partitions": salt_partitions,
                    "segmented_buckets": []}, f)
@@ -481,17 +492,32 @@ def update_index(
 
     feats = (turn_features(src, text_col).drop(text_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
-    # anomaly normalization over the UPDATED population (old + new lengths)
-    old_docs = spark.read.parquet(docs_path).select("doc_len")
-    all_lens = old_docs.unionByName(feats.select("doc_len"))
+    # O(delta) global stats: the base corpus contributes via the EXACT
+    # integer doc-length sum persisted in stats.json (no re-scan of the old
+    # docs table) — avgdl = (sum_dl_old + sum_dl_delta) / n stays
+    # bit-identical to a full recompute because both sums are integers.
     ll = "log1p(cast(doc_len as double))"
-    row = all_lens.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
+    row = feats.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl"),
         F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
     ).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
-    q25, med, q75 = [float(v) for v in row["qs"]]
-    mad = (q75 - q25) / 2.0 or 1e-9  # IQR/2 — same robust scale as the MAD
+    n_new, sum_new = int(row["n"]), int(row["sum_dl"])
+    if "sum_dl" in stats:
+        n_docs = stats["n_docs"] + n_new
+        sum_dl = stats["sum_dl"] + sum_new
+    else:  # legacy index without the integer sum: one-time rescan
+        old_row = spark.read.parquet(docs_path).agg(
+            F.count("*"), F.sum("doc_len")).collect()[0]
+        n_docs = int(old_row[0]) + n_new
+        sum_dl = int(old_row[1]) + sum_new
+    avgdl = sum_dl / n_docs
+    # anomaly normalization: reuse the base corpus's robust length stats
+    # (median / IQR drift slowly; they refresh on the next full build) —
+    # fall back to the delta's own quantiles for legacy indexes
+    med, mad = stats.get("len_med"), stats.get("len_mad")
+    if med is None or mad is None:
+        q25, med, q75 = [float(v) for v in row["qs"]]
+        mad = (q75 - q25) / 2.0 or 1e-9
     z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
         mad * 1.4826)
     (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
@@ -532,8 +558,9 @@ def update_index(
     new_enc.write.mode("append").partitionBy("bucket").parquet(postings_root)
 
     seg = sorted(set(stats.get("segmented_buckets", [])) | set(touched))
-    stats.update({"n_docs": n_docs, "avgdl": avgdl, "version": version,
-                  "hot_terms": sorted(hot_set), "segmented_buckets": seg})
+    stats.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+                  "version": version, "hot_terms": sorted(hot_set),
+                  "segmented_buckets": seg})
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
     # touched buckets are re-stamped at their PRE-update version: they now
