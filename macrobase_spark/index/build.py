@@ -619,6 +619,14 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     ).parquet(postings_root)
     stats["segmented_buckets"] = sorted(
         set(stats.get("segmented_buckets", [])) - set(stale))
+    # compaction is the background maintenance pass — also refresh the
+    # robust length-normalization stats that incremental updates let drift
+    ll = "log1p(cast(doc_len as double))"
+    qs = spark.read.parquet(os.path.join(out_dir, "docs.parquet")).agg(
+        F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))")
+    ).collect()[0][0]
+    stats["len_med"] = float(qs[1])
+    stats["len_mad"] = (float(qs[2]) - float(qs[0])) / 2.0 or 1e-9
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
     with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
