@@ -1152,6 +1152,30 @@ def q67_kde_gmm(spark, sf):
     )
 
 
+def q68_bm25_batch(spark, sf):
+    """Batched BM25 (N queries, ONE scoring job) through the real index —
+    per-query equality to bm25_topk is pytest-asserted exactly; rows-only
+    driver gate on the stable output contract."""
+    import hashlib
+    import tempfile
+
+    from macrobase_spark.index import build_index
+    from macrobase_spark.index.bm25 import bm25_topk_batch
+
+    d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
+        "turn_idx", F.col("doc_id").cast("int"))
+    key = hashlib.md5(sf.encode()).hexdigest()[:10]
+    cache = os.path.join(tempfile.gettempdir(), f"mb_idx_{key}")
+    if not os.path.exists(os.path.join(cache, "stats.json")):
+        build_index(d, cache, num_buckets=4, hot_df_threshold=10**9)
+    res = bm25_topk_batch(
+        spark, cache,
+        {"q1": "merge scan row", "q2": "index", "q3": "table join"}, k=5)
+    return res.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"), "rank").orderBy(
+        "query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_project_filter": q01_scan_project_filter,
@@ -1221,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_autocorrelation": q65_autocorrelation,
         "q66_kalman_ar": q66_kalman_ar,
         "q67_kde_gmm": q67_kde_gmm,
+        "q68_bm25_batch": q68_bm25_batch,
     }
 
 
