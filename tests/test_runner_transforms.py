@@ -46,6 +46,24 @@ def test_runner_batch_yaml_equivalent(spark, sample):
     assert got, "expected explanations"
 
 
+def test_runner_reference_demo_yaml(spark):
+    """The reference's OWN demo config (core/demo/batch.yaml) and demo data
+    (core/demo/sample.csv) run as-is through run_pipeline — the 'a reference
+    user's YAML works unchanged' contract."""
+    import os
+
+    ref = "/root/reference"
+    yaml_path = os.path.join(ref, "core/demo/batch.yaml")
+    if not os.path.exists(yaml_path):
+        pytest.skip("reference checkout not available")
+    rows = run_pipeline(spark, yaml_path, base_dir=ref).collect()
+    assert rows, "demo pipeline must surface explanations"
+    for r in rows:
+        assert r["support"] >= 0.2 and r["global_ratio"] >= 10.0
+    # the demo's planted anomaly region
+    assert any(r["location"] == "CAN" for r in rows)
+
+
 def test_runner_predicate_fpgrowth(spark, sample):
     sample.createOrReplaceTempView("sample_v2")
     conf = {
