@@ -90,6 +90,53 @@ def _run(mbsql, sql_rel: str, golden_rel: str):
     _assert_matches(df.toPandas(), os.path.join(RES, golden_rel))
 
 
+def test_sql_surface_edge_cases(spark):
+    """Grammar corners the goldens don't hit: WITH clause order reversed
+    (MIN SUPPORT before MIN RATIO — SqlBase.g4:71 allows both), quoted ';'
+    inside IMPORT paths, aliases on both DIFF relations, MAX COMBO 1."""
+    import pandas as pd
+
+    from macrobase_spark.sql import MacroBaseSQL
+
+    pdf = pd.DataFrame({
+        "usage": [1.0] * 50 + [2000.0] * 10,
+        "location": ["USA"] * 50 + ["CAN"] * 10,
+        "version": ["v1"] * 30 + ["v2"] * 20 + ["v3"] * 10,
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("edge_sample")
+    mb = MacroBaseSQL(spark)
+    r1 = mb.execute(
+        "SELECT * FROM DIFF (SPLIT edge_sample WHERE usage > 1000.0) "
+        "ON location, version WITH MIN SUPPORT 0.5 MIN RATIO 2.0 MAX COMBO 1"
+    ).collect()
+    assert r1 and all(r["support"] >= 0.5 and r["global_ratio"] >= 2.0
+                      for r in r1)
+    assert all((r["location"] is None) != (r["version"] is None) for r in r1)
+    def canon(rows):
+        return sorted(tuple("" if x is None else str(x) for x in r)
+                      for r in rows)
+
+    # reversed clause order → identical result
+    r2 = mb.execute(
+        "SELECT * FROM DIFF (SPLIT edge_sample WHERE usage > 1000.0) "
+        "ON location, version WITH MIN RATIO 2.0 MIN SUPPORT 0.5 MAX COMBO 1"
+    ).collect()
+    assert canon(r1) == canon(r2)
+    # two aliased relations
+    r3 = mb.execute(
+        "SELECT * FROM DIFF (SELECT * FROM edge_sample WHERE usage > 1000.0) "
+        "outliers, (SELECT * FROM edge_sample WHERE usage < 1000.0) inliers "
+        "ON location, version WITH MIN SUPPORT 0.5 MIN RATIO 2.0 MAX COMBO 1"
+    ).collect()
+    assert canon(r3) == canon(r1)
+    # ';' inside a quoted path must not split the statement
+    from macrobase_spark.sql.interface import _split_statements
+
+    stmts = _split_statements(
+        "IMPORT FROM CSV FILE 'a;b.csv' INTO t(x string); SELECT 1")
+    assert len(stmts) == 2 and "a;b.csv" in stmts[0]
+
+
 @pytest.mark.parametrize("i", range(1, 21))
 def test_golden_main(mbsql, i):
     _run(mbsql, f"{i}.sql", f"{i}.csv")
