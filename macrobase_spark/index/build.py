@@ -473,6 +473,11 @@ def update_index(
 
     Reference lineage: the reference has no incremental index; this is the
     standard Lucene/LSM segment-log design expressed as parquet appends.
+
+    Contract: `df_new` must contain only NEW doc_ids (append-only corpus).
+    Re-ingesting an existing doc_id would leave its old postings in the base
+    segment and add new ones — deletions/upserts need a tombstone layer this
+    engine does not implement (the transcripts corpus is append-only).
     """
     from pyspark import StorageLevel
 
