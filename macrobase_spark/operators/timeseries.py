@@ -68,11 +68,13 @@ def autocorrelation(df: DataFrame, keys: list[str], order_col: str,
         r = np.fft.ifft(fr * np.conj(fr)).real
         r0 = r[0] if r[0] != 0 else 1.0
         acf = r[1: max_lag + 1] / r0
-        # max peak past lag 0 above the threshold (Autocorrelation.java:80-96)
-        peaks = acf[np.abs(acf) >= acf_threshold]
-        mx = float(acf.max()) if len(acf) else 0.0
-        mi = int(np.argmax(acf)) + 1 if len(acf) else 0
-        _ = peaks
+        # max peak past lag 0, counted only when it clears the threshold
+        # (Autocorrelation.java:80-96: peaks below ACF_THRESH are ignored)
+        if len(acf) and acf.max() >= acf_threshold:
+            mx = float(acf.max())
+            mi = int(np.argmax(acf)) + 1
+        else:
+            mx, mi = 0.0, 0
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row.update({"acf": [acf.tolist()], "max_acf": [mx], "max_lag": [mi]})
         return pd.DataFrame(row)
