@@ -146,6 +146,35 @@ def test_lsh_ann_recall(spark):
     assert got and got[0]["vec_id"] == 11
 
 
+def test_mulmod_m61_matches_bigint_arithmetic():
+    """The vectorized Mersenne-field multiply (split 32-bit products +
+    shift-add folds) must equal exact Python bigint arithmetic for any
+    operands < 2^61 — the universal-hash guarantee rests on this kernel."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from macrobase_spark.pipelines.dedup import _MERSENNE, _mod_m61, _mulmod_m61
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, _MERSENNE - 1), st.integers(0, _MERSENNE - 1))
+    def check(a, h):
+        got = int(_mulmod_m61(np.array([a], dtype=np.uint64),
+                              np.array([h], dtype=np.uint64))[0])
+        assert got == (a * h) % _MERSENNE
+
+    check()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, 2 ** 64 - 1))
+    def check_mod(x):
+        got = int(_mod_m61(np.array([x], dtype=np.uint64))[0])
+        assert got == x % _MERSENNE
+
+    check_mod()
+
+
 def test_embedding_cosine_pairs_lsh_recall(spark):
     """Planted near-duplicate embeddings must surface through the LSH
     bucket path, and the exact path must equal a numpy brute force."""
