@@ -99,9 +99,16 @@ class MacroBaseSQL:
     Tables come from `IMPORT FROM CSV` statements or from any temp view
     already registered on the session (`df.createOrReplaceTempView`)."""
 
-    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+    def __init__(self, spark: SparkSession, base_dir: str | None = None,
+                 write_outfiles: bool = True, outfile_dir: str | None = None):
         self.spark = spark
         self.base_dir = base_dir or os.getcwd()
+        # INTO OUTFILE writes a single CSV like the reference
+        # (QueryEngine exportToCsv); explanation-size results only.
+        # outfile_dir overrides where relative OUTFILE paths land (the
+        # reference writes relative to its working directory).
+        self.write_outfiles = write_outfiles
+        self.outfile_dir = outfile_dir or self.base_dir
         self.last_outfile: str | None = None
         self._view_n = 0
 
@@ -131,7 +138,12 @@ class MacroBaseSQL:
         else:
             df = self._plain_query(stmt)
         if outfile:
-            self.last_outfile = outfile
+            path = outfile if os.path.isabs(outfile) else os.path.join(
+                self.outfile_dir, outfile)
+            self.last_outfile = path
+            if self.write_outfiles:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                df.toPandas().to_csv(path, index=False)
         return df
 
     def _strip_outfile(self, stmt: str) -> tuple[str, str | None]:

@@ -32,8 +32,10 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def mbsql(spark):
-    mb = MacroBaseSQL(spark, base_dir=REF_SQL)
+def mbsql(spark, tmp_path_factory):
+    # outfiles land in a temp dir — the reference checkout is read-only
+    mb = MacroBaseSQL(spark, base_dir=REF_SQL,
+                      outfile_dir=str(tmp_path_factory.mktemp("outfiles")))
     # MacroBaseSQLTest.setUp loads import.sql once for queries 1..20
     mb.execute(open(os.path.join(RES, "import.sql")).read())
     return mb
