@@ -142,10 +142,10 @@ def main():
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    for name in ["q02_agg_groupby", "q04_join_inner", "q13_classify_percentile",
-                 "q21_diff_global_ratio", "q24_diff_join", "q26_dedup_exact",
-                 "q30_term_stats", "q31_bm25_relational", "q32_cosine_topk",
-                 "q33_tumbling_window"]:
+    for name in ["q02_agg_groupby", "q03_join_inner_semi_anti", "q08_classifiers",
+                 "q13_diff_ratios", "q14_diff_join", "q16_dedup_exact",
+                 "q17_term_stats", "q18_bm25_relational", "q19_cosine_topk",
+                 "q20_window_sessionize"]:
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
         queries[name] = round(time.time() - t0, 3)

@@ -144,6 +144,7 @@ def diff(
     fd_pairs: list[tuple[str, str]] | None = None,
     prefilter_min_support: bool = False,
     containment: bool = False,
+    collect_threshold: int = 65536,
 ) -> DataFrame:
     """Explanation relation: attrs (NULL = absent) + support + <ratio_metric>
     + outlier_count + total_count, filtered to support ≥ min_support and
@@ -160,8 +161,16 @@ def diff(
     outliers; order-3 candidates additionally require every order-2 subset
     to be in the NEXT set (allPairsValid, APrioriLinear.java:404-421).
     Default False emits the FULL passing lattice — more informative and the
-    same single-shuffle cost (the pruning is a driver-side post-pass over
-    the explanation-scale grouped relation either way)."""
+    same single-shuffle cost.
+
+    Scale guard: the grouped lattice is only collected to the driver when
+    its ESTIMATED cardinality (Σ_combos Π approx-distinct) is ≤
+    collect_threshold; above it the plan stays fully distributed (filters in
+    Spark), and — mirroring the reference encoder, which drops below-support
+    values before the lattice (AttributeEncoder.java:97-108) — the order-1
+    min-support prefilter is auto-enabled so a high-cardinality attribute
+    (user ids, day-grain dates) can never OOM the driver OR blow up the
+    shuffle."""
     if attrs is None:
         attrs = explanation_columns(df)
     combos = _grouping_sets_sql(attrs, max_order, fd_pairs)
@@ -176,32 +185,63 @@ def diff(
         w.alias("_tcnt"),
     )
 
-    if prefilter_min_support:
-        g = base.agg(F.sum("_ocnt").alias("o")).collect()[0]
-        g_out_pre = float(g["o"])
-        # order-1 min-support pushdown (AttributeEncoder semantics): replace
-        # attr values whose outlier-weighted count < min_support*g_out with
-        # NULL so they can't form candidates at any order.
-        ok_sets = []
-        for a in attrs:
-            ok = (
-                base.groupBy(a)
-                .agg(F.sum("_ocnt").alias("oc"))
-                .filter(F.col("oc") >= min_support * g_out_pre)
-                .select(a)
-            )
-            ok_sets.append((a, ok))
-        for a, ok in ok_sets:
-            base = base.join(
-                F.broadcast(ok.withColumnRenamed(a, f"_ok_{a}")),
-                base[a] == F.col(f"_ok_{a}"),
-                "left",
-            ).withColumn(a, F.when(F.col(f"_ok_{a}").isNotNull(), F.col(a))).drop(f"_ok_{a}")
+    # ONE narrow pre-pass: exact global outlier/total weights (sums of
+    # integer-valued doubles — exact under any aggregation order) + approx
+    # per-attr cardinalities that drive the collect-vs-distributed decision.
+    pre = base.agg(
+        F.sum("_ocnt").alias("_go"), F.sum("_tcnt").alias("_gt"),
+        *[F.approx_count_distinct(a).alias(f"_c{i}") for i, a in enumerate(attrs)],
+    ).collect()[0]
+    g_out = float(pre["_go"] or 0.0)
+    g_tot = float(pre["_gt"] or 0.0)
+    if g_out == 0.0:
+        raise ValueError("no outliers — nothing to explain")
+    card = {a: max(int(pre[f"_c{i}"]), 1) for i, a in enumerate(attrs)}
 
-    # include the () grand-total set: the global aggregates come out of the
-    # SAME single shuffle (no separate full-input scan); the grouped relation
-    # is tiny (one row per surviving combo value) so caching it is free.
-    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos) + ", ()"
+    def _est_lattice(c: dict[str, int]) -> int:
+        total = 0
+        for combo in combos:
+            p = 1
+            for a in combo:
+                p = min(p * c[a], 1 << 62)
+            total += p
+        return total
+
+    if (not prefilter_min_support and min_support > 0.0
+            and _est_lattice(card) > collect_threshold):
+        prefilter_min_support = True  # encoder-style pruning, auto
+
+    if prefilter_min_support and min_support > 0.0:
+        # Order-1 min-support pushdown (AttributeEncoder semantics): NULL out
+        # attr values whose outlier-weighted count < min_support*g_out so they
+        # can't form candidates at any order. ONE exploded aggregation covers
+        # every attribute; each attr's passing set is ≤ 1/min_support values
+        # (each passing value owns ≥ min_support·g_out of the g_out outlier
+        # weight), so the sets are driver-safe by construction.
+        kv = base.select(
+            "_ocnt",
+            F.explode(F.array(*[
+                F.struct(F.lit(a).alias("a"), F.col(a).cast("string").alias("v"))
+                for a in attrs])).alias("kv"),
+        )
+        passing = (
+            kv.filter(F.col("kv.v").isNotNull())
+            .groupBy(F.col("kv.a").alias("a"), F.col("kv.v").alias("v"))
+            .agg(F.sum("_ocnt").alias("oc"))
+            .filter(F.col("oc") >= min_support * g_out)
+            .select("a", "v")
+            .collect()
+        )
+        ok_by_attr: dict[str, list[str]] = {}
+        for r in passing:
+            ok_by_attr.setdefault(r["a"], []).append(r["v"])
+        for a in attrs:
+            vals = sorted(ok_by_attr.get(a, ()))
+            base = base.withColumn(
+                a, F.when(F.col(a).cast("string").isin(vals), F.col(a)))
+        card = {a: max(len(ok_by_attr.get(a, ())), 1) for a in attrs}
+
+    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
     view = f"_mb_diff_{abs(hash(tuple(combos))) % 10**8}"
     base.createOrReplaceTempView(view)
     attr_list = ", ".join(attrs)
@@ -215,22 +255,30 @@ def diff(
         GROUP BY GROUPING SETS ({sets_sql})
         """
     )
-    # The grouped relation is explanation-scale by contract (one row per
-    # surviving combo value after map-side combine), so collect it once and
-    # continue on a driver-local DataFrame: the single shuffle executes
-    # exactly once and no cache entry is left behind (no persist leak).
-    grouped_rows = grouped.collect()
-    grouped_schema = grouped.schema
     all_absent = (1 << len(attrs)) - 1
-    g_row = next(r for r in grouped_rows if r["_gid"] == all_absent)
-    g_out, g_tot = float(g_row["outlier_count"]), float(g_row["total_count"])
-    if g_out == 0.0:
-        raise ValueError("no outliers — nothing to explain")
+    small = _est_lattice(card) <= collect_threshold
     if containment:
+        # the emit/explore pass is a driver-side post-pass by nature, but the
+        # support PRUNE is monotonic and applied distributed BEFORE collect —
+        # below-support rows are never NEXT candidates, so filtering them
+        # first is result-identical and bounds driver traffic.
+        survivors = grouped.filter(
+            F.col("outlier_count") >= F.lit(min_support * g_out))
+        hard_cap = 1_000_000
+        rows = survivors.limit(hard_cap + 1).collect()
+        if len(rows) > hard_cap:
+            raise ValueError(
+                f"containment lattice exceeds {hard_cap} passing itemsets; "
+                "raise min_support or enable prefilter_min_support")
         return _containment_result(
-            df.sparkSession, grouped_rows, grouped_schema, attrs, all_absent,
+            df.sparkSession, rows, grouped.schema, attrs, all_absent,
             ratio_metric, min_support, min_ratio, g_out, g_tot)
-    grouped = df.sparkSession.createDataFrame(grouped_rows, grouped_schema)
+    if small:
+        # Explanation-scale lattice: collect once and continue on a
+        # driver-local DataFrame — the shuffle executes exactly once and no
+        # cache entry is left behind (no persist leak).
+        grouped = df.sparkSession.createDataFrame(grouped.collect(),
+                                                  grouped.schema)
     # grouping_id disambiguates "NULL because attribute absent from this
     # grouping set" from a genuine NULL data value: keep only rows where every
     # NULL attr is a grouped-out attr, and null-valued groups are dropped

@@ -81,3 +81,58 @@ def test_count_mean_shift_columns(spark, sample):
         F.sum("_OUTLIERCOUNT").alias("oc"), F.sum("_INLIERCOUNT").alias("ic")
     ).collect()[0]
     assert row["oc"] + row["ic"] == sample.count()
+
+
+def _plan_simple(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+
+
+def test_diff_high_cardinality_stays_off_driver(spark):
+    """A 10^5-cardinality attribute must NOT be collected to the driver:
+    with min_support>0 the encoder-style prefilter auto-enables (lattice
+    shrinks to ≤1/min_support values/attr, result-identical per
+    AttributeEncoder.java:97-108); with min_support=0 the plan stays fully
+    distributed (Expand visible in the RETURNED plan, i.e. no collect)."""
+    n = 100_000
+    df = (spark.range(n)
+          .withColumn("uid", F.concat(F.lit("u"), F.col("id")))
+          .withColumn("grp", F.when(F.col("id") % 100 < 2, "hot")
+                      .otherwise(F.concat(F.lit("g"), F.col("id") % 50)))
+          .withColumn("_OUTLIER",
+                      F.when((F.col("id") % 100 < 2) & (F.col("id") % 2 == 0),
+                             1.0).otherwise(0.0)))
+
+    # auto-prefilter path: high-cardinality uid values are dropped before the
+    # grouping-sets pass; the planted 'hot' group must still surface
+    expl = diff(df, ["uid", "grp"], min_support=0.2, min_ratio=2.0, max_order=2)
+    rows = expl.collect()
+    assert rows and rows[0]["grp"] == "hot" and rows[0]["uid"] is None
+
+    # distributed path: min_support=0 disables the prefilter → the lattice is
+    # too large to collect, so the returned plan must still contain the
+    # grouping-sets Expand (nothing was materialized on the driver)
+    expl2 = diff(df, ["uid"], min_support=0.0, min_ratio=1e9, max_order=1)
+    assert "Expand" in _plan_simple(expl2)
+    assert expl2.count() == 0  # nothing passes a 1e9 ratio floor
+
+
+def test_diff_prefilter_matches_plain(spark, sample):
+    """prefilter_min_support (one exploded aggregation pass) is
+    result-identical to the plain lattice at the same thresholds."""
+    labeled = classify_percentile(sample, "usage", percentile=2.5,
+                                  include_high=False)
+    plain = diff(labeled, ["location", "version"], min_support=0.2,
+                 min_ratio=1.5, max_order=2)
+    pre = diff(labeled, ["location", "version"], min_support=0.2,
+               min_ratio=1.5, max_order=2, prefilter_min_support=True)
+    k = ["location", "version"]
+
+    def rows(df):
+        return sorted(
+            (tuple(r[c] for c in k) + (round(r["support"], 9),
+             round(r["global_ratio"], 9)) for r in df.collect()),
+            key=repr)
+
+    assert rows(plain) == rows(pre)

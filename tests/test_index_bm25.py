@@ -168,7 +168,7 @@ def test_anomaly_diff_surfaces_planted_tool(spark):
     there)."""
     import __spark_entry__ as e
 
-    rows = e.q54_transcript_anomaly_diff(spark, "unused").collect()
+    rows = e.q37_transcript_anomaly_diff(spark, "unused").collect()
     assert rows, "expected explanations"
     browser = [r for r in rows if r["tool"] == "browser"]
     assert browser, f"tool=browser not surfaced: {rows[:5]}"

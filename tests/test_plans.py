@@ -29,7 +29,7 @@ def sf(spark):
 def test_scan_pushdown_and_pruning(spark, sf):
     import __spark_entry__ as e
 
-    p = _plan(e.q01_scan_project_filter(spark, sf))
+    p = _plan(e.q01_scan_filter_topk(spark, sf))
     assert "PushedFilters:" in p
     assert "l_shipdate" in p.split("PushedFilters:")[1].split("\n")[0]
     # column pruning: unused wide columns never leave the scan
@@ -40,7 +40,7 @@ def test_scan_pushdown_and_pruning(spark, sf):
 def test_dim_join_broadcasts(spark, sf):
     import __spark_entry__ as e
 
-    p = _plan(e.q04_join_inner(spark, sf))
+    p = _plan(e.q03_join_inner_semi_anti(spark, sf))
     assert "BroadcastHashJoin" in p
 
 
