@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TAIL = 0.15  # use the tail path when q ≤ TAIL or q ≥ 1-TAIL
+DEEP_CAP = 262144  # deepest per-partition order statistic the tail path
+# will ship to the driver (k × num_partitions × 8 B); deeper order
+# statistics fall back to Spark's exact percentile aggregate instead of
+# collecting an unbounded slice of the column
 
 
 def _partition_extremes(k_lo: int, k_hi: int):
@@ -96,20 +100,41 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
         hi = np.sort(np.concatenate([np.asarray(r["hi"]) for r in rows]))
         return lo, hi, int(sum(r["n"] for r in rows))
 
+    def _depth_lo(q: float, nn: int) -> int:
+        return math.ceil((nn - 1) * q) + 1
+
+    def _depth_hi(q: float, nn: int) -> int:
+        return nn - math.floor((nn - 1) * q)
+
     if n is None:
         # first pass with a generous guess (covers p1/p99 up to ~6.5M rows
-        # in one job); deepen only if the guess was shallow. Driver traffic
-        # is k × num_partitions × 8 B per tail — at extreme n·q depths use
-        # the approx path instead (classifier exact=False).
+        # in one job); deepen only if the guess was shallow, and never past
+        # DEEP_CAP — a "tail" quantile whose order statistic is deeper than
+        # that (q=0.15 on a huge column) is really a middle quantile and
+        # routes to the exact percentile aggregate instead.
         guess = 65536
-        lo_v, hi_v, n = run(guess if lo_qs else 0, guess if hi_qs else 0)
-        need_lo = max((math.ceil((n - 1) * q) + 1 for q in lo_qs), default=0)
-        need_hi = max((n - math.floor((n - 1) * q) for q in hi_qs), default=0)
-        if (lo_qs and need_lo > guess) or (hi_qs and need_hi > guess):
-            lo_v, hi_v, n = run(need_lo, need_hi)
+        k_lo_used = guess if lo_qs else 0
+        k_hi_used = guess if hi_qs else 0
+        lo_v, hi_v, n = run(k_lo_used, k_hi_used)
     else:
-        need_lo = max((math.ceil((n - 1) * q) + 1 for q in lo_qs), default=0)
-        need_hi = max((n - math.floor((n - 1) * q) for q in hi_qs), default=0)
+        k_lo_used = k_hi_used = -1  # nothing collected yet
+    deep = [q for q in tails
+            if (q <= 0.5 and _depth_lo(q, n) > DEEP_CAP)
+            or (q > 0.5 and _depth_hi(q, n) > DEEP_CAP)]
+    if deep:
+        row = df.agg(*[F.expr(f"percentile({col}, {q!r})").alias(f"q{i}")
+                       for i, q in enumerate(deep)]).collect()[0]
+        out.update({q: float(row[f"q{i}"]) for i, q in enumerate(deep)})
+        tails = [q for q in tails if q not in deep]
+        lo_qs = [q for q in lo_qs if q not in deep]
+        hi_qs = [q for q in hi_qs if q not in deep]
+        if not tails:
+            return out
+    need_lo = max((_depth_lo(q, n) for q in lo_qs), default=0)
+    need_hi = max((_depth_hi(q, n) for q in hi_qs), default=0)
+    # the union-of-per-partition-top-k guarantee requires per-partition
+    # depth k ≥ the requested order statistic
+    if need_lo > k_lo_used or need_hi > k_hi_used:
         lo_v, hi_v, n = run(need_lo, need_hi)
 
     for q in tails:

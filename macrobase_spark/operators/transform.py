@@ -59,34 +59,65 @@ def normalize_col(df: DataFrame, col: str, output_col: str | None = None) -> Dat
     return df.withColumn(output_col or col, (F.col(col) + F.lit(offset)) / F.lit(norm))
 
 
-def percentile_col(df: DataFrame, col: str, output_col: str | None = None) -> DataFrame:
+def percentile_col(df: DataFrame, col: str, output_col: str | None = None,
+                   n_buckets: int | None = None) -> DataFrame:
     """percentile(col): per-value percentile = (1-indexed MIN rank)/n —
     ties share the min position of the tie group, so a unique max value gets
     exactly 1.0. Reference-exact: lib/.../analysis/MBFunction.java:128-161
     (the sorted-position map iterates downward, so the surviving entry per
     value is its smallest index + 1; NOT percent_rank, which is
-    (rank−1)/(n−1), and NOT the max rank).
+    (rank−1)/(n−1), and NOT the max rank). NULL metric values get a NULL
+    percentile and are excluded from both the ranks and n (the reference
+    sorts raw Java doubles, where NaN lands last; SQL NULL ≠ NaN, so the
+    explicit choice here is to keep NULLs out of the distribution entirely).
 
-    Scale-safe plan: the min ascending rank of a tie group equals the
-    cumulative row count through the PREVIOUS value + 1, so rank arithmetic
-    runs on the per-VALUE aggregate (groupBy(col).count() → running sum over
-    distinct values → join back on value). The only ordered window is over
-    distinct values — ≪ row count — instead of a single-partition sort of
-    the whole relation. NULL metric values get a NULL percentile."""
-    n = df.count()
-    vals = df.groupBy(F.col(col).alias("_v")).agg(F.count("*").alias("_c"))
-    w = W.orderBy(F.col("_v").asc()).rowsBetween(W.unboundedPreceding, 0)
-    pct = vals.select(
+    Scale-safe plan, two phases and no global sort: (1) rank arithmetic runs
+    on the per-VALUE aggregate (groupBy(col).count() — the min ascending
+    rank of a tie group is the cumulative count through the previous value
+    + 1); (2) the cumulative count itself is bucketed — distinct values are
+    split at deterministic range boundaries (quantile sketch, driver-side
+    literals), within-bucket running sums use a window PARTITIONED BY
+    bucket, and the ≤ n_buckets per-bucket totals are cumulated on the
+    driver into literal offsets. A continuous metric (distinct ≈ rows,
+    the reference's own percentile(usage) case) therefore never funnels
+    through a single-partition window at any scale."""
+    spark = df.sparkSession
+    n = df.agg(F.count(col).alias("n")).collect()[0]["n"]  # non-null count
+    out_name = output_col or col
+    if n == 0:
+        return df.withColumn(out_name, F.lit(None).cast("double"))
+    nb = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nonnull = df.filter(F.col(col).isNotNull())
+    vals = nonnull.groupBy(F.col(col).alias("_v")).agg(F.count("*").alias("_c"))
+    # deterministic split points over DISTINCT values (balanced windows even
+    # when the raw data is skewed onto few hot values)
+    probs = [i / nb for i in range(1, nb)]
+    bounds = sorted(set(vals.approxQuantile("_v", probs, 0.01))) if probs else []
+    bucket = F.lit(len(bounds))  # fallthrough: > last bound (and NaN-last)
+    for i in range(len(bounds) - 1, -1, -1):
+        bucket = F.when(F.col("_v") <= F.lit(bounds[i]), i).otherwise(bucket)
+    b = vals.withColumn("_b", bucket)
+    btot = {int(r["_b"]): float(r["_t"])
+            for r in b.groupBy("_b").agg(F.sum("_c").alias("_t")).collect()}
+    offs, running = {}, 0.0
+    for k in sorted(btot):
+        offs[k] = running
+        running += btot[k]
+    off = F.lit(0.0)
+    for k, v in offs.items():
+        off = F.when(F.col("_b") == k, F.lit(v)).otherwise(off)
+    wb = (W.partitionBy("_b").orderBy(F.col("_v").asc())
+          .rowsBetween(W.unboundedPreceding, 0))
+    pct = b.select(
         "_v",
-        ((F.sum("_c").over(w) - F.col("_c") + F.lit(1)).cast("double")
+        ((off + F.sum("_c").over(wb) - F.col("_c") + F.lit(1.0))
          / F.lit(float(n))).alias("_pct"),
     )
-    out = (
+    return (
         df.join(pct, df[col] == F.col("_v"), "left")
-        .withColumn(output_col or col, F.col("_pct"))
+        .withColumn(out_name, F.col("_pct"))
         .drop("_v", "_pct")
     )
-    return out
 
 
 def winsorize(df: DataFrame, col: str, p: float = 1.0, exact: bool = True,

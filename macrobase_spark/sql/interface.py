@@ -255,6 +255,10 @@ class MacroBaseSQL:
                 continue
             items.append(_PCT_RE.sub(sub_pct, item))
         new_sel = ", ".join(items)
+        # the tail (ORDER BY / GROUP BY / LIMIT) can also reference
+        # percentile(c) — left unrewritten it would resolve to Spark's
+        # native percentile aggregate (wrong semantics / analysis error)
+        tail = _PCT_RE.sub(sub_pct, tail)
         if where:
             where = _PCT_RE.sub(sub_pct, where)
             for alias, expr in aliases.items():

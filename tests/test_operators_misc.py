@@ -143,3 +143,62 @@ def test_quantile_classifier_flags_extreme_group(spark):
     assert out["C"] > out["A"] and out["C"] > out["B"]
     # the global p90 cutoff lands at C's median (600) → exactly half of C
     assert out["C"] >= 50.0
+
+
+def test_percentile_col_null_and_min_rank(spark):
+    """NULL metrics are excluded from ranks AND n (the round-2 bug gave the
+    minimum 0.5 instead of 1/3 on [1,2,NULL,3]); ties share the MIN rank."""
+    from macrobase_spark.operators.transform import percentile_col
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None), (4, 3.0), (5, 2.0)], "id int, v double")
+    got = {r["id"]: r["p"] for r in
+           percentile_col(df, "v", output_col="p").collect()}
+    assert got[3] is None
+    assert abs(got[1] - 1.0 / 4.0) < 1e-12          # min gets 1/n, n=4 non-null
+    assert abs(got[2] - 2.0 / 4.0) < 1e-12          # tie group min rank = 2
+    assert abs(got[5] - 2.0 / 4.0) < 1e-12
+    assert abs(got[4] - 1.0) < 1e-12                # unique max → exactly 1
+
+
+def test_percentile_col_bucketed_matches_reference_ranks(spark):
+    """The bucketed two-phase cumulative count equals the single-window
+    min-rank/n on a continuous column (distinct ≈ rows), at several bucket
+    counts including more buckets than values."""
+    import random
+
+    from macrobase_spark.operators.transform import percentile_col
+
+    rnd = random.Random(7)
+    data = [(i, round(rnd.gauss(0, 100), 2)) for i in range(2000)]
+    df = spark.createDataFrame(data, "id int, v double")
+    pdf = sorted(v for _, v in data)
+    n = len(pdf)
+    want = {}
+    for i, v in enumerate(pdf):
+        want.setdefault(v, (i + 1) / n)  # min rank of the tie group
+    for nb in (1, 7, 64, 5000):
+        got = {r["id"]: r["p"] for r in
+               percentile_col(df, "v", output_col="p", n_buckets=nb).collect()}
+        for i, v in data:
+            assert abs(got[i] - want[v]) < 1e-12, (nb, i, v)
+
+
+def test_exact_quantiles_deep_tail_falls_back(spark):
+    """A 'tail' quantile whose order statistic exceeds DEEP_CAP routes to the
+    exact percentile aggregate instead of collecting ~15% of the column."""
+    from macrobase_spark.operators import quantiles as qmod
+
+    df = spark.range(50_000).selectExpr("cast(id as double) as v")
+    old = qmod.DEEP_CAP
+    qmod.DEEP_CAP = 1000  # force the fallback at this size
+    try:
+        got = qmod.exact_quantiles(df, "v", [0.15, 0.5, 0.999])
+    finally:
+        qmod.DEEP_CAP = old
+    import math
+    for q in (0.15, 0.999):
+        idx = (50_000 - 1) * q
+        lo, hi = math.floor(idx), math.ceil(idx)
+        want = lo * (1 - (idx - lo)) + hi * (idx - lo)
+        assert abs(got[q] - want) < 1e-9, (q, got[q], want)

@@ -112,3 +112,17 @@ def test_bm25_scan_prunes_buckets(spark, tmp_path):
     b = term_bucket("rare7", 8)
     assert f"bucket IN ({b})" in p or f"bucket#" in p  # partition filter present
     assert "PartitionFilters" in p
+
+
+def test_percentile_col_no_single_partition_window(spark, sf):
+    """percentile() over a continuous metric (distinct ≈ rows) must never
+    funnel through a single-partition window: the running count is bucketed
+    (window PARTITIONED BY bucket + driver-side literal offsets)."""
+    from macrobase_spark.operators.transform import percentile_col
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    out = percentile_col(o.select("o_orderkey", "o_totalprice"),
+                         "o_totalprice", output_col="pct")
+    p = _plan(out, mode="simple")
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(_b" in p
