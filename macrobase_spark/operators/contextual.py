@@ -4,9 +4,11 @@ scorer — is anomalously high.
 
 Reference shape: contrib/.../contextualoutlier/ContextualOutlierDetector.java
 :33-723 (lattice of contexts; run detection within each context). Spark home:
-the context lattice is a grouping-sets enumeration; the per-context scorer is
-a grouped robust statistic (per-context median/MAD via grouped percentile) —
-no per-context Python, one shuffle for stats + one broadcast join back.
+the whole lattice is melted into ONE exploded relation (row × combo), and the
+per-context median / MAD / exceed-rate are three grouped passes over it —
+the input is scanned a constant number of times regardless of how many
+contexts the lattice enumerates (the old shape was 2 shuffles + 2 joins PER
+combo: 25 scans / 50 shuffles at max_order 3 over 5 attrs).
 """
 
 from __future__ import annotations
@@ -15,6 +17,9 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_SEP = "\x01"
+_NULLMARK = "\x00NULL"
 
 
 def contextual_mad_outliers(
@@ -30,48 +35,68 @@ def contextual_mad_outliers(
     within-CONTEXT MAD score exceeds score_cutoff, vs the global rate.
     Returns contexts ordered by rate ratio.
 
-    Plan: per-context median via grouped percentile (one shuffle), join back
-    (broadcast: #contexts ≪ rows), per-context MAD likewise, then one
-    grouping-sets style aggregation of exceed counts. Everything JVM-side.
+    Plan: one explode melts each row into (combo_id, context-key, metric) —
+    |combos| rows per input row, ONE scan — then exactly three grouped
+    passes: (1) per-context median + size, (2) per-context MAD, (3)
+    per-context exceed counts. The two stat relations are context-sized and
+    broadcast back. Everything JVM-side; job count is constant in |combos|.
     """
     combos: list[tuple[str, ...]] = []
     for k in range(1, min(max_order, len(attrs)) + 1):
         combos.extend(combinations(attrs, k))
 
+    # melt: one struct per combo carrying (combo id, output attr columns
+    # — NULL for attrs outside the combo — and a positional join key that
+    # is null-safe via the sentinel, since Spark equi-joins drop NULL keys)
+    ctx_structs = []
+    for cid, combo in enumerate(combos):
+        fields = [F.lit(cid).alias("_cid")]
+        key_parts = []
+        for a in attrs:
+            if a in combo:
+                col = F.col(a).cast("string")
+                fields.append(col.alias(a))
+                key_parts.append(F.coalesce(col, F.lit(_NULLMARK)))
+            else:
+                fields.append(F.lit(None).cast("string").alias(a))
+                key_parts.append(F.lit(""))
+        fields.append(F.concat_ws(_SEP, *key_parts).alias("_ckey"))
+        ctx_structs.append(F.struct(*fields))
+
+    exploded = (
+        df.select(F.col(metric).alias("_m"),
+                  F.explode(F.array(*ctx_structs)).alias("_ctx"))
+        .select("_ctx.*", "_m")
+    )
+
     # exact grouped percentile for oracle parity; percentile_approx for the
     # 100 TB path (contexts with huge membership)
     pct = "percentile" if exact else "percentile_approx"
-    results = None
-    for combo in combos:
-        keys = list(combo)
-        med = df.groupBy(*keys).agg(
-            F.expr(f"{pct}({metric}, 0.5)").alias("_med"),
-            F.count("*").alias("_csize"),
-        ).filter(F.col("_csize") >= min_context_size)
-        j = df.join(F.broadcast(med), keys)
-        mad = j.groupBy(*keys).agg(
-            F.expr(f"{pct}(abs({metric} - _med), 0.5)").alias("_mad"))
-        scored = j.join(F.broadcast(mad), keys).withColumn(
-            "_exceed",
-            F.when(
-                F.abs(F.col(metric) - F.col("_med"))
-                / (F.when(F.col("_mad") > 0, F.col("_mad")).otherwise(1e-12) * 1.4826)
-                > score_cutoff, 1.0).otherwise(0.0),
-        )
-        agg = scored.groupBy(*keys).agg(
-            F.sum("_exceed").alias("outlier_count"),
-            F.count("*").alias("context_size"),
-        )
-        row = agg.select(
-            *[F.col(a) if a in keys else F.lit(None).cast("string").alias(a)
-              for a in attrs],
-            "outlier_count", "context_size",
-        )
-        results = row if results is None else results.unionByName(row)
-
+    med = (
+        exploded.groupBy("_cid", "_ckey")
+        .agg(F.expr(f"{pct}(_m, 0.5)").alias("_med"),
+             F.count("*").alias("_csize"))
+        .filter(F.col("_csize") >= min_context_size)
+        .select("_cid", "_ckey", "_med")
+    )
+    j = exploded.join(F.broadcast(med), ["_cid", "_ckey"])
+    mad = j.groupBy("_cid", "_ckey").agg(
+        F.expr(f"{pct}(abs(_m - _med), 0.5)").alias("_mad"))
+    scored = j.join(F.broadcast(mad), ["_cid", "_ckey"]).withColumn(
+        "_exceed",
+        F.when(
+            F.abs(F.col("_m") - F.col("_med"))
+            / (F.when(F.col("_mad") > 0, F.col("_mad")).otherwise(1e-12) * 1.4826)
+            > score_cutoff, 1.0).otherwise(0.0),
+    )
+    agg = scored.groupBy("_cid", "_ckey", *attrs).agg(
+        F.sum("_exceed").alias("outlier_count"),
+        F.count("*").alias("context_size"),
+    )
     return (
-        results.withColumn("outlier_rate",
-                           F.col("outlier_count") / F.col("context_size"))
+        agg.select(*attrs, "outlier_count", "context_size")
+        .withColumn("outlier_rate",
+                    F.col("outlier_count") / F.col("context_size"))
         .orderBy(F.col("outlier_rate").desc(),
                  *[F.col(a).asc_nulls_last() for a in attrs])
     )

@@ -69,40 +69,109 @@ def kde_score(df: DataFrame, cols: list[str], output_col: str = "_SCORE",
                                              for c_ in cols]))
 
 
+def _gmm_logpdf(x: np.ndarray, weights: np.ndarray, mus: np.ndarray,
+                invs: np.ndarray, logdets: np.ndarray) -> np.ndarray:
+    """Per-component log w_j + log N(x; μ_j, Σ_j) → (n, k) matrix."""
+    n, d = x.shape
+    out = np.empty((n, len(weights)))
+    for j in range(len(weights)):
+        dx = x - mus[j]
+        out[:, j] = (np.log(max(weights[j], 1e-300))
+                     - 0.5 * (d * np.log(2 * np.pi) + logdets[j])
+                     - 0.5 * np.einsum("ij,jk,ik->i", dx, invs[j], dx))
+    return out
+
+
+def _em_fit_numpy(x: np.ndarray, k: int, seed: int, max_iter: int,
+                  tol: float = 1e-3, reg: float = 1e-6):
+    """Standard EM for a full-covariance GMM, driver-side numpy. Same
+    convergence criterion as pyspark.ml GaussianMixture (mean log-likelihood
+    delta < tol); k-means++-style seeding for deterministic, spread-out
+    initial means."""
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    means = [x[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(np.stack([((x - m) ** 2).sum(axis=1) for m in means]),
+                    axis=0)
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else None
+        means.append(x[rng.choice(n, p=p)])
+    mus = np.stack(means)
+    base_cov = np.atleast_2d(np.cov(x.T, ddof=1)) + reg * np.eye(d)
+    covs = np.stack([base_cov.copy() for _ in range(k)])
+    weights = np.full(k, 1.0 / k)
+
+    prev_ll = -np.inf
+    for _ in range(max_iter):
+        invs = np.stack([np.linalg.inv(c) for c in covs])
+        logdets = np.array([np.linalg.slogdet(c)[1] for c in covs])
+        lls = _gmm_logpdf(x, weights, mus, invs, logdets)
+        m = lls.max(axis=1)
+        lse = m + np.log(np.exp(lls - m[:, None]).sum(axis=1))
+        resp = np.exp(lls - lse[:, None])  # (n, k) responsibilities
+        ll = lse.mean()
+        if ll - prev_ll < tol:
+            break
+        prev_ll = ll
+        nk = resp.sum(axis=0) + 1e-12
+        weights = nk / n
+        mus = (resp.T @ x) / nk[:, None]
+        for j in range(k):
+            dx = x - mus[j]
+            covs[j] = (resp[:, j][:, None] * dx).T @ dx / nk[j] \
+                + reg * np.eye(d)
+    return weights, mus, covs
+
+
 def gmm_score(df: DataFrame, cols: list[str], k: int = 3, seed: int = 11,
               output_col: str = "_SCORE",
               fit_sample_limit: int = 10_000,
-              max_iter: int = 100) -> DataFrame:
-    """Gaussian-mixture anomaly score: EM fit via pyspark.ml, then score =
-    −log Σ_j w_j · N(x; μ_j, Σ_j) — the mixture's negative log-likelihood
-    (a posterior would stay ≈1 for far points and hide anomalies). The k
-    fitted components travel inside one Arrow-batched UDF with precomputed
-    inverses/log-dets. EM fits on a bounded deterministic hash-sample (EM
-    iterations over the full relation would dominate; the component
-    estimates converge long before that)."""
-    from pyspark.ml.clustering import GaussianMixture
-    from pyspark.ml.functions import array_to_vector
+              max_iter: int = 100,
+              distributed_fit: bool = False) -> DataFrame:
+    """Gaussian-mixture anomaly score: score = −log Σ_j w_j · N(x; μ_j, Σ_j)
+    — the mixture's negative log-likelihood (a posterior would stay ≈1 for
+    far points and hide anomalies). The k fitted components travel inside
+    one Arrow-batched UDF with precomputed inverses/log-dets.
+
+    The fit sample is bounded (fit_sample_limit) and hash-deterministic, so
+    by default EM runs DRIVER-SIDE in numpy over the collected sample —
+    ~25 distributed EM jobs to fit ≤10k rows was the most expensive query in
+    the suite for no accuracy gain. Set distributed_fit=True to fit with
+    pyspark.ml GaussianMixture when the train set genuinely exceeds driver
+    memory (raise fit_sample_limit accordingly)."""
     from pyspark.sql.functions import pandas_udf
 
-    fv = df.withColumn("_fv", array_to_vector(
-        F.array(*[F.col(c).cast("double") for c in cols])))
-    train = fv
-    n = fv.count()
+    dbl = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop()
+    n = dbl.count()
     if n > fit_sample_limit:
         kk = int(np.ceil(n / fit_sample_limit))
-        train = fv.filter(F.pmod(F.xxhash64(*cols), F.lit(kk)) == 0)
-    # EM runs one distributed pass PER ITERATION over the train relation —
-    # cache it so iterations read columnar batches, not the re-filtered scan
-    train = train.select("_fv").cache()
-    gm = GaussianMixture(k=k, seed=seed, featuresCol="_fv",
-                         predictionCol="_CLUSTER", maxIter=max_iter)
-    model = gm.fit(train)
-    train.unpersist()
-    weights = np.asarray(model.weights, dtype=np.float64)
+        dbl = dbl.filter(F.pmod(F.xxhash64(*cols), F.lit(kk)) == 0)
+
+    if not distributed_fit:
+        x = np.array(dbl.collect(), dtype=np.float64)
+        x = x[np.lexsort(x.T[::-1])]  # partition-independent
+        weights, mus, covs = _em_fit_numpy(x, k, seed, max_iter)
+        gaussians = [(mus[j], covs[j]) for j in range(k)]
+    else:
+        from pyspark.ml.clustering import GaussianMixture
+        from pyspark.ml.functions import array_to_vector
+
+        # EM runs one distributed pass PER ITERATION over the train
+        # relation — cache it so iterations read columnar batches
+        train = dbl.select(array_to_vector(
+            F.array(*[F.col(c) for c in cols])).alias("_fv")).cache()
+        gm = GaussianMixture(k=k, seed=seed, featuresCol="_fv",
+                             predictionCol="_CLUSTER", maxIter=max_iter)
+        model = gm.fit(train)
+        train.unpersist()
+        weights = np.asarray(model.weights, dtype=np.float64)
+        gaussians = [(np.asarray(g.mean.toArray(), dtype=np.float64),
+                      np.asarray(g.cov.toArray(), dtype=np.float64))
+                     for g in model.gaussians]
+
     comps = []
-    for g in model.gaussians:
-        mu = np.asarray(g.mean.toArray(), dtype=np.float64)
-        cov = np.asarray(g.cov.toArray(), dtype=np.float64)
+    for mu, cov in gaussians:
         try:
             inv = np.linalg.inv(cov)
             _, logdet = np.linalg.slogdet(cov)

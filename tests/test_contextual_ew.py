@@ -48,3 +48,27 @@ def test_ew_percentile_adapts_to_drift(spark):
     assert all(r <= 0.6 for r in rates.values()), rates
     # and some outliers exist overall
     assert out.agg(F.sum("_OUTLIER")).collect()[0][0] > 0
+
+
+def test_contextual_job_count_constant_in_combos(spark):
+    """The melted lattice plan must scan the input a constant number of
+    times: the whole max_order=2 run (3 combos) fits in a handful of Spark
+    jobs, not 2 shuffles + 2 joins per combo."""
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": rng.choice(["A", "B", "C"], n),
+        "b": rng.choice(["x", "y"], n),
+        "v": rng.normal(0, 1, n),
+    }))
+    sc = spark.sparkContext
+    sc.setJobGroup("ctxjobs", "contextual job count probe")
+    try:
+        contextual_mad_outliers(df, ["a", "b"], "v", max_order=2,
+                                min_context_size=10).collect()
+        jobs = sc.statusTracker().getJobIdsForGroup("ctxjobs")
+    finally:
+        sc.setJobGroup("", "")
+    # 3 combos; old plan ran ~2 jobs per combo + unions. New plan: final
+    # collect + 2 broadcast-exchange jobs (+ AQE re-plans) — bounded.
+    assert 0 < len(jobs) <= 8, f"expected a constant-job plan, got {len(jobs)}"

@@ -275,3 +275,45 @@ def test_ivf_ann_recall(spark):
     exact = cosine_topk_bruteforce(vdf, qdf, k=3).collect()
     full = ivf_topk(vdf, qdf, k=3, n_centroids=4, n_probe=4).collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_ann_batch_pairs_scale_per_query(spark):
+    """Batch ANN must rescore each query against ITS OWN candidates only:
+    scored-pair count = Σ_q |candidates(q)|, NOT |∪ candidates| × Q.
+    Two well-separated query clusters ⇒ disjoint buckets/cells; the pair
+    relation must be half the union-×-Q size."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import _ivf_pairs, _lsh_pairs
+
+    rng = np.random.default_rng(7)
+    # two antipodal clusters → distinct LSH buckets and IVF cells
+    c = rng.standard_normal(16) * 10
+    a = (c + rng.standard_normal((40, 16))).astype("float32")
+    b = (-c + rng.standard_normal((40, 16))).astype("float32")
+    base = np.concatenate([a, b])
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in a[0]]), (1, [float(x) for x in b[0]])],
+        "q_id long, q_vec array<float>")
+
+    lsh = _lsh_pairs(vdf, qdf, n_planes=4, dim=16, seed=3,
+                     id_col="vec_id", vec_col="embedding",
+                     q_id_col="q_id", q_vec_col="q_vec")
+    per_q = {r["q_id"]: r["n"] for r in
+             lsh.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
+    n_pairs = sum(per_q.values())
+    union_sz = lsh.select("vec_id").distinct().count()
+    # per-query join: strictly below union × Q (old behavior scored exactly that)
+    assert n_pairs < union_sz * 2
+    # and each query's pair set is bounded by its own bucket, not the union
+    assert all(v <= union_sz for v in per_q.values())
+
+    ivf = _ivf_pairs(vdf, qdf, n_centroids=2, n_probe=1, sample_frac=1.0,
+                     seed=11, id_col="vec_id", vec_col="embedding",
+                     q_id_col="q_id", q_vec_col="q_vec")
+    ivf_pairs = ivf.count()
+    ivf_union = ivf.select("vec_id").distinct().count()
+    assert ivf_pairs < ivf_union * 2
