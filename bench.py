@@ -28,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("BENCH_CONVS", "48000"))  # ~8.5 turns/conv ≈ 400k turns
 BUILD_REPS = int(os.environ.get("BENCH_REPS", "2"))  # best-of-N per level (CPU steal)
+PAIR_REPS = int(os.environ.get("BENCH_PAIR_REPS", "3"))  # interleaved (N,4N) pairs
 TMP = os.environ.get("BENCH_TMP", "/tmp/mb_bench")
 
 BM25_QUERIES = [
@@ -44,7 +45,8 @@ def _fresh_spark(n_cores: int):
                      shuffle_partitions=n_cores)
 
 
-def _build_in_subprocess(n_cores: int, src: str, out: str) -> float:
+def _build_in_subprocess(n_cores: int, src: str, out: str,
+                         reps: int = BUILD_REPS) -> float:
     """Run the index build in a FRESH process (own JVM): reusing one JVM
     across differently-sized local masters degrades the second session."""
     import subprocess
@@ -56,7 +58,7 @@ from macrobase_spark.session import get_spark
 from macrobase_spark.index.build import build_index
 spark = get_spark("bench_sub", master="local[{n_cores}]", shuffle_partitions={n_cores})
 best = float("inf")
-for _ in range({BUILD_REPS}):
+for _ in range({reps}):
     shutil.rmtree({out!r}, ignore_errors=True)
     df = spark.read.parquet({src!r})
     t0 = time.time()
@@ -103,17 +105,26 @@ def main():
     src, n_turns = _transcripts_parquet(spark)
     spark.stop()
 
-    # one fresh process/JVM per level (same-process master changes degrade
-    # the second session); BUILD_REPS builds inside each, per-level minima
-    # (the sandbox alternates full-speed and ~3x-throttled windows).
-    t_low = _build_in_subprocess(low, src, os.path.join(TMP, "idx_low"))
-    t_mid = _build_in_subprocess(mid, src, os.path.join(TMP, "idx_mid"))
+    # THROTTLE-ROBUST scaling: the sandbox alternates full-speed and
+    # ~3x-throttled CPU windows, so a low-level build in a fast window vs a
+    # mid-level build in a slow one fabricates any efficiency. Each rep runs
+    # the (N, 4N) pair BACK-TO-BACK (same window), efficiency is computed
+    # PER PAIR, and the reported number is the median pair — one slow window
+    # can no longer sink the headline. Per-rep detail is emitted for audit.
+    pair_low, pair_mid, pair_effs = [], [], []
+    for _ in range(PAIR_REPS):
+        tl = _build_in_subprocess(low, src, os.path.join(TMP, "idx_low"), reps=1)
+        tm = _build_in_subprocess(mid, src, os.path.join(TMP, "idx_mid"), reps=1)
+        pair_low.append(round(tl, 3))
+        pair_mid.append(round(tm, 3))
+        pair_effs.append(round(tl / (4.0 * tm), 3))  # = tps_4N / (4·tps_N)
+    t_low, t_mid = min(pair_low), min(pair_mid)
     t_high = _build_in_subprocess(CPUS, src, os.path.join(TMP, "idx_high"))
     tps_low, tps_mid, tps_high = (n_turns / t for t in (t_low, t_mid, t_high))
 
     spark = _fresh_spark(CPUS)
     queries["index_build"] = round(t_high, 3)
-    efficiency = tps_mid / (4.0 * tps_low)          # N → 4N (compute-bound pair)
+    efficiency = statistics.median(pair_effs)       # N → 4N (compute-bound pair)
     efficiency_full = tps_high / (4.0 * tps_mid)    # 4N → 16N (fixed-cost bound)
 
     # --- BM25 query p50 over the built index ------------------------------
@@ -173,6 +184,10 @@ def main():
         "scaling": {
             "efficiency_N_to_4N": round(efficiency, 3),
             "efficiency_4N_to_full": round(efficiency_full, 3),
+            "pair_efficiencies": pair_effs,
+            "pair_build_sec_N": pair_low,
+            "pair_build_sec_4N": pair_mid,
+            "pair_reps": PAIR_REPS,
         },
         "bm25_query_p50_sec": round(p50, 3),
         "bm25_batch_qps": round(bm25_batch_qps, 1),

@@ -235,11 +235,75 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def _batch_wand_lambdas(
+    cand: DataFrame,
+    q_terms: dict[str, list[str]],
+    n: int,
+    avgdl: float,
+    k: int,
+) -> dict[str, float] | None:
+    """Per-term block-skip thresholds for a BATCH of queries, exactness-
+    preserving across every query: λ_t = min over queries q∋t of
+    (θ_q − Σ_{u∈q, u≠t} ub_u), with θ_q the kth best single-term score of
+    q's rarest present term. Skipping a block of t with ub_t < λ_t is safe
+    for EVERY query containing t (the min makes pruning at least as
+    conservative as each query's own WAND bound): if doc d sat in a pruned
+    block, then for any q∋t, score_q(d) ≤ ub_t + Σ_{u≠t} ub_u < θ_q, so d
+    can't reach q's top-k. Returns None when nothing is prunable.
+
+    Costs two small jobs (metadata collect + one rarest-terms scoring pass —
+    the terms pass is shared across all queries, not per query)."""
+    meta = cand.select("term", "df", "max_impact").collect()
+    if not meta:
+        return None
+    dfs: dict[str, int] = {}
+    mx: dict[str, float] = {}
+    for r in meta:  # a term may span rows on a segmented index
+        dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+        mx[r["term"]] = max(mx.get(r["term"], 0.0), r["max_impact"])
+    idf = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for t, d in dfs.items()}
+    ubs = {t: idf[t] * (K1 + 1.0) * mx[t] for t in dfs}
+    rarest: dict[str, str] = {}
+    for qid, ts in q_terms.items():
+        present = [t for t in ts if t in dfs]
+        if present:
+            rarest[qid] = min(present, key=lambda t: dfs[t])
+    probe = sorted({t for t in rarest.values() if dfs[t] >= k})
+    thetas: dict[str, float] = {}
+    if probe:
+        from pyspark.sql import Window as W
+
+        contrib_r = cand.filter(F.col("term").isin(probe)).mapInPandas(
+            _score_partition(n, avgdl, k, single_term=True, idfs=idf),
+            schema="doc_id long, term string, contrib double",
+        )
+        w = W.partitionBy("term").orderBy(
+            F.col("contrib").desc(), F.col("doc_id").asc())
+        rows = (contrib_r.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == k).select("term", "contrib").collect())
+        thetas = {r["term"]: r["contrib"] for r in rows}
+    lambdas: dict[str, float] = {}
+    for qid, ts in q_terms.items():
+        present = [t for t in ts if t in dfs]
+        if not present:
+            continue
+        theta = thetas.get(rarest[qid])
+        tot = sum(ubs[t] for t in present)
+        for t in present:
+            lam = (theta - (tot - ubs[t])) if theta is not None else -math.inf
+            lambdas[t] = min(lambdas.get(t, math.inf), lam)
+    # λ ≤ 0 prunes nothing (block bounds are non-negative) — drop to skip
+    # the per-block bound math in the scorer
+    lambdas = {t: l for t, l in lambdas.items() if l > 0.0}
+    return lambdas or None
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     index_dir: str,
     queries: dict[str, str] | list[str],
     k: int = 10,
+    wand: bool = False,
 ) -> DataFrame:
     """Top-k for MANY queries in ONE scoring job — the throughput shape for
     query serving: a single pass over the union of all query terms'
@@ -250,7 +314,9 @@ def bm25_topk_batch(
 
     Amortizes the per-job overhead that dominates single-query p50 in
     local mode; on a cluster it turns q queries × t terms into one shuffle
-    instead of q."""
+    instead of q. wand=True adds batch-safe block-max pruning (see
+    _batch_wand_lambdas) — exact, two extra small jobs; worth it when hot
+    multi-term queries dominate the batch."""
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
     q_terms = {qid: _tokenize_query(q) for qid, q in queries.items()}
@@ -260,12 +326,19 @@ def bm25_topk_batch(
             [], "query_id string, doc_id long, score double, rank int")
     postings, _, stats = read_index(spark, index_dir)
     n, avgdl = stats["n_docs"], stats["avgdl"]
+    allow_prune = True
     if "num_buckets" in stats:
+        from macrobase_spark.index.build import bucket_versions
         from macrobase_spark.index.xxh64 import term_bucket
 
         buckets = sorted({term_bucket(t, stats["num_buckets"])
                           for t in all_terms})
         postings = postings.filter(F.col("bucket").isin(buckets))
+        # same version gate as bm25_topk: stale block-max metadata after an
+        # incremental update means bounds can't be trusted until compaction
+        sv = stats.get("version", 1)
+        bv = bucket_versions(index_dir)
+        allow_prune = all(bv.get(b, 1) == sv for b in buckets)
     cand = postings.filter(F.col("term").isin(all_terms)).select(
         "term", "df", "max_impact", "blob", "block_max")
     idfs: dict[str, float] | None = None
@@ -273,8 +346,11 @@ def bm25_topk_batch(
         df_rows = cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
         idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
                 for r in df_rows}
+    lambdas = (_batch_wand_lambdas(cand, q_terms, n, avgdl, k)
+               if wand and allow_prune else None)
     contrib = cand.mapInPandas(
-        _score_partition(n, avgdl, k, single_term=False, idfs=idfs),
+        _score_partition(n, avgdl, k, single_term=False, idfs=idfs,
+                         lambdas=lambdas),
         schema="doc_id long, term string, contrib double",
     )
     qmap = spark.createDataFrame(

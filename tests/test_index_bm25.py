@@ -272,3 +272,73 @@ def test_compaction_restores_pruning(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
+
+
+def test_batch_wand_rank_identical(spark, corpus):
+    """bm25_topk_batch(wand=True) must stay rank- and score-identical to the
+    non-pruned batch across hot/rare/missing query mixes."""
+    from macrobase_spark.index.bm25 import bm25_topk_batch
+
+    _, out, _, docs = corpus
+    qs = {"hot2": "rare7 the", "hot3": "rare11 the call",
+          "plain": "tok0042 tok0007", "single": "the", "miss": "missingterm"}
+    plain = bm25_topk_batch(spark, out, qs, k=10).collect()
+    pruned = bm25_topk_batch(spark, out, qs, k=10, wand=True).collect()
+    a = sorted([(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in plain])
+    b = sorted([(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in pruned])
+    assert a == b
+
+
+def test_batch_wand_prunes_hot_two_term_query(spark, tmp_path):
+    """On a skewed corpus (16 short high-tf docs + 1000 long tf=1 docs for
+    the same term), a hot 2-term query's batch WAND λ must beat the bounds
+    of the low-impact blocks — blocks are PROVABLY skipped (non-vacuous
+    pruning) while ranks and scores stay identical to the exact path."""
+    import numpy as np
+
+    from macrobase_spark.index.build import K1
+    from macrobase_spark.index.bm25 import (
+        _batch_wand_lambdas, _tokenize_query, bm25_topk_batch)
+
+    rows = []
+    for d in range(16):  # high-impact: tf=8, short docs, low doc_ids → block 0
+        rows.append((d, " ".join(["spike"] * 8 + ["the", f"pad{d}"])))
+    for d in range(16, 1016):  # low-impact: tf=1, long docs
+        rows.append((d, "spike the " + " ".join(
+            f"g{(d + i) % 300}" for i in range(98))))
+    for d in range(1016, 4016):  # spike-free docs → spike keeps a real idf
+        rows.append((d, "the " + " ".join(
+            f"f{(d * 7 + i) % 200}" for i in range(98))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "skewidx")
+    build_index(df, out, num_buckets=4, num_groups=1,
+                hot_df_threshold=5000, hot_sample_frac=0.5)
+
+    qs = {"h": "spike the"}
+    plain = bm25_topk_batch(spark, out, qs, k=10).collect()
+    pruned = bm25_topk_batch(spark, out, qs, k=10, wand=True).collect()
+    a = sorted([(r["rank"], r["doc_id"], r["score"]) for r in plain])
+    b = sorted([(r["rank"], r["doc_id"], r["score"]) for r in pruned])
+    assert a == b and len(a) == 10
+    assert all(doc < 16 for _, doc, _ in a)  # high-impact docs win
+
+    postings, _, stats = read_index(spark, out)
+    terms = _tokenize_query("spike the")
+    cand = postings.filter(F.col("term").isin(terms)).select(
+        "term", "df", "max_impact", "blob", "block_max")
+    lam = _batch_wand_lambdas(cand, {"h": terms}, stats["n_docs"],
+                              stats["avgdl"], 10)
+    assert lam and "spike" in lam
+    meta = cand.select("term", "df", "block_max").collect()
+    dfs = {}
+    for r in meta:
+        dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+    skipped = total = 0
+    for r in meta:
+        t = r["term"]
+        if t in lam and len(r["block_max"]) > 1:
+            idf = math.log(1.0 + (stats["n_docs"] - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            bm = np.asarray(r["block_max"], dtype=float) * idf * (K1 + 1.0)
+            skipped += int((bm < lam[t]).sum())
+            total += len(bm)
+    assert skipped > 0, f"λ={lam} pruned zero of {total} blocks — vacuous"
