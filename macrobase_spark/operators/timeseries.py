@@ -163,3 +163,103 @@ def ar_scores(df: DataFrame, keys: list[str], order_col: str,
         return pdf
 
     return df.groupBy(*keys).applyInPandas(fx, schema=schema)
+
+
+def _hannan_rissanen(x: np.ndarray, p: int, q: int
+                     ) -> tuple[np.ndarray, np.ndarray, float]:
+    """ARMA(p, q) parameter estimation via the Hannan–Rissanen two-stage
+    regression (numpy lstsq only — deterministic, no iterative optimizer):
+    stage 1 fits a long AR to proxy the innovations, stage 2 regresses x_t
+    on its own lags and the proxied innovation lags. Returns (φ, θ, μ)."""
+    n = len(x)
+    mu = float(x.mean())
+    xc = x - mu
+    e = np.zeros(n)
+    if q > 0:
+        m = int(min(max(20, 2 * (p + q)), max(p + q + 1, n // 4)))
+        if n > 2 * m:
+            X = np.column_stack([xc[m - k: n - k] for k in range(1, m + 1)])
+            a = np.linalg.lstsq(X, xc[m:], rcond=None)[0]
+            e[m:] = xc[m:] - X @ a
+    r = max(p, q)
+    cols = [xc[r - k: n - k] for k in range(1, p + 1)]
+    cols += [e[r - k: n - k] for k in range(1, q + 1)]
+    if not cols or n <= r + 1:
+        return np.zeros(p), np.zeros(q), mu
+    X2 = np.column_stack(cols)
+    beta = np.linalg.lstsq(X2, xc[r:], rcond=None)[0]
+    return beta[:p], beta[p:], mu
+
+
+def _arima_predict(x: np.ndarray, p: int, d: int, q: int
+                   ) -> tuple[np.ndarray, int]:
+    """One-step-ahead ARIMA(p,d,q) forecasts on the ORIGINAL scale.
+    Differences d times, fits ARMA via Hannan–Rissanen, runs the recursive
+    innovation filter, and integrates the forecast back. Returns
+    (predictions, warmup) where the first `warmup` points are unforecast."""
+    y = x.astype(np.float64)
+    for _ in range(d):
+        y = np.diff(y)
+    phi, theta, mu = _hannan_rissanen(y, p, q)
+    ny = len(y)
+    r = max(p, q)
+    yc = y - mu
+    pred_c = np.zeros(ny)       # centered one-step forecasts of y
+    eps = np.zeros(ny)          # recursive innovations
+    for t in range(r, ny):
+        acc = 0.0
+        for k in range(1, p + 1):
+            acc += phi[k - 1] * yc[t - k]
+        for k in range(1, q + 1):
+            acc += theta[k - 1] * eps[t - k]
+        pred_c[t] = acc
+        eps[t] = yc[t] - acc
+    y_hat = pred_c + mu
+    warmup = r + d
+    n = len(x)
+    x_hat = np.copy(x)
+    # integrate: x̂_t = ŷ_t + Σ (the d-th difference reconstruction)
+    if d == 0:
+        x_hat = y_hat
+    elif d == 1:
+        x_hat = np.empty(n)
+        x_hat[1:] = x[:-1] + y_hat
+        x_hat[0] = x[0]
+    elif d == 2:
+        x_hat = np.empty(n)
+        x_hat[2:] = 2.0 * x[1:-1] - x[:-2] + y_hat
+        x_hat[:2] = x[:2]
+    else:
+        raise ValueError("d > 2 not supported")
+    return x_hat, warmup
+
+
+def arima_scores(df: DataFrame, keys: list[str], order_col: str,
+                 value_col: str, p: int = 2, d: int = 0, q: int = 1,
+                 output_col: str = "_SCORE") -> DataFrame:
+    """Per-series ARIMA(p,d,q) one-step-ahead anomaly score — full parity
+    with the reference's windowed scorer semantics
+    (contrib/.../stats/ARIMA.java:63-116: forecast the next value, score =
+    |value − prediction| / |prediction|), with the R `forecast` dependency
+    replaced by a native Hannan–Rissanen fit (deviation: HR least-squares
+    instead of R's CSS-ML optimizer; same model family, deterministic).
+    The first max(p,q)+d points of each series score 0."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {output_col} double"
+
+    def fx(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(np.float64)
+        n = len(x)
+        if n <= max(p, q) + d + 1:
+            pdf[output_col] = 0.0
+            return pdf
+        x_hat, warmup = _arima_predict(x, p, d, q)
+        denom = np.where(np.abs(x_hat) > 1e-9, np.abs(x_hat), 1e-9)
+        score = np.abs(x - x_hat) / denom
+        score[:warmup] = 0.0
+        pdf[output_col] = score
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fx, schema=schema)

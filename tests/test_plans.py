@@ -126,3 +126,35 @@ def test_percentile_col_no_single_partition_window(spark, sf):
     p = _plan(out, mode="simple")
     assert "SinglePartition" not in p
     assert "hashpartitioning(_b" in p
+
+
+def test_ann_bucketed_paths_join_per_query(spark):
+    """The LSH/IVF candidate relations must be EQUI-JOINS on the bucket/cell
+    key (pair count = Σ per-query candidates) — a CartesianProduct or
+    BroadcastNestedLoopJoin against the whole query batch is the
+    union-×-Q regression."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import _ivf_pairs, _lsh_pairs
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((60, 8)).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in base[3]]), (1, [float(x) for x in base[9]])],
+        "q_id long, q_vec array<float>")
+
+    lsh = _lsh_pairs(vdf, qdf, n_planes=4, dim=8, seed=3,
+                     id_col="vec_id", vec_col="embedding",
+                     q_id_col="q_id", q_vec_col="q_vec")
+    p = _plan(lsh, mode="simple")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "BroadcastHashJoin [_bkt" in p or "_bkt#" in p
+
+    ivf = _ivf_pairs(vdf, qdf, n_centroids=4, n_probe=2, sample_frac=1.0,
+                     seed=11, id_col="vec_id", vec_col="embedding",
+                     q_id_col="q_id", q_vec_col="q_vec")
+    p2 = _plan(ivf, mode="simple")
+    assert "CartesianProduct" not in p2 and "NestedLoop" not in p2

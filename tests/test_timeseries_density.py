@@ -109,3 +109,39 @@ def test_gmm_scores_between_cluster_point(spark):
     scored = gmm_score(spark.createDataFrame(pdf), ["mx", "my"], k=2)
     top = scored.orderBy(F.col("_SCORE").desc()).limit(1).collect()[0]
     assert top["i"] == 800
+
+
+def test_hannan_rissanen_recovers_arma_params():
+    """HR estimation on a long synthetic ARMA(1,1) series must recover
+    φ and θ to within loose tolerance (it's a consistent estimator)."""
+    from macrobase_spark.operators.timeseries import _hannan_rissanen
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    phi_true, theta_true = 0.7, 0.4
+    e = rng.standard_normal(n)
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = phi_true * x[t - 1] + e[t] + theta_true * e[t - 1]
+    phi, theta, mu = _hannan_rissanen(x, 1, 1)
+    assert abs(phi[0] - phi_true) < 0.05, phi
+    assert abs(theta[0] - theta_true) < 0.08, theta
+    assert abs(mu) < 0.1
+
+
+def test_arima_scores_flag_spike_on_trend(spark):
+    """ARIMA(1,1,1) on a trending series: differencing removes the trend, so
+    the planted spike carries the max relative forecast error — the
+    reference's |value − prediction|/|prediction| score."""
+    from macrobase_spark.operators.timeseries import arima_scores
+
+    rng = np.random.default_rng(12)
+    n = 500
+    t = np.arange(n, dtype=float)
+    v = 100.0 + 2.5 * t + rng.standard_normal(n)  # strong linear trend
+    v[311] += 400.0                                # planted spike
+    pdf = pd.DataFrame({"s": "a", "t": t, "v": v})
+    out = (arima_scores(spark.createDataFrame(pdf), ["s"], "t", "v",
+                        p=1, d=1, q=1)
+           .orderBy(F.col("_SCORE").desc()).limit(1).collect()[0])
+    assert out["t"] == 311.0
