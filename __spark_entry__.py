@@ -1052,20 +1052,24 @@ def q47_autocorrelation(spark, sf):
 
 
 def q48_kalman_ar(spark, sf):
-    """Kalman smoothing + AR(p) one-step anomaly scores (§2.6 contrib
-    time-series family) — sequential per-series recursions have no SQL
-    form → rows-only; planted-signal pytest in
-    tests/test_timeseries_density.py."""
-    from macrobase_spark.operators.timeseries import ar_scores, kalman_smooth
+    """Kalman smoothing + AR(p) + full ARIMA(p,d,q) one-step anomaly scores
+    (§2.6 contrib time-series family) — sequential per-series recursions
+    have no SQL form → rows-only; planted-signal + ARMA-parameter-recovery
+    pytest in tests/test_timeseries_density.py."""
+    from macrobase_spark.operators.timeseries import (
+        ar_scores, arima_scores, kalman_smooth)
 
     e = _t(spark, sf, "events").filter(F.col("user_id") < 20)
     sm = kalman_smooth(e, ["user_id"], "event_id", "value", q_scale=1e-3)
     sc = ar_scores(sm, ["user_id"], "event_id", "_SMOOTHED", p=2,
                    output_col="_AR")
+    sc = arima_scores(sc, ["user_id"], "event_id", "value", p=1, d=1, q=1,
+                      output_col="_ARIMA")
     return (
         sc.groupBy("user_id")
         .agg(F.round(F.avg("_SMOOTHED"), 6).alias("avg_smoothed"),
-             F.round(F.max("_AR"), 6).alias("max_ar_score"))
+             F.round(F.max("_AR"), 6).alias("max_ar_score"),
+             F.round(F.max("_ARIMA"), 6).alias("max_arima_score"))
         .orderBy("user_id")
     )
 

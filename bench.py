@@ -46,9 +46,12 @@ def _fresh_spark(n_cores: int):
 
 
 def _build_in_subprocess(n_cores: int, src: str, out: str,
-                         reps: int = BUILD_REPS) -> float:
+                         reps: int = BUILD_REPS, warmup: bool = False) -> float:
     """Run the index build in a FRESH process (own JVM): reusing one JVM
-    across differently-sized local masters degrades the second session."""
+    across differently-sized local masters degrades the second session.
+    warmup=True runs one untimed build over a ~12% sample first so the timed
+    build measures steady-state throughput (JIT/codegen/Arrow warm), not JVM
+    cold-start — the quantity that actually scales with cluster size."""
     import subprocess
 
     code = f"""
@@ -57,10 +60,16 @@ sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from macrobase_spark.session import get_spark
 from macrobase_spark.index.build import build_index
 spark = get_spark("bench_sub", master="local[{n_cores}]", shuffle_partitions={n_cores})
+df = spark.read.parquet({src!r})
+if {warmup!r}:
+    shutil.rmtree({out!r} + "_warm", ignore_errors=True)
+    build_index(df.sample(0.12, seed=1), {out!r} + "_warm",
+                num_buckets=max({CPUS}, 8), num_groups=1,
+                hot_df_threshold=2000, hot_sample_frac=0.05, resume=False)
+    shutil.rmtree({out!r} + "_warm", ignore_errors=True)
 best = float("inf")
 for _ in range({reps}):
     shutil.rmtree({out!r}, ignore_errors=True)
-    df = spark.read.parquet({src!r})
     t0 = time.time()
     build_index(df, {out!r}, num_buckets=max({CPUS}, 8), num_groups=1,
                 hot_df_threshold=2000, hot_sample_frac=0.05, resume=False)
@@ -113,13 +122,16 @@ def main():
     # can no longer sink the headline. Per-rep detail is emitted for audit.
     pair_low, pair_mid, pair_effs = [], [], []
     for _ in range(PAIR_REPS):
-        tl = _build_in_subprocess(low, src, os.path.join(TMP, "idx_low"), reps=1)
-        tm = _build_in_subprocess(mid, src, os.path.join(TMP, "idx_mid"), reps=1)
+        tl = _build_in_subprocess(low, src, os.path.join(TMP, "idx_low"),
+                                  reps=1, warmup=True)
+        tm = _build_in_subprocess(mid, src, os.path.join(TMP, "idx_mid"),
+                                  reps=1, warmup=True)
         pair_low.append(round(tl, 3))
         pair_mid.append(round(tm, 3))
         pair_effs.append(round(tl / (4.0 * tm), 3))  # = tps_4N / (4·tps_N)
     t_low, t_mid = min(pair_low), min(pair_mid)
-    t_high = _build_in_subprocess(CPUS, src, os.path.join(TMP, "idx_high"))
+    t_high = _build_in_subprocess(CPUS, src, os.path.join(TMP, "idx_high"),
+                                  warmup=True)
     tps_low, tps_mid, tps_high = (n_turns / t for t in (t_low, t_mid, t_high))
 
     spark = _fresh_spark(CPUS)

@@ -245,6 +245,7 @@ def build_index(
                     done[rec["bucket"]] = rec
 
     t0 = time.time()
+    phases: dict[str, float] = {}
     from macrobase_spark.index.tokenize import exploded_postings, turn_features  # noqa: F401
 
     meta_cols = [c for c in ("conv_id", "turn_idx") if c in df.columns]
@@ -290,11 +291,13 @@ def build_index(
         feats = (turn_features(src, text_col).drop(text_col)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         ll = "log1p(cast(doc_len as double))"
+        _tp = time.time()
         row = feats.agg(
             F.count("*").alias("n"),
             F.sum("doc_len").alias("sum_dl"),
             F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
         ).collect()[0]
+        phases["feats_stats_agg"] = round(time.time() - _tp, 3)
         n_docs, sum_dl = int(row["n"]), int(row["sum_dl"])
         avgdl = sum_dl / n_docs  # exact int sum / int count — matches the
         # oracle's sum(len)/n bit-for-bit AND survives O(1) incremental
@@ -346,7 +349,9 @@ def build_index(
     if num_groups > 1:
         postings = postings.persist()
 
+    _tp = time.time()
     hot_thread.join()
+    phases["hot_join_wait"] = round(time.time() - _tp, 3)
     if "error" in hot_result:
         raise hot_result["error"]
     hot_set = set(hot_result["terms"])
@@ -377,11 +382,20 @@ def build_index(
             ).otherwise(F.lit(0)),
         )
         # phase 1: shuffle on (term, salt), sort runs, encode in-place;
-        # cold terms finalize here (fan_in 1), hot partials go to phase 2
+        # cold terms finalize here (fan_in 1), hot partials go to phase 2.
+        # PERSISTED: the finals and hot-merge branches below would otherwise
+        # each recompute the whole tokenize→shuffle→sort→encode subtree
+        # (Catalyst does not reuse the exchange across the union's branches
+        # — verified in the executed plan), doubling the dominant phase.
+        # The encoded relation is tiny (delta+varint blobs, ~1-2% of the
+        # exploded postings), so caching it is effectively free.
+        from pyspark import StorageLevel
+
         encoded = (
             salted.repartition(n_shuffle, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
             .mapInPandas(_encode_sorted_runs(hot_set, avgdl), schema=_ENC_SCHEMA)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         finals = encoded.filter(F.col("final")).drop("final")
         merged_hot = (
@@ -395,12 +409,17 @@ def build_index(
             .repartition("bucket")
             .sortWithinPartitions("term")
         )
+        _tp = time.time()
         merged.write.mode("overwrite").partitionBy("bucket").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(postings_root)
+        phases["encode_write"] = phases.get("encode_write", 0.0) + round(
+            time.time() - _tp, 3)
+        encoded.unpersist()
         # per-bucket lineage + metrics from the committed files: blob sizes
         # were recorded at encode time (blob_len), so this read-back touches
         # only tiny metadata columns — the blob bytes never re-load
+        _tp = time.time()
         stats = (
             spark.read.parquet(postings_root)
             .filter(F.col("bucket").isin(todo))
@@ -413,6 +432,8 @@ def build_index(
             )
             .collect()
         )
+        phases["stats_readback"] = phases.get("stats_readback", 0.0) + round(
+            time.time() - _tp, 3)
         with open(manifest_path, "a") as f:
             for r in stats:
                 rec = {
@@ -425,7 +446,9 @@ def build_index(
                 f.write(json.dumps(rec) + "\n")
 
     if docs_thread is not None:
+        _tp = time.time()
         docs_thread.join()
+        phases["docs_join_wait"] = round(time.time() - _tp, 3)
         if "error" in docs_result:
             raise docs_result["error"]
     if num_groups > 1:
@@ -441,6 +464,7 @@ def build_index(
         "bytes": sum(r.get("bytes", 0) for r in report_buckets.values()),
         "elapsed_sec": elapsed,
         "turns_per_sec": n_docs / elapsed if elapsed > 0 else None,
+        "phases": phases,
     }
 
 
