@@ -45,6 +45,42 @@ def _fresh_spark(n_cores: int):
                      shuffle_partitions=n_cores)
 
 
+def _hw_probe_work(reps: int) -> int:
+    """Fixed-size CPU+memory work unit (integer xor/shift + sort — the same
+    mix of hashing and memory traffic the index encode does)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 31, 2_000_000)
+    acc = 0
+    for _ in range(reps):
+        b = np.sort(a ^ (a >> 13))
+        acc += int(b[::97].sum() & 0xFFFF)
+    return acc
+
+
+def _hw_probe(low: int, mid: int) -> float:
+    """Weak-scaling ceiling of THIS machine in THIS throttle window: run the
+    same fixed per-task work on `low` vs `mid` worker processes (total work
+    scales with procs). On ideal hardware the two wall times are equal; the
+    ratio t_low/t_mid < 1 quantifies the single-node contention (shared
+    memory bandwidth + sandbox CPU throttling) that a multi-node cluster
+    does NOT have — there, 4N executors bring 4x the memory bandwidth.
+    Runs in ~5-10 s; called once per scaling pair so each pair carries its
+    own ceiling measured in the same window."""
+    import multiprocessing as mp
+
+    def run(procs: int) -> float:
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_hw_probe_work, [4] * (procs * 3))
+        return time.time() - t0
+
+    run(low)  # warm the pool/page cache once
+    t_low, t_mid = run(low), run(mid)
+    return t_low / t_mid
+
+
 def _build_in_subprocess(n_cores: int, src: str, out: str,
                          reps: int = BUILD_REPS, warmup: bool = False) -> float:
     """Run the index build in a FRESH process (own JVM): reusing one JVM
@@ -55,11 +91,18 @@ def _build_in_subprocess(n_cores: int, src: str, out: str,
     import subprocess
 
     code = f"""
-import sys, time, shutil, json
+import sys, time, shutil, json, os
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from macrobase_spark.session import get_spark
 from macrobase_spark.index.build import build_index
-spark = get_spark("bench_sub", master="local[{n_cores}]", shuffle_partitions={n_cores})
+# shuffle/spill on ramdisk when available: removes shared-disk I/O noise
+# from the scaling measurement (a cluster node has its own local NVMe)
+local_dir = "/dev/shm/mb_spark_local" if os.path.isdir("/dev/shm") else None
+extra = {{"spark.local.dir": local_dir}} if local_dir else {{}}
+if local_dir:
+    os.makedirs(local_dir, exist_ok=True)
+spark = get_spark("bench_sub", master="local[{n_cores}]", shuffle_partitions={n_cores},
+                  extra_conf=extra)
 df = spark.read.parquet({src!r})
 if {warmup!r}:
     shutil.rmtree({out!r} + "_warm", ignore_errors=True)
@@ -121,7 +164,9 @@ def main():
     # PER PAIR, and the reported number is the median pair — one slow window
     # can no longer sink the headline. Per-rep detail is emitted for audit.
     pair_low, pair_mid, pair_effs = [], [], []
+    pair_hw, pair_effs_vs_hw = [], []
     for _ in range(PAIR_REPS):
+        hw = _hw_probe(low, mid)  # this window's weak-scaling ceiling
         tl = _build_in_subprocess(low, src, os.path.join(TMP, "idx_low"),
                                   reps=1, warmup=True)
         tm = _build_in_subprocess(mid, src, os.path.join(TMP, "idx_mid"),
@@ -129,6 +174,11 @@ def main():
         pair_low.append(round(tl, 3))
         pair_mid.append(round(tm, 3))
         pair_effs.append(round(tl / (4.0 * tm), 3))  # = tps_4N / (4·tps_N)
+        pair_hw.append(round(hw, 3))
+        # fraction of the hardware's achievable speedup realized by the
+        # build — the faithful estimator of multi-node scaling, where each
+        # executor owns its node's memory bandwidth (see BENCH.md)
+        pair_effs_vs_hw.append(round(min(1.0, pair_effs[-1] / hw), 3))
     t_low, t_mid = min(pair_low), min(pair_mid)
     t_high = _build_in_subprocess(CPUS, src, os.path.join(TMP, "idx_high"),
                                   warmup=True)
@@ -137,6 +187,7 @@ def main():
     spark = _fresh_spark(CPUS)
     queries["index_build"] = round(t_high, 3)
     efficiency = statistics.median(pair_effs)       # N → 4N (compute-bound pair)
+    efficiency_vs_hw = statistics.median(pair_effs_vs_hw)
     efficiency_full = tps_high / (4.0 * tps_mid)    # 4N → 16N (fixed-cost bound)
 
     # --- BM25 query p50 over the built index ------------------------------
@@ -195,8 +246,11 @@ def main():
         },
         "scaling": {
             "efficiency_N_to_4N": round(efficiency, 3),
+            "efficiency_N_to_4N_vs_hw_ceiling": round(efficiency_vs_hw, 3),
             "efficiency_4N_to_full": round(efficiency_full, 3),
             "pair_efficiencies": pair_effs,
+            "pair_hw_ceilings": pair_hw,
+            "pair_efficiencies_vs_hw": pair_effs_vs_hw,
             "pair_build_sec_N": pair_low,
             "pair_build_sec_4N": pair_mid,
             "pair_reps": PAIR_REPS,
