@@ -362,49 +362,65 @@ def _itemset_str(*cols: str):
 def q13_diff_ratios(spark, sf):
     """Composite DIFF quality-metric gate (§2.4): global_ratio, risk_ratio
     (RiskRatio.java edge cases), prevalence_ratio (+1 smoothing) — three
-    APrioriLinear grouping-sets passes, itemsets projected as strings."""
+    APrioriLinear grouping-sets passes, itemsets projected as strings.
+
+    The three legs are built on worker threads: each classifier fit / DIFF
+    threshold pass issues a handful of eager driver jobs, and the scheduler
+    interleaves the three independent pipelines instead of running ~10
+    small jobs back-to-back (the same concurrent-jobs pattern as the index
+    build's hot-term/docs threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from macrobase_spark.operators import classify_percentile, classify_predicate, diff
 
-    li = _t(spark, sf, "lineitem")
-    lab1 = classify_percentile(li, "l_extendedprice", percentile=1.0,
-                               include_low=False)
-    e1 = diff(lab1, ["l_returnflag", "l_linestatus"],
-              min_support=0.01, min_ratio=0.0, max_order=2)
-    leg1 = e1.select(
-        F.lit("global_ratio").alias("metric"),
-        _itemset_str("l_returnflag", "l_linestatus").alias("attrs"),
-        F.round("support", 6).alias("support"),
-        F.round("global_ratio", 6).alias("ratio"),
-        F.col("outlier_count").cast("long").alias("outlier_count"),
-        F.col("total_count").cast("long").alias("total_count"),
-    )
+    def _leg1():
+        li = _t(spark, sf, "lineitem")
+        lab1 = classify_percentile(li, "l_extendedprice", percentile=1.0,
+                                   include_low=False)
+        e1 = diff(lab1, ["l_returnflag", "l_linestatus"],
+                  min_support=0.01, min_ratio=0.0, max_order=2)
+        return e1.select(
+            F.lit("global_ratio").alias("metric"),
+            _itemset_str("l_returnflag", "l_linestatus").alias("attrs"),
+            F.round("support", 6).alias("support"),
+            F.round("global_ratio", 6).alias("ratio"),
+            F.col("outlier_count").cast("long").alias("outlier_count"),
+            F.col("total_count").cast("long").alias("total_count"),
+        )
 
-    ev = _t(spark, sf, "events")
-    lab2 = classify_predicate(ev, "event_type", "==", "error")
-    e2 = diff(lab2.withColumn("cohort", F.expr("cast(user_id % 5 as string)")),
-              ["cohort"], min_support=0.0, ratio_metric="risk_ratio",
-              min_ratio=0.0, max_order=1)
-    leg2 = e2.select(
-        F.lit("risk_ratio").alias("metric"),
-        _itemset_str("cohort").alias("attrs"),
-        F.round("support", 6).alias("support"),
-        F.round("risk_ratio", 6).alias("ratio"),
-        F.col("outlier_count").cast("long").alias("outlier_count"),
-        F.col("total_count").cast("long").alias("total_count"),
-    )
+    def _leg2():
+        ev = _t(spark, sf, "events")
+        lab2 = classify_predicate(ev, "event_type", "==", "error")
+        e2 = diff(lab2.withColumn("cohort", F.expr("cast(user_id % 5 as string)")),
+                  ["cohort"], min_support=0.0, ratio_metric="risk_ratio",
+                  min_ratio=0.0, max_order=1)
+        return e2.select(
+            F.lit("risk_ratio").alias("metric"),
+            _itemset_str("cohort").alias("attrs"),
+            F.round("support", 6).alias("support"),
+            F.round("risk_ratio", 6).alias("ratio"),
+            F.col("outlier_count").cast("long").alias("outlier_count"),
+            F.col("total_count").cast("long").alias("total_count"),
+        )
 
-    o = _t(spark, sf, "orders")
-    lab3 = classify_predicate(o, "o_orderstatus", "==", "F")
-    e3 = diff(lab3, ["o_orderpriority"], min_support=0.0,
-              ratio_metric="prevalence_ratio", min_ratio=0.0, max_order=1)
-    leg3 = e3.select(
-        F.lit("prevalence_ratio").alias("metric"),
-        _itemset_str("o_orderpriority").alias("attrs"),
-        F.round("support", 6).alias("support"),
-        F.round("prevalence_ratio", 6).alias("ratio"),
-        F.col("outlier_count").cast("long").alias("outlier_count"),
-        F.col("total_count").cast("long").alias("total_count"),
-    )
+    def _leg3():
+        o = _t(spark, sf, "orders")
+        lab3 = classify_predicate(o, "o_orderstatus", "==", "F")
+        e3 = diff(lab3, ["o_orderpriority"], min_support=0.0,
+                  ratio_metric="prevalence_ratio", min_ratio=0.0, max_order=1)
+        return e3.select(
+            F.lit("prevalence_ratio").alias("metric"),
+            _itemset_str("o_orderpriority").alias("attrs"),
+            F.round("support", 6).alias("support"),
+            F.round("prevalence_ratio", 6).alias("ratio"),
+            F.col("outlier_count").cast("long").alias("outlier_count"),
+            F.col("total_count").cast("long").alias("total_count"),
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        leg1, leg2, leg3 = (f.result() for f in
+                            [pool.submit(_leg1), pool.submit(_leg2),
+                             pool.submit(_leg3)])
     return leg1.unionByName(leg2).unionByName(leg3).orderBy("metric", "attrs")
 
 
