@@ -145,6 +145,7 @@ def diff(
     prefilter_min_support: bool = False,
     containment: bool = False,
     collect_threshold: int = 65536,
+    outlier_is_count: bool = False,
 ) -> DataFrame:
     """Explanation relation: attrs (NULL = absent) + support + <ratio_metric>
     + outlier_count + total_count, filtered to support ≥ min_support and
@@ -179,9 +180,14 @@ def diff(
 
     w = F.col(count_col).cast("double") if count_col else F.lit(1.0)
     o = F.col(outlier_col).cast("double")
+    # cube classifiers (arithmetic/quantile/predicate-cube) emit an outlier
+    # column that is ALREADY an absolute per-row outlier count (reference
+    # ArithmeticClassifier.java:59-69 numOutliers = count·mass); pass
+    # outlier_is_count=True so it is not re-weighted by count_col. The
+    # default (0/1 labels × row weight) matches the row-level classifiers.
     base = df.select(
         *[F.col(a) for a in attrs],
-        (o * w).alias("_ocnt"),
+        (o if outlier_is_count else o * w).alias("_ocnt"),
         w.alias("_tcnt"),
     )
 
@@ -428,6 +434,65 @@ def diff_mean(
         .withColumn("mean_deviation", mean_dev)
         .filter((F.col("support") >= min_support)
                 & (F.col("mean_deviation") >= min_mean_dev))
+        .select(*attrs, "support", "mean_deviation",
+                F.col("cnt").alias("total_count"))
+        .orderBy(F.col("mean_deviation").desc(),
+                 *[F.col(a).asc_nulls_last() for a in attrs])
+    )
+
+
+def diff_mean_cubed(
+    df: DataFrame,
+    attrs: list[str],
+    count_col: str = "count",
+    mean_col: str = "mean",
+    std_col: str = "std",
+    min_support: float = 0.01,
+    min_std_dev: float = 3.0,
+    max_order: int = 3,
+) -> DataFrame:
+    """Cube-input mean-deviation summarizer (the reference CubePipeline's
+    'meanshift' classifier): each pre-aggregated row carries (count, mean,
+    std), and the sufficient statistics are the count-weighted
+    n = Σcount, m1 = Σ mean·count, m2 = Σ (std² + mean²)·count
+    (APLMeanSummarizer.java:45-66). mean_deviation =
+    |subMean − globalMean| / globalStd (MeanDevQualityMetric.java:40-44),
+    support = subgroup count / total count; thresholds (min_support,
+    min_std_dev) mirror CubePipeline.java:275-283 where minStdDev is fed
+    from the config's minRatioMetric. Same single GROUPING SETS shuffle
+    with map-side partial sums as diff_mean."""
+    combos = _grouping_sets_sql(attrs, max_order, None)
+    base = df.select(
+        *attrs,
+        F.col(count_col).cast("double").alias("_n"),
+        (F.col(mean_col) * F.col(count_col)).cast("double").alias("_m1"),
+        ((F.col(std_col) * F.col(std_col)
+          + F.col(mean_col) * F.col(mean_col))
+         * F.col(count_col)).cast("double").alias("_m2"),
+    )
+    g = base.agg(F.sum("_n").alias("n"), F.sum("_m1").alias("m1"),
+                 F.sum("_m2").alias("m2")).collect()[0]
+    g_n = float(g["n"])
+    g_mean = float(g["m1"]) / g_n
+    g_std = (float(g["m2"]) / g_n - g_mean * g_mean) ** 0.5
+
+    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
+    view = f"_mb_diffmeancube_{abs(hash((tuple(attrs), max_order))) % 10**8}"
+    base.createOrReplaceTempView(view)
+    attr_list = ", ".join(attrs)
+    grouped = df.sparkSession.sql(
+        f"""
+        SELECT {attr_list}, sum(_n) AS cnt, sum(_m1) AS m1
+        FROM {view}
+        GROUP BY GROUPING SETS ({sets_sql})
+        """
+    )
+    mean_dev = F.abs(F.col("m1") / F.col("cnt") - F.lit(g_mean)) / F.lit(g_std)
+    return (
+        grouped.withColumn("support", F.col("cnt") / F.lit(g_n))
+        .withColumn("mean_deviation", mean_dev)
+        .filter((F.col("support") >= min_support)
+                & (F.col("mean_deviation") >= min_std_dev))
         .select(*attrs, "support", "mean_deviation",
                 F.col("cnt").alias("total_count"))
         .orderBy(F.col("mean_deviation").desc(),

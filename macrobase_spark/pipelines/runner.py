@@ -22,6 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType as _NUMERIC_TYPES
 
 _RATIO_MAP = {
     "globalratio": "global_ratio",
@@ -48,10 +49,24 @@ def load_config(conf) -> dict:
         return json.loads(text)
 
 
-def _load_input(spark: SparkSession, uri: str, base_dir: str | None) -> DataFrame:
+def _load_input(spark: SparkSession, uri: str, base_dir: str | None,
+                conf: dict | None = None) -> DataFrame:
     scheme, _, path = uri.partition("://")
     if scheme == "table":
         return spark.table(path)
+    if scheme in ("http", "https"):
+        # the reference's REST loader (PipelineUtils.loadDataFrame routes
+        # http(s) URIs through RESTDataFrameLoader with restHeader/usePost/
+        # jsonBody — core/demo/cube_quantile_rest.json) → sources/rest.py;
+        # numeric columns are cast per the classifier's colTypes contract
+        # (CubePipeline.getColTypes) by the caller
+        from macrobase_spark.sources.rest import read_rest
+
+        c = conf or {}
+        return read_rest(
+            spark, uri, method="POST" if c.get("usePost", False) else "GET",
+            headers=dict(c.get("restHeader") or {}),
+            json_body=c.get("jsonBody"))
     if not os.path.isabs(path) and base_dir:
         path = os.path.join(base_dir, path)
     if scheme == "csv":
@@ -74,7 +89,7 @@ def run_pipeline(spark: SparkSession, conf, base_dir: str | None = None) -> Data
 
     c = load_config(conf)
     kind = c.get("pipeline", "BasicBatchPipeline").lower()
-    df = _load_input(spark, c["inputURI"], base_dir)
+    df = _load_input(spark, c["inputURI"], base_dir, c)
     attrs = list(c["attributes"])
     metric_name = _RATIO_MAP[c.get("ratioMetric", "globalratio").lower()]
     min_support = float(c.get("minSupport", 0.01))
@@ -85,20 +100,56 @@ def run_pipeline(spark: SparkSession, conf, base_dir: str | None = None) -> Data
 
     if kind == "cubepipeline":
         count_col = c.get("countColumn", "count")
+        # CubePipeline.getColTypes (:141-196): numeric aggregate columns are
+        # DOUBLE regardless of source typing (REST sources arrive as strings)
+        numeric = {count_col, c.get("meanColumn"), c.get("stdColumn"),
+                   *dict(c.get("quantileColumns") or {})}
+        if classifier in ("predicate", "countmeanshift") and not isinstance(
+                c.get("cutoff"), str):
+            numeric.add(c.get("metric"))
+        for col in numeric:
+            if col and col in df.columns and not isinstance(
+                    df.schema[col].dataType, _NUMERIC_TYPES):
+                df = df.withColumn(col, F.col(col).cast("double"))
+        inc_hi = bool(c.get("includeHi", True))
+        inc_lo = bool(c.get("includeLo", True))
         if classifier == "arithmetic":
             labeled = classify_arithmetic_cubed(
                 df, count_col, c["meanColumn"], c["stdColumn"],
-                percentile=float(c.get("cutoff", 1.0)))
+                percentile=float(c.get("cutoff", 1.0)),
+                include_high=inc_hi, include_low=inc_lo)
         elif classifier == "quantile":
+            # config maps column → quantile fraction (cube_quantile.json);
+            # the operator takes fraction → column
+            qcols = {float(v): k for k, v in dict(c["quantileColumns"]).items()}
             labeled = classify_quantile_cubed(
-                df, count_col, dict(c["quantileColumns"]),
-                percentile=float(c.get("cutoff", 1.0)))
+                df, count_col, qcols,
+                percentile=float(c.get("cutoff", 1.0)),
+                include_high=inc_hi, include_low=inc_lo)
+        elif classifier == "predicate":
+            # PredicateCubeClassifier (string or double cutoff; string
+            # comparison is Java compareTo == Spark lexicographic): every
+            # entry of a matching group is an outlier → count-scale output
+            labeled = classify_predicate(
+                df, c["metric"], c.get("predicate", "==").strip(),
+                c["cutoff"])
+            labeled = labeled.withColumn(
+                "_OUTLIER", F.col("_OUTLIER") * F.col(count_col))
+        elif classifier == "meanshift":
+            # reference: RawClassifier(count, mean) + APLMeanSummarizer with
+            # minStdDev = minRatioMetric (CubePipeline.java:248-255,275-283)
+            from macrobase_spark.operators.diff import diff_mean_cubed
+
+            return diff_mean_cubed(
+                df, attrs, count_col=count_col, mean_col=c["meanColumn"],
+                std_col=c["stdColumn"], min_support=min_support,
+                min_std_dev=min_ratio, max_order=max_order)
         else:
             raise ValueError(f"unsupported cube classifier: {classifier!r}")
         return diff(labeled, attrs, outlier_col="_OUTLIER",
                     count_col=count_col, min_support=min_support,
                     ratio_metric=metric_name, min_ratio=min_ratio,
-                    max_order=max_order)
+                    max_order=max_order, outlier_is_count=True)
 
     # BasicBatchPipeline
     metric = c.get("metric")
