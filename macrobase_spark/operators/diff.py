@@ -532,7 +532,15 @@ def diff_count_mean_shift(
         GROUP BY GROUPING SETS ({sets_sql})
         """
     )
-    shift = (F.col("oms") / F.col("oc")) / (F.col("ims") / F.col("ic"))
+    # Java double semantics under Spark's ANSI mode: the reference computes
+    # (oms/oc)/(ims/ic) with IEEE doubles (MeanShiftQualityMetric.java:33-35)
+    # — oc==0 or ic==0 yields NaN (dropped by the threshold filter), while
+    # ims/ic == 0 with a positive outlier mean yields +Infinity (kept).
+    out_mean = F.try_divide(F.col("oms"), F.col("oc"))
+    in_mean = F.try_divide(F.col("ims"), F.col("ic"))
+    shift = F.when(
+        in_mean == 0, F.when(out_mean > 0, F.lit(float("inf")))
+    ).otherwise(F.try_divide(out_mean, in_mean))
     return (
         grouped.withColumn("support", F.col("oc") / F.lit(g_out))
         .withColumn("mean_shift", shift)

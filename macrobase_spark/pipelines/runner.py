@@ -144,6 +144,17 @@ def run_pipeline(spark: SparkSession, conf, base_dir: str | None = None) -> Data
                 df, attrs, count_col=count_col, mean_col=c["meanColumn"],
                 std_col=c["stdColumn"], min_support=min_support,
                 min_std_dev=min_ratio, max_order=max_order)
+        elif classifier == "countmeanshift":
+            # CountMeanShiftCubedClassifier (string or double cutoff) +
+            # APLCountMeanShiftSummarizer (CubePipeline.java:199-218,262-269)
+            labeled = classify_count_mean_shift(
+                df, c["metric"], c["meanColumn"],
+                c.get("predicate", "==").strip(), c["cutoff"],
+                count_col=count_col)
+            return diff_count_mean_shift(
+                labeled, attrs, min_support=min_support,
+                min_mean_shift=float(c.get("meanShiftRatio", 1.0)),
+                max_order=max_order)
         else:
             raise ValueError(f"unsupported cube classifier: {classifier!r}")
         return diff(labeled, attrs, outlier_col="_OUTLIER",

@@ -182,3 +182,70 @@ def test_cube_quantile_rest_local_mirror(spark, tmp_path):
         assert rest_rows == local_rows and rest_rows
     finally:
         srv.shutdown()
+
+
+def test_reference_test_resource_yamls(spark):
+    """The reference's own test configs (core/src/test/resources/
+    tiny_conf.yaml, tiny_predicate.yaml) run unchanged against their
+    relative csv:// inputs. tiny_conf.yaml's `minRiskRatio` key is
+    faithfully IGNORED like the reference (BasicBatchPipeline.java:75 reads
+    only `minRatioMetric`, defaulting 3.0)."""
+    core = os.path.join(REF, "core")
+    pdf = pd.read_csv(os.path.join(core, "src/test/resources/tiny.csv"))
+    # tiny_predicate.yaml: usage == 2.0 marks ONE of three rows; the best
+    # combo's global_ratio is (1/1)/(1/3) = 3 < minRatioMetric 10 — the
+    # faithful result is EMPTY, exactly like the reference
+    rows = run_pipeline(
+        spark, os.path.join(core, "src/test/resources/tiny_predicate.yaml"),
+        base_dir=core).collect()
+    want = _outlier_oracle(pdf.assign(_o=(pdf["usage"] == 2.0).astype(float)),
+                           ["location", "version"], "_o", None,
+                           min_support=0.2, min_ratio=10.0)
+    assert _got_keyed(rows, ["location", "version"]).keys() == want.keys()
+    # tiny_conf.yaml: its `minRiskRatio` key is ignored like the reference
+    # (only minRatioMetric is read, defaulting 3.0) — just runs clean
+    rows = run_pipeline(
+        spark, os.path.join(core, "src/test/resources/tiny_conf.yaml"),
+        base_dir=core).collect()
+    for r in rows:
+        assert r["support"] >= 0.2 - 1e-12
+
+
+def test_cube_countmeanshift_oracle(spark):
+    """CubePipeline classifier 'countmeanshift' (no demo config ships, so a
+    config dict over the reference's meanshift demo CSV):
+    CountMeanShiftCubedClassifier + APLCountMeanShiftSummarizer vs the
+    pandas oracle — mean_shift = (oms/oc)/(ims/ic), support = oc/go."""
+    pdf = pd.read_csv(os.path.join(DEMO, "sample_cubed_meanshift.csv"))
+    cfg = {
+        "pipeline": "CubePipeline",
+        "inputURI": "csv://core/demo/sample_cubed_meanshift.csv",
+        "classifier": "countmeanshift",
+        "countColumn": "count", "meanColumn": "mean",
+        "metric": "location", "predicate": "==", "cutoff": "AUS",
+        "attributes": ["version", "device"],
+        "minSupport": 0.1, "meanShiftRatio": 1.1,
+    }
+    got = _got_keyed(run_pipeline(spark, cfg, base_dir=REF).collect(),
+                     ["version", "device"])
+    is_out = (pdf["location"] == "AUS").astype(float)
+    oc_w = is_out * pdf["count"]
+    ic_w = (1 - is_out) * pdf["count"]
+    oms = is_out * pdf["mean"] * pdf["count"]
+    ims = (1 - is_out) * pdf["mean"] * pdf["count"]
+    go = float(oc_w.sum())
+    want = {}
+    for combo in _combos(["version", "device"], 3):
+        for key, idx in pdf.groupby(list(combo), sort=False).groups.items():
+            key = key if isinstance(key, tuple) else (key,)
+            oc, ic = float(oc_w[idx].sum()), float(ic_w[idx].sum())
+            support = oc / go
+            if not oc or not ic:
+                continue
+            shift = (float(oms[idx].sum()) / oc) / (float(ims[idx].sum()) / ic)
+            if support >= 0.1 and shift >= 1.1:
+                want[tuple(zip(combo, key))] = (support, shift)
+    assert set(got) == set(want)
+    for key, (support, shift) in want.items():
+        assert math.isclose(got[key]["support"], support, rel_tol=1e-9), key
+        assert math.isclose(got[key]["mean_shift"], shift, rel_tol=1e-9), key
