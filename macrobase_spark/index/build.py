@@ -397,6 +397,13 @@ def build_index(
             .mapInPandas(_encode_sorted_runs(hot_set, avgdl), schema=_ENC_SCHEMA)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if os.environ.get("MB_ENC_MAT") == "1":
+            # experimental barrier: pin the cache before the union write
+            # (A/B shows the pipelined default wins — see BENCH.md r3 notes)
+            _tp = time.time()
+            encoded.count()
+            phases["encode_materialize"] = phases.get(
+                "encode_materialize", 0.0) + round(time.time() - _tp, 3)
         finals = encoded.filter(F.col("final")).drop("final")
         merged_hot = (
             encoded.filter(~F.col("final")).drop("final")
