@@ -414,7 +414,16 @@ def diff_mean(
         F.sum(F.col("_x") * F.col("_x")).alias("m2"),
     ).collect()[0]
     g_n, g_mean = float(g["n"]), float(g["m1"]) / float(g["n"])
-    g_std = (float(g["m2"]) / g_n - g_mean * g_mean) ** 0.5
+    g_std = (max(0.0, float(g["m2"]) / g_n - g_mean * g_mean)) ** 0.5
+    if g_std == 0.0:
+        # zero global variance: every subgroup mean equals the global mean,
+        # so the reference's |0|/0.0 is NaN for every row — nothing passes
+        # the threshold (Java drops NaN in comparisons; ANSI Spark would
+        # instead error on the /0, so short-circuit to the faithful result)
+        return df.sparkSession.createDataFrame(
+            [], ", ".join([f"`{a}` string" for a in attrs]
+                          + ["support double", "mean_deviation double",
+                             "total_count double"]))
 
     sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
     view = f"_mb_diffmean_{abs(hash((tuple(attrs), max_order))) % 10**8}"
@@ -474,7 +483,14 @@ def diff_mean_cubed(
                  F.sum("_m2").alias("m2")).collect()[0]
     g_n = float(g["n"])
     g_mean = float(g["m1"]) / g_n
-    g_std = (float(g["m2"]) / g_n - g_mean * g_mean) ** 0.5
+    g_std = (max(0.0, float(g["m2"]) / g_n - g_mean * g_mean)) ** 0.5
+    if g_std == 0.0:
+        # same NaN-for-every-row short-circuit as diff_mean (Java IEEE
+        # semantics under ANSI Spark)
+        return df.sparkSession.createDataFrame(
+            [], ", ".join([f"`{a}` string" for a in attrs]
+                          + ["support double", "mean_deviation double",
+                             "total_count double"]))
 
     sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
     view = f"_mb_diffmeancube_{abs(hash((tuple(attrs), max_order))) % 10**8}"

@@ -13,10 +13,14 @@ runs every `compact_every` epochs to merge segments back into single rows.
 
 Exactly-once: `foreachBatch` re-delivers a batch after a failure, and a
 re-applied delta would duplicate postings (update_index's append-only
-doc_id contract). Each committed epoch id is therefore recorded in
-`_stream_epochs.json` inside the index directory, and re-delivered epochs
+doc_id contract). Committed progress is therefore recorded in
+`_stream_epochs.json` inside the index directory and re-delivered epochs
 are skipped — the standard idempotent-foreachBatch pattern, giving
 effectively-once index mutation on top of the checkpointed source offsets.
+The ledger is O(1): epoch ids are monotonically increasing per checkpoint
+(a failure replays the SAME id, never an older one), so a high-water mark
+plus the recent-ids window is sufficient — the file does not grow with
+stream lifetime (a year at 1 epoch/30 s stays a few hundred bytes).
 """
 
 from __future__ import annotations
@@ -64,7 +68,8 @@ def apply_stream_batch(
 
     rec = _load_epochs(out_dir) if os.path.isdir(out_dir) else {
         "committed": [], "since_compact": 0}
-    if epoch_id in rec["committed"]:
+    high_water = max(rec["committed"], default=-1)
+    if epoch_id in rec["committed"] or epoch_id <= high_water:
         return "skip_replayed"  # failure re-delivery: already applied
     # cheap emptiness probe on the projected columns only
     if batch_df.select(doc_id_col).limit(1).count() == 0:
@@ -81,7 +86,9 @@ def apply_stream_batch(
                      text_col=text_col)
         action = "update"
 
-    rec["committed"].append(epoch_id)
+    # bounded ledger: high-water mark + a short recent window (see module
+    # docstring — epoch ids only ever move forward per checkpoint)
+    rec["committed"] = sorted(set(rec["committed"]) | {epoch_id})[-64:]
     if action == "update":
         rec["since_compact"] += 1
     if action == "update" and compact_every and (
