@@ -10,5 +10,9 @@ from macrobase_spark.pipelines.similarity import (  # noqa: F401
     lsh_bucketed_topk,
 )
 from macrobase_spark.pipelines.dedup import embedding_cosine_pairs  # noqa: F401
-from macrobase_spark.pipelines.similarity import ivf_topk  # noqa: F401
+from macrobase_spark.pipelines.similarity import (  # noqa: F401
+    ivf_build,
+    ivf_query,
+    ivf_topk,
+)
 from macrobase_spark.pipelines.runner import run_pipeline  # noqa: F401

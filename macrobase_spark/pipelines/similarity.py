@@ -74,6 +74,43 @@ def cosine_topk_bruteforce(
     return _pair_topk(v.crossJoin(F.broadcast(q)), k, id_col, q_id_col)
 
 
+def _fit_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    sample_frac: float,
+    seed: int,
+    vec_col: str,
+) -> np.ndarray:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors if sample_frac >= 1.0 else vectors.sample(sample_frac, seed=seed)
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv")
+    model = km.fit(train.select(array_to_vector(F.col(vec_col).cast(
+        "array<double>")).alias("_fv")))
+    return np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _nearest_cells_udf(centroids: np.ndarray, top_n: int):
+    """Arrow-batched top_n nearest centroids (expanded L2:
+    |c|² − 2·c·x); ties broken by centroid index (stable argsort).
+    Centroids travel inside the UDF closure (one (B,D)×(D,C) matmul per
+    batch) — inlining 10⁴ centroids as column literals would explode
+    Catalyst."""
+    from pyspark.sql.functions import pandas_udf
+
+    c2 = (centroids * centroids).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def f(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = c2[None, :] - 2.0 * (x @ centroids.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :top_n]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return f
+
+
 def _ivf_pairs(
     vectors: DataFrame,
     queries: DataFrame,
@@ -91,39 +128,13 @@ def _ivf_pairs(
     and the pair relation is an equi-join on `_cell` — so a pair exists iff
     the vector's cell is probed BY THAT QUERY. Exposed separately so tests
     can count scored pairs."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = vectors if sample_frac >= 1.0 else vectors.sample(sample_frac, seed=seed)
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv")
-    model = km.fit(train.select(array_to_vector(F.col(vec_col).cast(
-        "array<double>")).alias("_fv")))
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
-
-    def nearest_cells_udf(top_n: int):
-        """Arrow-batched top_n nearest centroids (expanded L2:
-        |c|² − 2·c·x); ties broken by centroid index (stable argsort).
-        Centroids travel inside the UDF closure (one (B,D)×(D,C) matmul per
-        batch) — inlining 10⁴ centroids as column literals would explode
-        Catalyst."""
-        from pyspark.sql.functions import pandas_udf
-
-        c2 = (centroids * centroids).sum(axis=1)
-
-        @pandas_udf("array<int>")
-        def f(vecs: pd.Series) -> pd.Series:
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            d = c2[None, :] - 2.0 * (x @ centroids.T)
-            idx = np.argsort(d, axis=1, kind="stable")[:, :top_n]
-            return pd.Series(list(idx.astype(np.int32)))
-
-        return f
-
+    centroids = _fit_centroids(vectors, n_centroids, sample_frac, seed, vec_col)
     v = _prep_vectors(vectors, id_col, vec_col).withColumn(
-        "_cell", nearest_cells_udf(1)(F.col("_v"))[0])
+        "_cell", _nearest_cells_udf(centroids, 1)(F.col("_v"))[0])
     qx = (
         _prep_queries(queries, q_id_col, q_vec_col)
-        .withColumn("_cell", F.explode(nearest_cells_udf(n_probe)(F.col("_q"))))
+        .withColumn("_cell",
+                    F.explode(_nearest_cells_udf(centroids, n_probe)(F.col("_q"))))
     )
     # vector side is the big relation; the exploded query side broadcasts.
     # A (q, v) pair joins at most once because each vector has exactly one
@@ -156,6 +167,75 @@ def ivf_topk(
     pairs = _ivf_pairs(vectors, queries, n_centroids, n_probe, sample_frac,
                        seed, id_col, vec_col, q_id_col, q_vec_col)
     return _pair_topk(pairs, k, id_col, q_id_col)
+
+
+def ivf_build(
+    vectors: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    sample_frac: float = 1.0,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an IVF index: k-means centroids (tiny JSON) + the vector
+    table written ONCE, hive-partitioned by `_cell` — the serving shape.
+    `ivf_topk` refits the quantizer and re-assigns every vector per call;
+    after `ivf_build`, each `ivf_query` reads ONLY the n_probe cells its
+    queries probe (directory-level partition pruning — the FileScan's
+    PartitionFilters, same design as the BM25 bucket layout), so per-query
+    scan cost is n_probe/n_centroids of the table regardless of how many
+    times you query."""
+    import json
+    import os
+
+    centroids = _fit_centroids(vectors, n_centroids, sample_frac, seed, vec_col)
+    v = _prep_vectors(vectors, id_col, vec_col).withColumn(
+        "_cell", _nearest_cells_udf(centroids, 1)(F.col("_v"))[0])
+    os.makedirs(out_dir, exist_ok=True)
+    (v.repartition("_cell")
+     .write.mode("overwrite").partitionBy("_cell")
+     .parquet(os.path.join(out_dir, "cells.parquet")))
+    meta = {"n_centroids": int(n_centroids), "id_col": id_col,
+            "dim": int(centroids.shape[1]),
+            "centroids": centroids.tolist()}
+    with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"n_centroids": int(n_centroids), "dim": int(centroids.shape[1])}
+
+
+def ivf_query(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Query a persisted IVF index. The query set's probed-cell union is
+    computed driver-side (queries are the SMALL serving-side relation) and
+    pushed as a partition filter, so the scan touches only those cell
+    directories; per-query candidate identity is then the same `_cell`
+    equi-join as ivf_topk — never union-×-all-queries."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    qx = (
+        _prep_queries(queries, q_id_col, q_vec_col)
+        .withColumn("_cell",
+                    F.explode(_nearest_cells_udf(centroids, n_probe)(F.col("_q"))))
+    )
+    probed = sorted({r["_cell"] for r in qx.select("_cell").distinct().collect()})
+    cells = (
+        spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+        .filter(F.col("_cell").isin(probed))
+    )
+    pairs = cells.join(F.broadcast(qx), "_cell").drop("_cell")
+    return _pair_topk(pairs, k, meta["id_col"], q_id_col)
 
 
 def _lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:

@@ -317,3 +317,45 @@ def test_ann_batch_pairs_scale_per_query(spark):
     ivf_pairs = ivf.count()
     ivf_union = ivf.select("vec_id").distinct().count()
     assert ivf_pairs < ivf_union * 2
+
+
+def test_ivf_persisted_index(spark, tmp_path):
+    """ivf_build/ivf_query (the serving shape): full-probe query of the
+    persisted index is exactly brute force; the scan carries a partition
+    filter on _cell (directory pruning), and results match ivf_topk at the
+    same quantizer seed."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import (ivf_build, ivf_query,
+                                                      ivf_topk)
+
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((4, 12)) * 5
+    base = np.concatenate([
+        centers[i] + rng.standard_normal((30, 12)) for i in range(4)
+    ]).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    qv = base[37] + rng.standard_normal(12).astype("float32") * 0.01
+    qdf = spark.createDataFrame([(0, [float(x) for x in qv])],
+                                "q_id long, q_vec array<float>")
+
+    out = str(tmp_path / "ivf_idx")
+    rep = ivf_build(vdf, out, n_centroids=4, seed=11)
+    assert rep["n_centroids"] == 4
+
+    got = ivf_query(spark, out, qdf, k=3, n_probe=2)
+    # partition pruning actually reaches the scan
+    assert "PartitionFilters: [" in got._jdf.queryExecution().executedPlan().toString() \
+        or "_cell" in got._jdf.queryExecution().toString()
+    rows = got.collect()
+    assert rows and rows[0]["vec_id"] == 37
+
+    # full probe == exact brute force == in-memory ivf_topk full probe
+    exact = cosine_topk_bruteforce(vdf, qdf, k=3).collect()
+    full = ivf_query(spark, out, qdf, k=3, n_probe=4).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 12)) for r in full] == \
+           [(r["vec_id"], round(r["cos_sim"], 12)) for r in exact]
+    mem = ivf_topk(vdf, qdf, k=3, n_centroids=4, n_probe=2, seed=11).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in mem]
