@@ -136,3 +136,32 @@ def test_diff_prefilter_matches_plain(spark, sample):
             key=repr)
 
     assert rows(plain) == rows(pre)
+
+
+def test_count_mean_shift_java_ieee_zero_semantics(spark):
+    """diff_count_mean_shift must mirror the reference's Java-double
+    divisions (MeanShiftQualityMetric.java:33-35) under ANSI Spark:
+    a combo with no inliers or no outliers is dropped (NaN in Java), and a
+    zero inlier mean with a positive outlier mean is +Infinity (kept)."""
+    import math as _math
+
+    from macrobase_spark.operators.diff import diff_count_mean_shift
+
+    rows = [
+        # grp a: outliers mean 10, inliers mean 0 -> shift = +Inf (kept)
+        ("a", 2.0, 0.0, 20.0, 0.0), ("a", 0.0, 3.0, 0.0, 0.0),
+        # grp b: only outliers -> ic = 0 -> NaN -> dropped
+        ("b", 4.0, 0.0, 12.0, 0.0),
+        # grp c: normal finite shift 2.0
+        ("c", 1.0, 1.0, 8.0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, _OUTLIERCOUNT double, _INLIERCOUNT double,"
+              " _OUTLIERMEANSUM double, _INLIERMEANSUM double")
+    got = {r["grp"]: r["mean_shift"]
+           for r in diff_count_mean_shift(df, ["grp"], min_support=0.0,
+                                          min_mean_shift=1.5).collect()
+           if r["grp"] is not None}
+    assert _math.isinf(got["a"]) and got["a"] > 0
+    assert "b" not in got           # NaN-equivalent: dropped
+    assert _math.isclose(got["c"], 2.0, rel_tol=1e-12)
