@@ -95,8 +95,13 @@ def windowed_diff(
     per_combo = grouped.filter(F.col("_gid") != all_absent)
     joined = per_combo.join(globals_df, per_combo["_w"] == globals_df["_gw"]).drop("_gw")
     oc, tc = F.col("outlier_count"), F.col("total_count")
-    support = oc / F.col("_g_out")
-    global_ratio = (oc / tc) / (F.col("_g_out") / F.col("_g_tot"))
+    # a window pane with ZERO outliers has _g_out = 0: the reference's Java
+    # doubles make oc/0.0 NaN (every combo dropped — the pane simply emits
+    # no explanations); ANSI Spark would error on the division, so
+    # try_divide reproduces the drop via NULL thresholds
+    support = F.try_divide(oc, F.col("_g_out"))
+    global_ratio = F.try_divide(
+        oc / tc, F.try_divide(F.col("_g_out"), F.col("_g_tot")))
     return (
         joined.withColumn("support", support)
         .withColumn("global_ratio", global_ratio)
