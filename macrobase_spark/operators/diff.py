@@ -52,6 +52,8 @@ def _metric_value(metric: str, oc: float, tc: float, g_out: float, g_tot: float)
     """Python twin of _metric_expr (same float64 op order) for the
     driver-side containment pass."""
     if metric == "global_ratio":
+        if tc == 0:
+            return float("nan")  # zero-weight group: dropped like Java NaN
         return (oc / tc) / (g_out / g_tot)
     if metric == "risk_ratio":
         if tc == 0 or g_tot - tc == 0:
@@ -77,9 +79,11 @@ def _metric_expr(
     """Quality-metric column expressions, replicating reference edge cases."""
     g_in = g_tot - g_out
     if metric == "global_ratio":
-        # GlobalRatioQualityMetric.java:22-30
+        # GlobalRatioQualityMetric.java:22-30; a zero-weight group (possible
+        # with zero count_col weights) is NaN in Java -> NULL here, dropped
+        # by the threshold filter either way
         base = g_out / g_tot
-        return (out_cnt / tot_cnt) / F.lit(base)
+        return F.try_divide(out_cnt, tot_cnt) / F.lit(base)
     if metric == "risk_ratio":
         # RiskRatio.java:4-33 edge cases: no exposure → 0; everything exposed
         # → 0; all outliers exposed → +Inf
@@ -413,7 +417,13 @@ def diff_mean(
         F.count("*").alias("n"), F.sum("_x").alias("m1"),
         F.sum(F.col("_x") * F.col("_x")).alias("m2"),
     ).collect()[0]
-    g_n, g_mean = float(g["n"]), float(g["m1"]) / float(g["n"])
+    g_n = float(g["n"] or 0.0)
+    if g_n == 0.0:
+        return df.sparkSession.createDataFrame(
+            [], ", ".join([f"`{a}` string" for a in attrs]
+                          + ["support double", "mean_deviation double",
+                             "total_count double"]))
+    g_mean = float(g["m1"]) / g_n
     g_std = (max(0.0, float(g["m2"]) / g_n - g_mean * g_mean)) ** 0.5
     if g_std == 0.0:
         # zero global variance: every subgroup mean equals the global mean,
@@ -481,7 +491,12 @@ def diff_mean_cubed(
     )
     g = base.agg(F.sum("_n").alias("n"), F.sum("_m1").alias("m1"),
                  F.sum("_m2").alias("m2")).collect()[0]
-    g_n = float(g["n"])
+    g_n = float(g["n"] or 0.0)
+    if g_n == 0.0:
+        return df.sparkSession.createDataFrame(
+            [], ", ".join([f"`{a}` string" for a in attrs]
+                          + ["support double", "mean_deviation double",
+                             "total_count double"]))
     g_mean = float(g["m1"]) / g_n
     g_std = (max(0.0, float(g["m2"]) / g_n - g_mean * g_mean)) ** 0.5
     if g_std == 0.0:
@@ -503,7 +518,9 @@ def diff_mean_cubed(
         GROUP BY GROUPING SETS ({sets_sql})
         """
     )
-    mean_dev = F.abs(F.col("m1") / F.col("cnt") - F.lit(g_mean)) / F.lit(g_std)
+    # zero-count groups (all-zero count_col rows): Java 0/0 subgroup mean is
+    # NaN -> dropped; try_divide reproduces via NULL
+    mean_dev = F.abs(F.try_divide(F.col("m1"), F.col("cnt")) - F.lit(g_mean)) / F.lit(g_std)
     return (
         grouped.withColumn("support", F.col("cnt") / F.lit(g_n))
         .withColumn("mean_deviation", mean_dev)
@@ -534,7 +551,14 @@ def diff_count_mean_shift(
     base = df.select(*attrs, "_OUTLIERCOUNT", "_INLIERCOUNT",
                      "_OUTLIERMEANSUM", "_INLIERMEANSUM")
     g = base.agg(F.sum("_OUTLIERCOUNT").alias("o")).collect()[0]
-    g_out = float(g["o"])
+    g_out = float(g["o"] or 0.0)
+    if g_out == 0.0:
+        # no outliers anywhere: every support is Java 0.0/0.0 = NaN ->
+        # nothing passes; short-circuit instead of ANSI-erroring
+        return df.sparkSession.createDataFrame(
+            [], ", ".join([f"`{a}` string" for a in attrs]
+                          + ["support double", "mean_shift double",
+                             "outlier_count double", "total_count double"]))
     sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
     view = f"_mb_diffcms_{abs(hash((tuple(attrs), max_order))) % 10**8}"
     base.createOrReplaceTempView(view)

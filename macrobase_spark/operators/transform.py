@@ -46,7 +46,11 @@ def mad_score(df: DataFrame, col: str, output_col: str = "_SCORE",
 def zscore(df: DataFrame, col: str, output_col: str = "_SCORE") -> DataFrame:
     """(x − mean)/std. Reference: legacy/.../stats/ZScore.java."""
     s = df.agg(F.avg(col).alias("m"), F.stddev_pop(col).alias("s")).collect()[0]
-    return df.withColumn(output_col, (F.col(col) - F.lit(s["m"])) / F.lit(s["s"]))
+    # constant column -> std 0: the reference's Java doubles give (x-m)/0.0 =
+    # 0.0/0.0 = NaN for every row; a NaN denominator reproduces that exactly
+    # where ANSI Spark would error on the division
+    denom = s["s"] if s["s"] else float("nan")
+    return df.withColumn(output_col, (F.col(col) - F.lit(s["m"])) / F.lit(denom))
 
 
 def normalize_col(df: DataFrame, col: str, output_col: str | None = None) -> DataFrame:
@@ -56,6 +60,8 @@ def normalize_col(df: DataFrame, col: str, output_col: str | None = None) -> Dat
     s = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
     offset = -float(s["lo"]) if float(s["lo"]) <= 0.0 else 0.0
     norm = float(s["hi"]) + offset
+    if norm == 0.0:
+        norm = float("nan")  # all-zero column: Java 0.0/0.0 = NaN per row
     return df.withColumn(output_col or col, (F.col(col) + F.lit(offset)) / F.lit(norm))
 
 
@@ -223,7 +229,11 @@ def weighted_reservoir_sample(df: DataFrame, frac: float, weight_col: str | None
 def low_metric_transform(df: DataFrame, col: str) -> DataFrame:
     """Reciprocal transform for low-bounded metrics (low values anomalous).
     Reference: legacy/.../transform/LowMetricTransform.java."""
-    return df.withColumn(col, F.lit(1.0) / F.col(col))
+    # Java: 1/0.0 = +Infinity (a zero low-bounded metric is maximally
+    # anomalous); ANSI Spark errors on the division, so map it explicitly
+    return df.withColumn(
+        col, F.when(F.col(col) == 0, F.lit(float("inf")))
+        .otherwise(F.lit(1.0) / F.col(col)))
 
 
 def truncate(df: DataFrame, cols: list[str], k: int) -> DataFrame:

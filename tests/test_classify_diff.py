@@ -165,3 +165,50 @@ def test_count_mean_shift_java_ieee_zero_semantics(spark):
     assert _math.isinf(got["a"]) and got["a"] > 0
     assert "b" not in got           # NaN-equivalent: dropped
     assert _math.isclose(got["c"], 2.0, rel_tol=1e-12)
+
+
+def test_degenerate_inputs_java_semantics(spark):
+    """Operators must survive degenerate-but-legal inputs under ANSI Spark
+    with the reference's Java-double behavior: constant columns -> NaN
+    scores (zscore), NaN normalize (all-zero column), +Inf reciprocal for a
+    zero low-bounded metric, and empty explanations when there is nothing
+    to explain (zero variance / zero outliers / empty input)."""
+    import math as _math
+
+    from macrobase_spark.operators.diff import (diff_count_mean_shift,
+                                                diff_mean, diff_mean_cubed)
+    from macrobase_spark.operators.transform import (low_metric_transform,
+                                                     normalize_col, zscore)
+
+    const = spark.createDataFrame([("a", 5.0), ("b", 5.0)], "g string, x double")
+    assert all(_math.isnan(r["_SCORE"]) for r in zscore(const, "x").collect())
+
+    zeros = spark.createDataFrame([("a", 0.0), ("b", 0.0)], "g string, x double")
+    assert all(r["x"] is None or _math.isnan(r["x"])
+               for r in normalize_col(zeros, "x").collect())
+
+    lm = low_metric_transform(
+        spark.createDataFrame([("a", 0.0), ("b", 2.0)], "g string, x double"),
+        "x").collect()
+    vals = {r["g"]: r["x"] for r in lm}
+    assert _math.isinf(vals["a"]) and vals["a"] > 0
+    assert _math.isclose(vals["b"], 0.5)
+
+    # constant metric: zero global variance -> empty explanation, no error
+    assert diff_mean(const, ["g"], "x", min_support=0.0,
+                     min_mean_dev=0.1).count() == 0
+    cube = spark.createDataFrame([("a", 3.0, 5.0, 0.0), ("b", 2.0, 5.0, 0.0)],
+                                 "g string, count double, mean double, std double")
+    assert diff_mean_cubed(cube, ["g"], min_support=0.0,
+                           min_std_dev=0.1).count() == 0
+
+    # no outliers anywhere -> empty, no divide-by-zero
+    no_out = spark.createDataFrame(
+        [("a", 0.0, 2.0, 0.0, 8.0), ("b", 0.0, 1.0, 0.0, 3.0)],
+        "g string, _OUTLIERCOUNT double, _INLIERCOUNT double,"
+        " _OUTLIERMEANSUM double, _INLIERMEANSUM double")
+    assert diff_count_mean_shift(no_out, ["g"], min_support=0.0,
+                                 min_mean_shift=0.0).count() == 0
+
+    # empty input -> empty explanation
+    assert diff_mean(const.limit(0), ["g"], "x").count() == 0
