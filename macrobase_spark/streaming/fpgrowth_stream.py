@@ -150,6 +150,7 @@ def streaming_fpgrowth(
     num_groups: int = 8,
     watermark: str = "0 seconds",
     expire_below: float = 1e-3,
+    emit: str = "batch",
 ) -> DataFrame:
     """Streaming DataFrame with an array<string> transaction column → the
     frequent itemsets (decayed support ≥ min_support_count) maintained
@@ -161,7 +162,17 @@ def streaming_fpgrowth(
 
     The per-item group fan-out and per-group prefix projection run as pure
     Catalyst expressions (transform/filter/slice over the sorted transaction
-    array) — no Python before the stateful stage."""
+    array) — no Python before the stateful stage.
+
+    emit='batch' (default) mines every group's tree each micro-batch —
+    freshest results, mining cost per batch. emit='period' mines only when
+    the event-time period advances (or on timeout): non-boundary batches are
+    INSERT-ONLY (O(batch) tree inserts, no FP-growth), the scale cadence
+    matching the reference's mine-on-markPeriod behavior
+    (StreamingFPGrowth.java decays/mines on period marks, not per tuple)."""
+    if emit not in ("batch", "period"):
+        raise ValueError(f"emit must be 'batch' or 'period', got {emit!r}")
+    emit_mode = emit
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     g_of = f"int(pmod(xxhash64(x), {num_groups}))"
@@ -188,7 +199,7 @@ def streaming_fpgrowth(
     state_schema = "tree binary, p long"
     period_ms = period_seconds * 1000
 
-    def emit(g: int, tree: dict, p: int) -> pd.DataFrame:
+    def _emit_rows(g: int, tree: dict, p: int) -> pd.DataFrame:
         # a group's tree holds prefixes ENDING at owned items, but inner
         # items are foreign — keep only itemsets whose LAST item is owned
         # (the PFP shard contract: disjoint across groups, complete in union)
@@ -210,21 +221,23 @@ def streaming_fpgrowth(
             tree_prune(tree, expire_below)
             if not tree:
                 state.remove()
-                yield emit(g, {}, p_w).iloc[0:0]
+                yield _emit_rows(g, {}, p_w).iloc[0:0]
                 return
             state.update((pickle.dumps(tree), p_w))
             state.setTimeoutTimestamp(max((p_w + 1) * period_ms,
                                           wm + period_ms))
-            yield emit(g, tree, p_w)
+            yield _emit_rows(g, tree, p_w)
             return
         batches = [pdf for pdf in pdfs]
         all_ts = pd.concat([b["_ts"] for b in batches])
         p_new = int(all_ts.max().value // 10 ** 6 // period_ms)
+        advanced = not state.exists
         if state.exists:
             blob, p = state.get
             tree = pickle.loads(bytes(blob))
             if p_new > p:
                 tree_decay(tree, decay ** (p_new - p))
+                advanced = True
             p_new = max(p_new, p)
         else:
             tree = {}
@@ -235,7 +248,12 @@ def streaming_fpgrowth(
         state.update((pickle.dumps(tree), p_new))
         state.setTimeoutTimestamp(max((p_new + 1) * period_ms,
                                       wm + period_ms))
-        yield emit(g, tree, p_new)
+        if emit_mode == "period" and not advanced:
+            # insert-only fast path: defer mining to the period boundary
+            yield pd.DataFrame(columns=["itemset", "support",
+                                        "period", "grp"])
+            return
+        yield _emit_rows(g, tree, p_new)
 
     return exploded.groupBy("g").applyInPandasWithState(
         update, outputStructType=out_schema, stateStructType=state_schema,

@@ -117,3 +117,48 @@ def test_streaming_fpgrowth_incremental_decay(spark, tmp_path):
         assert latest["a b c"]["support"] == 0.5
     finally:
         q.stop()
+
+
+def test_streaming_fpgrowth_period_emit(spark, tmp_path):
+    """emit='period': a second batch inside the SAME event-time period is
+    insert-only (no mined rows emitted for it); a batch that advances the
+    period mines and its supports include the silent batch's inserts."""
+    src = str(tmp_path / "fp_src_period")
+    schema = "items array<string>, ts timestamp"
+    t0 = pd.Timestamp("2025-01-01 00:00:05").to_pydatetime()
+    t0b = pd.Timestamp("2025-01-01 00:00:40").to_pydatetime()  # same period
+    t1 = pd.Timestamp("2025-01-01 00:01:10").to_pydatetime()   # next period
+    spark.createDataFrame([(["a", "b"], t0)] * 4, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_fpgrowth(stream, min_support_count=0.4, decay=0.5,
+                             period_seconds=60, num_groups=4, emit="period")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("fpg_period").start())
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT count(*) c FROM fpg_period").collect()[0]["c"]
+        assert n_first > 0  # fresh state counts as a period start
+
+        # same-period batch: insert-only, emits nothing new
+        spark.createDataFrame([(["a", "b"], t0b)] * 3, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        import time
+        time.sleep(0.5)
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM fpg_period"
+                         ).collect()[0]["c"] == n_first
+
+        # period-advancing batch: mines, and includes the silent inserts
+        spark.createDataFrame([(["a", "b"], t1)] * 2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(0.5)
+        q.processAllAvailable()
+        latest = {r["itemset"]: r["support"] for r in spark.sql(
+            "SELECT * FROM fpg_period").collect()
+            if r["period"] == int(pd.Timestamp(t1).value // 10 ** 9 // 60)}
+        # (4+3 in period p) decayed once at 0.5 + 2 new = 5.5
+        assert latest["a b"] == 5.5
+    finally:
+        q.stop()
