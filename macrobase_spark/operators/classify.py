@@ -145,7 +145,18 @@ def classify_arithmetic_cubed(
         n_out = n_out + (F.lit(1.0) - cdf(F.lit(float(hi)), mu, sg)) * cnt
     if include_low:
         n_out = n_out + cdf(F.lit(float(lo)), mu, sg) * cnt
-    return df.withColumn(output_col, F.least(n_out, cnt))
+    # degenerate groups (one metric, or all equal): std is 0/NaN and the
+    # normal CDF is undefined (ANSI Spark would error on the division).
+    # Replicated EXACTLY from ArithmeticClassifier.java:53-59 — including
+    # the reference's quirk of testing the includeLow branch against
+    # highCutoff (not lowCutoff): all-or-nothing outliers by mean position.
+    degenerate = sg.isNull() | F.isnan(sg) | (sg == 0)
+    deg_out = F.when(
+        (F.lit(include_high) & (mu > F.lit(float(hi))))
+        | (F.lit(include_low) & (mu < F.lit(float(hi)))), cnt).otherwise(0.0)
+    return df.withColumn(
+        output_col,
+        F.when(degenerate, deg_out).otherwise(F.least(n_out, cnt)))
 
 
 def _erf(z: Column) -> Column:

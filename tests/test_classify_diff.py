@@ -212,3 +212,25 @@ def test_degenerate_inputs_java_semantics(spark):
 
     # empty input -> empty explanation
     assert diff_mean(const.limit(0), ["g"], "x").count() == 0
+
+
+def test_arithmetic_cubed_degenerate_std(spark):
+    """A cube group with std 0 (one metric / all equal) must not error:
+    ArithmeticClassifier.java:53-59 counts ALL of it as outliers when its
+    mean is beyond highCutoff (the reference tests the includeLow branch
+    against highCutoff too — quirk replicated), else none."""
+    from macrobase_spark.operators.classify import classify_arithmetic_cubed
+
+    rows = [("a", 100.0, 50.0, 5.0), ("b", 100.0, 55.0, 4.0),
+            ("c", 100.0, 52.0, 6.0), ("deg_mid", 10.0, 53.0, 0.0),
+            ("deg_low", 10.0, 1.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "g string, count double, mean double, std double")
+    out = {r["g"]: r["_OUTLIER"] for r in classify_arithmetic_cubed(
+        df, "count", "mean", "std", percentile=1.0,
+        include_high=False, include_low=True).collect()}
+    # includeLow-only: degenerate groups with mean < highCutoff are ALL
+    # outliers per the reference's branch; none error
+    assert out["deg_low"] == 10.0
+    assert out["deg_mid"] == 10.0
+    assert all(v >= 0 for v in out.values())
