@@ -61,7 +61,15 @@ def classify_percentile(
             _percentile(df, metric, percentile / 100.0, exact).alias("lo"),
             _percentile(df, metric, 1.0 - percentile / 100.0, exact).alias("hi"),
         ).collect()[0]
-        lo, hi = float(cuts["lo"]), float(cuts["hi"])
+        lo = float(cuts["lo"]) if cuts["lo"] is not None else float("nan")
+        hi = float(cuts["hi"]) if cuts["hi"] is not None else float("nan")
+    import math as _math
+
+    if _math.isnan(lo) or _math.isnan(hi):
+        # empty / all-NULL metric: Java comparisons with NaN cutoffs are all
+        # false -> nothing is an outlier (Spark would instead treat NaN as
+        # the largest double and mis-label every row on the low side)
+        return df.withColumn(output_col, F.lit(0.0))
     cond = F.lit(False)
     if include_high:
         cond = cond | (F.col(metric) > F.lit(hi))
@@ -208,6 +216,8 @@ def classify_quantile_cubed(
         p = df.select(F.col(c).alias("v"), (F.col(count_col) * band).alias("w"))
         pts = p if pts is None else pts.unionByName(p)
     total = pts.agg(F.sum("w")).collect()[0][0]
+    if total is None:  # empty cube input
+        return df.withColumn(output_col, F.lit(0.0))
     w_desc = W.orderBy(F.col("v").desc()).rowsBetween(W.unboundedPreceding, 0)
     cum = pts.select("v", F.sum("w").over(w_desc).alias("cw"))
     hi_rank = (percentile / 100.0) * total

@@ -76,7 +76,8 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
             F.expr(f"percentile({col}, {q!r})").alias(f"q{i}")
             for i, q in enumerate(mids)
         ]).collect()[0]
-        out.update({q: float(row[f"q{i}"]) for i, q in enumerate(mids)})
+        out.update({q: float(row[f"q{i}"]) if row[f"q{i}"] is not None
+                    else float("nan") for i, q in enumerate(mids)})
     if not tails:
         return out
 
@@ -96,6 +97,8 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                          schema="lo array<double>, hi array<double>, n long")
             .collect()
         )
+        if not rows:
+            return np.array([]), np.array([]), 0
         lo = np.sort(np.concatenate([np.asarray(r["lo"]) for r in rows]))
         hi = np.sort(np.concatenate([np.asarray(r["hi"]) for r in rows]))
         return lo, hi, int(sum(r["n"] for r in rows))
@@ -118,13 +121,20 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
         lo_v, hi_v, n = run(k_lo_used, k_hi_used)
     else:
         k_lo_used = k_hi_used = -1  # nothing collected yet
+    if n == 0:
+        # empty (or all-NULL) column: every quantile is NaN, like Java's
+        # Percentile on no data — callers treat NaN cutoffs as "no rows
+        # beyond the cutoff" (all NaN comparisons are false in Java)
+        out.update({q: float("nan") for q in tails})
+        return out
     deep = [q for q in tails
             if (q <= 0.5 and _depth_lo(q, n) > DEEP_CAP)
             or (q > 0.5 and _depth_hi(q, n) > DEEP_CAP)]
     if deep:
         row = df.agg(*[F.expr(f"percentile({col}, {q!r})").alias(f"q{i}")
                        for i, q in enumerate(deep)]).collect()[0]
-        out.update({q: float(row[f"q{i}"]) for i, q in enumerate(deep)})
+        out.update({q: float(row[f"q{i}"]) if row[f"q{i}"] is not None
+                    else float("nan") for i, q in enumerate(deep)})
         tails = [q for q in tails if q not in deep]
         lo_qs = [q for q in lo_qs if q not in deep]
         hi_qs = [q for q in hi_qs if q not in deep]

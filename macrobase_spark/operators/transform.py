@@ -26,6 +26,8 @@ def mad_score(df: DataFrame, col: str, output_col: str = "_SCORE",
     """
     fn = "percentile" if exact else "percentile_approx"
     med = df.agg(F.expr(f"{fn}({col}, 0.5)").alias("m")).collect()[0]["m"]
+    if med is None:  # empty / all-NULL column: no median, no scores
+        return df.withColumn(output_col, F.lit(None).cast("double"))
     dev = df.select(F.abs(F.col(col) - F.lit(med)).alias("d"))
     mad = dev.agg(F.expr(f"{fn}(d, 0.5)").alias("m")).collect()[0]["m"]
     if mad == 0.0:
@@ -58,6 +60,8 @@ def normalize_col(df: DataFrame, col: str, output_col: str | None = None) -> Dat
     Reference-exact: lib/.../analysis/MBFunction.java:102-126 (offset =
     −min if min ≤ 0 else 0; norm = max + offset)."""
     s = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    if s["lo"] is None:  # empty / all-NULL column
+        return df.withColumn(output_col or col, F.lit(None).cast("double"))
     offset = -float(s["lo"]) if float(s["lo"]) <= 0.0 else 0.0
     norm = float(s["hi"]) + offset
     if norm == 0.0:
@@ -141,6 +145,10 @@ def winsorize(df: DataFrame, col: str, p: float = 1.0, exact: bool = True,
             F.expr(f"percentile_approx({col}, {1 - p / 100.0})").alias("hi"),
         ).collect()[0]
         lo, hi = s["lo"], s["hi"]
+    import math as _math
+
+    if lo is None or hi is None or _math.isnan(lo) or _math.isnan(hi):
+        return df  # empty / all-NULL column: no cutoffs, nothing to clamp
     return df.withColumn(
         output_col or col,
         F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi)),

@@ -202,3 +202,33 @@ def test_exact_quantiles_deep_tail_falls_back(spark):
         lo, hi = math.floor(idx), math.ceil(idx)
         want = lo * (1 - (idx - lo)) + hi * (idx - lo)
         assert abs(got[q] - want) < 1e-9, (q, got[q], want)
+
+
+def test_empty_and_all_null_inputs(spark):
+    """Fit-style operators on empty or all-NULL inputs return schema-correct
+    empty/zero results instead of surfacing numpy/NoneType errors: a
+    filtered-to-empty pane is a legal input in every streaming composition."""
+    import pyspark.sql.functions as F
+
+    from macrobase_spark.operators.classify import (classify_percentile,
+                                                    classify_quantile_cubed)
+    from macrobase_spark.operators.transform import (mad_score, normalize_col,
+                                                     winsorize)
+
+    base = spark.createDataFrame([("a", 1.0)], "g string, m double")
+    empty = base.limit(0)
+    assert classify_percentile(empty, "m").columns[-1] == "_OUTLIER"
+    assert classify_percentile(empty, "m").count() == 0
+    assert mad_score(empty, "m").count() == 0
+    assert normalize_col(empty, "m").count() == 0
+    assert winsorize(empty, "m").count() == 0
+    assert classify_quantile_cubed(
+        spark.createDataFrame([], "g string, count double, q0 double, q1 double"),
+        "count", {0.0: "q0", 1.0: "q1"}).count() == 0
+
+    # all-NULL metric: quantiles are NaN; like Java, NOTHING is an outlier
+    # (Spark alone would rank NaN greatest and mislabel the low side)
+    allnull = spark.createDataFrame([("a", None), ("b", None)],
+                                    "g string, m double")
+    out = classify_percentile(allnull, "m").collect()
+    assert [r["_OUTLIER"] for r in out] == [0.0, 0.0]
