@@ -14,5 +14,7 @@ from macrobase_spark.pipelines.similarity import (  # noqa: F401
     ivf_build,
     ivf_query,
     ivf_topk,
+    lsh_build,
+    lsh_query,
 )
 from macrobase_spark.pipelines.runner import run_pipeline  # noqa: F401

@@ -238,6 +238,70 @@ def ivf_query(
     return _pair_topk(pairs, k, meta["id_col"], q_id_col)
 
 
+def lsh_build(
+    vectors: DataFrame,
+    out_dir: str,
+    n_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an LSH index: hyperplanes (tiny JSON) + the vector table
+    written ONCE, SORTED by `_bkt` — the row-group-pruning twin of the BM25
+    postings layout. With 2^n_planes buckets, hive partitioning would
+    explode into thousands of directories, so the bucket is a sorted DATA
+    column instead: parquet min/max statistics make a `_bkt IN (...)` filter
+    skip every non-matching row group (same discipline as the term-sorted
+    postings files). Queries with the same planes/seed reproduce
+    lsh_bucketed_topk exactly."""
+    import json
+    import os
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _lsh_planes(n_planes, dim, seed)
+    v = _prep_vectors(vectors, id_col, vec_col).withColumn(
+        "_bkt", _lsh_bucket_expr(F.col("_v"), planes))
+    os.makedirs(out_dir, exist_ok=True)
+    (v.repartitionByRange(max(vectors.rdd.getNumPartitions(), 4), "_bkt")
+     .sortWithinPartitions("_bkt")
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "buckets.parquet")))
+    meta = {"n_planes": int(n_planes), "dim": int(dim), "seed": int(seed),
+            "id_col": id_col, "planes": planes.tolist()}
+    with open(os.path.join(out_dir, "lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"n_planes": int(n_planes), "dim": int(dim)}
+
+
+def lsh_query(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Query a persisted LSH index: the query batch's bucket set is computed
+    driver-side (queries are the small serving-side relation) and pushed as
+    a `_bkt IN (...)` filter into the parquet scan — row-group statistics on
+    the bucket-sorted file skip everything else; rescoring stays the
+    per-query bucket equi-join."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "lsh_meta.json")) as f:
+        meta = json.load(f)
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    q = _prep_queries(queries, q_id_col, q_vec_col).withColumn(
+        "_bkt", _lsh_bucket_expr(F.col("_q"), planes))
+    probed = sorted({r["_bkt"] for r in q.select("_bkt").distinct().collect()})
+    v = (spark.read.parquet(os.path.join(index_dir, "buckets.parquet"))
+         .filter(F.col("_bkt").isin(probed)))
+    pairs = v.join(F.broadcast(q), "_bkt").drop("_bkt")
+    return _pair_topk(pairs, k, meta["id_col"], q_id_col)
+
+
 def _lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -373,3 +373,36 @@ def test_ivf_persisted_index(spark, tmp_path):
             _sh.rmtree(os.path.join(cells_root, d))
     after = ivf_query(spark, out, qdf, k=3, n_probe=1).collect()
     assert [r["vec_id"] for r in after] == [r["vec_id"] for r in one]
+
+
+def test_lsh_persisted_index(spark, tmp_path):
+    """lsh_build/lsh_query: bucket-sorted parquet + pushed _bkt IN filter
+    must reproduce lsh_bucketed_topk exactly at the same planes/seed, and
+    the scan must carry the pushed bucket filter."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import (lsh_bucketed_topk,
+                                                      lsh_build, lsh_query)
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((3, 16)) * 4
+    base = np.concatenate([
+        centers[i] + rng.standard_normal((40, 16)) * 0.05 for i in range(3)
+    ]).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    qv = base[50] + rng.standard_normal(16).astype("float32") * 0.01
+    qdf = spark.createDataFrame([(0, [float(x) for x in qv])],
+                                "q_id long, q_vec array<float>")
+
+    out = str(tmp_path / "lsh_idx")
+    lsh_build(vdf, out, n_planes=4, seed=3)
+    got = lsh_query(spark, out, qdf, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "_bkt" in plan  # filter reaches parquet
+    rows = got.collect()
+    mem = lsh_bucketed_topk(vdf, qdf, k=5, n_planes=4, seed=3).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 12)) for r in rows] == \
+           [(r["vec_id"], round(r["cos_sim"], 12)) for r in mem]
+    assert rows and rows[0]["vec_id"] == 50
