@@ -406,3 +406,37 @@ def test_lsh_persisted_index(spark, tmp_path):
     assert [(r["vec_id"], round(r["cos_sim"], 12)) for r in rows] == \
            [(r["vec_id"], round(r["cos_sim"], 12)) for r in mem]
     assert rows and rows[0]["vec_id"] == 50
+
+
+def test_lsh_persisted_index_multi_query_batch(spark, tmp_path):
+    """Persisted LSH with a BATCH of queries spanning different buckets:
+    the IN-filter covers the union of buckets but rescoring stays the
+    per-query bucket equi-join — per-query results identical to running
+    each query alone."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import lsh_build, lsh_query
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((3, 16)) * 4
+    base = np.concatenate([
+        centers[i] + rng.standard_normal((40, 16)) * 0.05 for i in range(3)
+    ]).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    qvs = [base[10], base[50], base[100]]
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q + rng.standard_normal(16).astype("float32") * 0.01])
+         for i, q in enumerate(qvs)],
+        "q_id long, q_vec array<float>")
+
+    out = str(tmp_path / "lsh_idx_mq")
+    lsh_build(vdf, out, n_planes=4, seed=3)
+    batch = {(r["q_id"], r["rank"]): (r["vec_id"], round(r["cos_sim"], 12))
+             for r in lsh_query(spark, out, qdf, k=3).collect()}
+    for qid in range(3):
+        solo = lsh_query(spark, out, qdf.filter(f"q_id = {qid}"), k=3).collect()
+        for r in solo:
+            assert batch[(qid, r["rank"])] == (r["vec_id"],
+                                               round(r["cos_sim"], 12)), qid
