@@ -229,7 +229,11 @@ def weighted_reservoir_sample(df: DataFrame, frac: float, weight_col: str | None
     sampling: key = rand^(1/w) (Efraimidis-Spirakis), keep top frac.
     Distributed: per-row keys, one global threshold (approx via sample)."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    keyed = df.withColumn("_k", F.pow(F.rand(seed), F.lit(1.0) / w))
+    # weight 0: Java's rand^(1/0.0) = rand^Inf = 0 — the item can never be
+    # sampled; ANSI Spark errors on 1/0, so map the key to 0 explicitly
+    key = F.when(w == 0, F.lit(0.0)).otherwise(
+        F.pow(F.rand(seed), F.lit(1.0) / w))
+    keyed = df.withColumn("_k", key)
     thresh = keyed.approxQuantile("_k", [1.0 - frac], 0.001)[0]
     return keyed.filter(F.col("_k") >= thresh).drop("_k")
 
