@@ -18,8 +18,11 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SEP = "\x01"
-_NULLMARK = "\x00NULL"
+# context-key encoding: each attr contributes a SELF-DELIMITING token —
+# "V<len>:<value>" for a present value, "N" for NULL, "-" for an attr
+# outside the combo. The length prefix makes the concatenation injective:
+# no value (separator bytes, sentinel look-alikes) can collide two distinct
+# contexts, unlike the previous concat_ws('\x01') scheme.
 
 
 def contextual_mad_outliers(
@@ -47,7 +50,8 @@ def contextual_mad_outliers(
 
     # melt: one struct per combo carrying (combo id, output attr columns
     # — NULL for attrs outside the combo — and a positional join key that
-    # is null-safe via the sentinel, since Spark equi-joins drop NULL keys)
+    # is null-safe via the "N" token, since Spark equi-joins drop NULL keys;
+    # see the encoding note above for why it cannot collide)
     ctx_structs = []
     for cid, combo in enumerate(combos):
         fields = [F.lit(cid).alias("_cid")]
@@ -56,11 +60,13 @@ def contextual_mad_outliers(
             if a in combo:
                 col = F.col(a).cast("string")
                 fields.append(col.alias(a))
-                key_parts.append(F.coalesce(col, F.lit(_NULLMARK)))
+                key_parts.append(
+                    F.when(col.isNull(), F.lit("N")).otherwise(
+                        F.concat(F.lit("V"), F.length(col), F.lit(":"), col)))
             else:
                 fields.append(F.lit(None).cast("string").alias(a))
-                key_parts.append(F.lit(""))
-        fields.append(F.concat_ws(_SEP, *key_parts).alias("_ckey"))
+                key_parts.append(F.lit("-"))
+        fields.append(F.concat(*key_parts).alias("_ckey"))
         ctx_structs.append(F.struct(*fields))
 
     exploded = (

@@ -120,8 +120,18 @@ def run_pipeline(spark: SparkSession, conf, base_dir: str | None = None) -> Data
                 include_high=inc_hi, include_low=inc_lo)
         elif classifier == "quantile":
             # config maps column → quantile fraction (cube_quantile.json);
-            # the operator takes fraction → column
-            qcols = {float(v): k for k, v in dict(c["quantileColumns"]).items()}
+            # the operator takes fraction → column. Duplicate fractions
+            # would silently drop all but one column in the inversion —
+            # reject them instead of skewing the weighted bands.
+            qcols: dict[float, str] = {}
+            for qcol, frac in dict(c["quantileColumns"]).items():
+                fv = float(frac)
+                if fv in qcols:
+                    raise ValueError(
+                        "quantileColumns maps both "
+                        f"{qcols[fv]!r} and {qcol!r} to quantile {fv}; "
+                        "fractions must be unique")
+                qcols[fv] = qcol
             labeled = classify_quantile_cubed(
                 df, count_col, qcols,
                 percentile=float(c.get("cutoff", 1.0)),

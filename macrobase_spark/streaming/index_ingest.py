@@ -1,6 +1,6 @@
 """Streaming ingest into the full-text index: Structured Streaming source →
 `foreachBatch` → the LSM incremental update path, with idempotent epoch
-tracking and periodic background compaction.
+tracking, crash-window rollback, and periodic background compaction.
 
 Reference parity: MacroBase v0's engine is a push-streaming pipeline fed by
 ingesters (`legacy/src/main/java/macrobase/ingest/*.java`,
@@ -11,26 +11,47 @@ Structured Streaming: each micro-batch appends an O(delta) LSM segment
 (cross-row df sums + version-gated block pruning), and `compact_index`
 runs every `compact_every` epochs to merge segments back into single rows.
 
-Exactly-once: `foreachBatch` re-delivers a batch after a failure, and a
-re-applied delta would duplicate postings (update_index's append-only
-doc_id contract). Committed progress is therefore recorded in
-`_stream_epochs.json` inside the index directory and re-delivered epochs
-are skipped — the standard idempotent-foreachBatch pattern, giving
-effectively-once index mutation on top of the checkpointed source offsets.
-The ledger is O(1): epoch ids are monotonically increasing per checkpoint
-(a failure replays the SAME id, never an older one), so a high-water mark
-plus the recent-ids window is sufficient — the file does not grow with
-stream lifetime (a year at 1 epoch/30 s stays a few hundred bytes).
+Effectively-once protocol (two pieces):
+
+1. **Committed ledger** (`_stream_epochs.json`): epochs whose mutation fully
+   landed. A re-delivered committed epoch is a no-op. The ledger is O(1):
+   epoch ids are monotonically increasing per checkpoint (a failure replays
+   the SAME id, never an older one), so a high-water mark plus a short
+   recent-ids window suffices — the file does not grow with stream lifetime.
+
+2. **Inflight journal** (`_epoch_inflight.json`): written BEFORE the index
+   mutation starts, it snapshots everything the mutation may touch — the
+   stats.json bytes, the file listing of docs.parquet/ and every
+   postings/bucket=*/ dir, and the manifest byte length. The journal is
+   cleared only AFTER the ledger commit. A crash anywhere between journal
+   write and ledger commit therefore leaves the journal behind, and the
+   replayed epoch first ROLLS BACK to the snapshot (delete files not in the
+   snapshot, restore stats.json, truncate the manifest) before re-applying.
+   This closes the window where update_index had appended postings/docs but
+   the ledger had not yet recorded the epoch — previously a replay would
+   have duplicated those postings. Snapshot cost is one listdir per bucket
+   dir (bucket count is fixed, file counts are bounded by compaction), not
+   a data scan.
+
+Checkpoint identity: the ledger records the `run_id` (the checkpoint dir by
+default). Restarting a stream with a FRESH checkpoint resets epoch ids to 0,
+so `epoch <= high_water` would silently drop every batch against an existing
+index; a run_id mismatch now raises by default (`on_run_id_change="error"`)
+or, explicitly opted into, resets the epoch ledger
+(`on_run_id_change="reset"` — correct only if the new stream's source does
+NOT replay data already in the index).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
 _EPOCHS_FILE = "_stream_epochs.json"
+_INFLIGHT_FILE = "_epoch_inflight.json"
 
 
 def _load_epochs(out_dir: str) -> dict:
@@ -49,6 +70,100 @@ def _save_epochs(out_dir: str, rec: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX: a crash never half-writes
 
 
+def _list_dir(path: str) -> list[str] | None:
+    """Immediate entries of a directory (None if absent). One level is
+    enough: Spark writes parquet part files flat inside docs.parquet/ and
+    inside each postings/bucket=N/ dir."""
+    if not os.path.isdir(path):
+        return None
+    return sorted(os.listdir(path))
+
+
+def _take_snapshot(out_dir: str) -> dict:
+    """Record the pre-mutation state of every index artifact update_index /
+    build_index touches."""
+    stats_path = os.path.join(out_dir, "stats.json")
+    stats_bytes = None
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats_bytes = f.read()
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    manifest_len = (os.path.getsize(manifest_path)
+                    if os.path.exists(manifest_path) else 0)
+    postings_root = os.path.join(out_dir, "postings")
+    buckets: dict[str, list[str]] = {}
+    if os.path.isdir(postings_root):
+        for entry in sorted(os.listdir(postings_root)):
+            sub = os.path.join(postings_root, entry)
+            if os.path.isdir(sub):
+                buckets[entry] = sorted(os.listdir(sub))
+    return {
+        "stats": stats_bytes,
+        "manifest_len": manifest_len,
+        "docs": _list_dir(os.path.join(out_dir, "docs.parquet")),
+        "postings_root_exists": os.path.isdir(postings_root),
+        "buckets": buckets,
+    }
+
+
+def _rollback_to_snapshot(out_dir: str, snap: dict) -> None:
+    """Undo a partial (or complete-but-uncommitted) epoch apply: delete
+    files the failed attempt created, restore stats.json, truncate the
+    manifest. After this the index is byte-identical in content listing to
+    the pre-epoch state, so re-applying the same batch is safe."""
+    # stats.json
+    stats_path = os.path.join(out_dir, "stats.json")
+    if snap["stats"] is None:
+        if os.path.exists(stats_path):
+            os.remove(stats_path)
+    else:
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap["stats"])
+        os.replace(tmp, stats_path)
+    # manifest: lines appended by the failed attempt would re-stamp bucket
+    # versions — truncate back to the recorded length
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    if os.path.exists(manifest_path):
+        if snap["manifest_len"] == 0:
+            os.remove(manifest_path)
+        else:
+            with open(manifest_path, "r+") as f:
+                f.truncate(snap["manifest_len"])
+    # docs.parquet: drop appended part files (or the whole dir on a failed
+    # fresh build)
+    docs_path = os.path.join(out_dir, "docs.parquet")
+    if snap["docs"] is None:
+        if os.path.isdir(docs_path):
+            shutil.rmtree(docs_path)
+    elif os.path.isdir(docs_path):
+        keep = set(snap["docs"])
+        for entry in os.listdir(docs_path):
+            if entry not in keep:
+                full = os.path.join(docs_path, entry)
+                (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+    # postings: drop new bucket dirs and new files inside existing buckets
+    postings_root = os.path.join(out_dir, "postings")
+    if not snap["postings_root_exists"]:
+        if os.path.isdir(postings_root):
+            shutil.rmtree(postings_root)
+    elif os.path.isdir(postings_root):
+        keep_buckets = snap["buckets"]
+        for entry in os.listdir(postings_root):
+            sub = os.path.join(postings_root, entry)
+            if not os.path.isdir(sub):
+                continue
+            if entry not in keep_buckets:
+                shutil.rmtree(sub)
+                continue
+            keep = set(keep_buckets[entry])
+            for fname in os.listdir(sub):
+                if fname not in keep:
+                    full = os.path.join(sub, fname)
+                    (shutil.rmtree if os.path.isdir(full)
+                     else os.remove)(full)
+
+
 def apply_stream_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -57,25 +172,82 @@ def apply_stream_batch(
     text_col: str = "text",
     compact_every: int = 0,
     build_kwargs: dict | None = None,
+    run_id: str | None = None,
+    on_run_id_change: str = "error",
 ) -> str:
     """Apply one micro-batch to the index at `out_dir`. Returns what was
     done: 'skip_empty' | 'skip_replayed' | 'build' | 'update' |
-    'update+compact'. Usable directly as a foreachBatch body or standalone
-    (tested standalone so the logic is exercised without a streaming query).
+    'update+compact' (each possibly prefixed 'rollback+' when a crashed
+    uncommitted attempt was first undone). Usable directly as a foreachBatch
+    body or standalone (tested standalone so the logic is exercised without
+    a streaming query).
+
+    run_id identifies the stream's checkpoint; see the module docstring for
+    the fresh-checkpoint protection it provides.
     """
     from macrobase_spark.index.build import (build_index, compact_index,
+                                             invalidate_index_cache,
                                              update_index)
 
-    rec = _load_epochs(out_dir) if os.path.isdir(out_dir) else {
-        "committed": [], "since_compact": 0}
+    os.makedirs(out_dir, exist_ok=True)
+    rec = _load_epochs(out_dir)
+    if run_id is not None:
+        prev_run = rec.get("run_id")
+        if prev_run is not None and prev_run != run_id:
+            if on_run_id_change == "reset":
+                rec = {"committed": [], "since_compact":
+                       rec.get("since_compact", 0)}
+            else:
+                raise RuntimeError(
+                    f"index at {out_dir!r} was built by stream run "
+                    f"{prev_run!r} but this batch arrives from {run_id!r} "
+                    "(checkpoint changed, epoch ids restarted). Refusing to "
+                    "silently skip or duplicate data — point the stream at "
+                    "a fresh index dir, restore the original checkpoint, or "
+                    "pass on_run_id_change='reset' if (and only if) the new "
+                    "stream does not replay data already in the index.")
+        rec["run_id"] = run_id
+
     high_water = max(rec["committed"], default=-1)
+    prefix = ""
+    inflight_path = os.path.join(out_dir, _INFLIGHT_FILE)
+    if os.path.exists(inflight_path):
+        with open(inflight_path) as f:
+            inflight = json.load(f)
+        if inflight["epoch_id"] in rec["committed"] or (
+                inflight["epoch_id"] <= high_water):
+            os.remove(inflight_path)  # stale: crash fell between ledger
+            # commit and journal clear — the epoch DID land
+        elif inflight["epoch_id"] == epoch_id:
+            # crash mid-apply or pre-ledger-commit: undo, then re-apply
+            _rollback_to_snapshot(out_dir, inflight["snapshot"])
+            invalidate_index_cache(out_dir)
+            os.remove(inflight_path)
+            prefix = "rollback+"
+        else:
+            raise RuntimeError(
+                f"uncommitted inflight epoch {inflight['epoch_id']} found "
+                f"while applying epoch {epoch_id} — the index at "
+                f"{out_dir!r} needs the crashed epoch replayed first "
+                "(foreachBatch replays the failed epoch before advancing; "
+                "seeing a different id here means the checkpoint and index "
+                "dir are out of sync).")
     if epoch_id in rec["committed"] or epoch_id <= high_water:
         return "skip_replayed"  # failure re-delivery: already applied
     # cheap emptiness probe on the projected columns only
     if batch_df.select(doc_id_col).limit(1).count() == 0:
         return "skip_empty"
 
-    fresh = not os.path.exists(os.path.join(out_dir, "stats.json"))
+    # journal BEFORE mutating: cleared only after the ledger commit below,
+    # so any crash in between leaves the rollback recipe behind
+    snapshot = _take_snapshot(out_dir)
+    tmp = inflight_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch_id": epoch_id, "run_id": run_id,
+                   "snapshot": snapshot}, f)
+    os.replace(tmp, inflight_path)
+
+    fresh = snapshot["stats"] is None
     if fresh:
         build_index(batch_df, out_dir, doc_id_col=doc_id_col,
                     text_col=text_col, resume=False,
@@ -96,8 +268,9 @@ def apply_stream_batch(
         compact_index(batch_df.sparkSession, out_dir)
         rec["since_compact"] = 0
         action = "update+compact"
-    _save_epochs(out_dir, rec)
-    return action
+    _save_epochs(out_dir, rec)  # ← the commit point
+    os.remove(inflight_path)
+    return prefix + action
 
 
 def stream_index_updates(
@@ -109,6 +282,7 @@ def stream_index_updates(
     compact_every: int = 8,
     trigger: dict | None = None,
     build_kwargs: dict | None = None,
+    on_run_id_change: str = "error",
 ):
     """Attach the index-maintenance sink to a streaming DataFrame of turns
     (doc_id, text, ...). Returns the started StreamingQuery.
@@ -123,12 +297,15 @@ def stream_index_updates(
     of file ops per epoch. Compaction cost is amortized background work
     bounded by the buckets the deltas touched.
     """
+    run_id = os.path.abspath(checkpoint_dir)
 
     def _body(batch_df: DataFrame, epoch_id: int) -> None:
         apply_stream_batch(batch_df, epoch_id, out_dir,
                            doc_id_col=doc_id_col, text_col=text_col,
                            compact_every=compact_every,
-                           build_kwargs=build_kwargs)
+                           build_kwargs=build_kwargs,
+                           run_id=run_id,
+                           on_run_id_change=on_run_id_change)
 
     writer = stream_df.writeStream.foreachBatch(_body).option(
         "checkpointLocation", checkpoint_dir)

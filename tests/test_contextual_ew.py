@@ -72,3 +72,19 @@ def test_contextual_job_count_constant_in_combos(spark):
     # 3 combos; old plan ran ~2 jobs per combo + unions. New plan: final
     # collect + 2 broadcast-exchange jobs (+ AQE re-plans) — bounded.
     assert 0 < len(jobs) <= 8, f"expected a constant-job plan, got {len(jobs)}"
+
+
+def test_contextual_key_encoding_no_collision(spark):
+    """ADVICE r3: the old concat_ws('\\x01') context key merged distinct
+    contexts whose values embedded the separator — ("x\\x01y", "z") and
+    ("x", "y\\x01z") shared a key. The length-prefixed encoding keeps them
+    separate: each shows its own context_size, not a merged 80."""
+    rows = ([("x\x01y", "z", float(i % 7)) for i in range(40)]
+            + [("x", "y\x01z", float(i % 7)) for i in range(40)])
+    df = spark.createDataFrame(rows, "a string, b string, v double")
+    res = contextual_mad_outliers(df, ["a", "b"], "v", score_cutoff=3.0,
+                                  min_context_size=10, max_order=2).collect()
+    both = {(r["a"], r["b"]): r["context_size"] for r in res
+            if r["a"] is not None and r["b"] is not None}
+    assert both[("x\x01y", "z")] == 40
+    assert both[("x", "y\x01z")] == 40

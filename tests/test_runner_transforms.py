@@ -114,3 +114,20 @@ def test_linear_metric_normalizer_zero_seeded(spark):
            for r in linear_metric_normalizer(df, ["a", "b"]).collect()}
     # a: lo=min(0,2)=0, hi=8 → 0.25, 0.5, 1.0 ; b: lo=-2, hi=2 → 0, .5, 1
     assert out == {(0.25, 0.0), (0.5, 0.5), (1.0, 1.0)}
+
+
+def test_runner_duplicate_quantile_fraction_raises(spark):
+    """ADVICE r3: two quantileColumns mapping to the same fraction used to
+    silently drop one column in the fraction→column inversion."""
+    conf = {
+        "pipeline": "CubePipeline", "inputURI": "table://_dupq",
+        "classifier": "quantile", "metric": "m", "attributes": ["a"],
+        "countColumn": "count",
+        "quantileColumns": {"p50_a": 0.5, "p50_b": 0.5},
+        "cutoff": 1.0,
+    }
+    spark.createDataFrame(
+        [("x", 2.0, 1.0, 1.0)], "a string, count double, p50_a double, p50_b double"
+    ).createOrReplaceTempView("_dupq")
+    with pytest.raises(ValueError, match="fractions must be unique"):
+        run_pipeline(spark, conf)

@@ -112,3 +112,67 @@ def test_stream_index_updates_file_source(spark, tmp_path):
     assert epochs_r2[: len(epochs_r1)] == epochs_r1
     assert len(epochs_r2) > len(epochs_r1)
     _assert_matches_scratch(spark, out, all_df, tmp_path, "r2")
+
+
+def test_crash_between_mutation_and_ledger_commit(spark, tmp_path):
+    """The effectively-once crash window (ADVICE r3): update_index ran but
+    the ledger commit did not. Simulated exactly: after a committed epoch-1
+    update, reconstruct the crash state (inflight journal with the
+    pre-epoch-1 snapshot + epoch 1 absent from the ledger). The replayed
+    epoch must roll the partial apply back and re-apply ONCE — no
+    duplicated postings, rank+score identical to a scratch build."""
+    import json as _json
+    import os
+
+    from macrobase_spark.streaming.index_ingest import (_EPOCHS_FILE,
+                                                        _INFLIGHT_FILE,
+                                                        _take_snapshot)
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=70, seed=42)).cache()
+    d0, d1 = _slice(all_df, 0, 40), _slice(all_df, 40, 70)
+    out = str(tmp_path / "crash_idx")
+    kw = dict(build_kwargs=dict(num_buckets=8, hot_df_threshold=120,
+                                hot_sample_frac=0.5))
+    assert apply_stream_batch(d0, 0, out, **kw) == "build"
+
+    pre = _take_snapshot(out)  # the snapshot epoch 1 would journal
+    assert apply_stream_batch(d1, 1, out, **kw) == "update"
+    # reconstruct "crash after mutation, before ledger commit"
+    with open(os.path.join(out, _EPOCHS_FILE)) as f:
+        rec = _json.load(f)
+    rec["committed"] = [e for e in rec["committed"] if e != 1]
+    with open(os.path.join(out, _EPOCHS_FILE), "w") as f:
+        _json.dump(rec, f)
+    with open(os.path.join(out, _INFLIGHT_FILE), "w") as f:
+        _json.dump({"epoch_id": 1, "run_id": None, "snapshot": pre}, f)
+
+    # foreachBatch replays epoch 1: must rollback the orphaned postings
+    # first (the old code would re-append them → every epoch-1 doc twice)
+    assert apply_stream_batch(d1, 1, out, **kw) == "rollback+update"
+    assert not os.path.exists(os.path.join(out, _INFLIGHT_FILE))
+    _assert_matches_scratch(spark, out, all_df, tmp_path, "crash")
+    # df sanity: each doc counted once
+    from macrobase_spark.index.build import read_index
+    docs = read_index(spark, out)[1]
+    assert docs.count() == docs.select("doc_id").distinct().count()
+
+
+def test_fresh_checkpoint_against_existing_index_raises(spark, tmp_path):
+    """ADVICE r3: a restarted stream with a fresh checkpoint resets epoch
+    ids to 0; against an existing index the old code silently skipped every
+    batch (epoch <= high_water). Now: run_id mismatch raises, and the
+    explicit reset escape hatch applies the batch."""
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=60, seed=42)).cache()
+    d0, d1 = _slice(all_df, 0, 40), _slice(all_df, 40, 60)
+    out = str(tmp_path / "runid_idx")
+    kw = dict(build_kwargs=dict(num_buckets=8, hot_df_threshold=120,
+                                hot_sample_frac=0.5))
+    assert apply_stream_batch(d0, 0, out, run_id="ckptA", **kw) == "build"
+    assert apply_stream_batch(d0, 0, out, run_id="ckptA", **kw) == \
+        "skip_replayed"
+    with pytest.raises(RuntimeError, match="checkpoint changed"):
+        apply_stream_batch(d1, 0, out, run_id="ckptB", **kw)
+    # explicit opt-in: ledger resets, the new stream's batch applies
+    assert apply_stream_batch(d1, 0, out, run_id="ckptB",
+                              on_run_id_change="reset", **kw) == "update"
+    _assert_matches_scratch(spark, out, all_df, tmp_path, "runid")
