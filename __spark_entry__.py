@@ -689,23 +689,37 @@ def q28_simhash(spark, sf):
 
 
 def q29_windowed_diff(spark, sf):
-    """Sliding-window DIFF over the events stream (§2.8)."""
+    """Sliding-window DIFF over the events stream (§2.8). Hash-gated (r4):
+    tumbling 6h windows are the epoch-aligned pane grid, so the oracle is
+    plain window SQL — per-(pane, cohort) counts vs per-pane globals."""
     from macrobase_spark.operators import classify_predicate
     from macrobase_spark.streaming import windowed_diff
 
     e = _t(spark, sf, "events")
     labeled = classify_predicate(e, "event_type", "==", "error")
-    return windowed_diff(
+    out = windowed_diff(
         labeled.withColumn("cohort", F.expr("cast(user_id % 5 as string)")),
         "ts", ["cohort"], window_length="6 hours",
         min_support=0.0, min_ratio=1.05, max_order=1,
-    ).withColumn("support", F.round("support", 6)).withColumn(
-        "global_ratio", F.round("global_ratio", 6))
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm").alias("window_end"),
+        "cohort",
+        F.round("support", 6).alias("support"),
+        F.round("global_ratio", 6).alias("global_ratio"),
+        F.col("outlier_count").cast("long").alias("outlier_count"),
+        F.col("total_count").cast("long").alias("total_count"),
+    )
 
 
 def q30_multimodal_features(spark, sf):
     """Multimodal binary-column plumbing (real BMP/WAV/RAWV codecs, typed
-    metadata, Arrow batch shape)."""
+    metadata, Arrow batch shape). Hash-gated (r4): the structural contract —
+    per-kind feature dimensionality (image 3+3+8, audio 2+16, video 3x2)
+    and the ok=false path for undecodable payloads (every 11th row) — is
+    derived independently by rule in the DuckDB oracle; feature VALUES stay
+    pytest-gated (roundtrip tests in tests/test_operators_misc.py)."""
     from macrobase_spark.pipelines.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=64)
@@ -815,13 +829,15 @@ def q35_contextual_mad(spark, sf):
 
 def q36_ew_percentile(spark, sf):
     """EW streaming percentile classifier (§2.5/2.8 v0 semantics) — decayed
-    per-pane thresholds; rows-only (decayed weighted percentile has no
-    closed-form SQL)."""
+    per-pane thresholds. Hash-gated (r4): with exact per-pane quantile grids
+    the decayed weighted percentile is a closed-form computation over ≤P²
+    grid rows, replicated verbatim in the DuckDB oracle."""
     from macrobase_spark.streaming.ew import ew_percentile_classify
 
     e = _t(spark, sf, "events")
     out = ew_percentile_classify(e, "ts", "value", percentile=95.0,
-                                 pane="2 hours", half_life_panes=4.0)
+                                 pane="2 hours", half_life_panes=4.0,
+                                 exact=True)
     return (
         out.groupBy("_pane").agg(
             F.sum("_OUTLIER").cast("long").alias("n_outliers"),
@@ -834,23 +850,24 @@ def q36_ew_percentile(spark, sf):
 
 def q37_transcript_anomaly_diff(spark, sf):
     """Track A+B synthesis (north star: 'DIFF/explanation capability layered
-    on top'): fused-pass anomaly scores over synthetic transcripts →
-    classify → DIFF ON (role, tool). The generator plants degenerate turns
-    3x as often under tool='browser'; the explanation must surface it
-    (asserted in tests/test_index_bm25.py). Deterministic synthetic input →
-    rows-only gate."""
-    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    on top'): the fused Arrow tokenize pass's anomaly score → classify →
+    DIFF ON (lang, source) over the documents corpus. Hash-gated (r4): the
+    fused-pass features (doc_len, rep_ratio) and the MAD-normalized score
+    are deterministic and DuckDB-expressible with exact percentiles, so the
+    whole anomaly→DIFF layering gets a real oracle. The transcript-corpus
+    variant of the same pipeline (planted browser-tool anomalies surfaced
+    by DIFF) stays pytest-gated in tests/test_index_bm25.py."""
     from macrobase_spark.index.tokenize import turn_features, with_anomaly_score
     from macrobase_spark.operators import diff
 
-    t = with_doc_id(synth_transcripts(spark, n_convs=300, seed=42, p_anomaly=0.05))
-    feats = with_anomaly_score(turn_features(t).drop("text"))
+    d = _t(spark, sf, "documents")
+    feats = with_anomaly_score(turn_features(d).drop("text"), exact=True)
     labeled = feats.withColumn(
         "_OUTLIER", F.when(F.col("anomaly") > 0.5, 1.0).otherwise(0.0))
-    expl = diff(labeled.fillna("none", ["tool"]), ["role", "tool"],
+    expl = diff(labeled, ["lang", "source"],
                 min_support=0.05, min_ratio=1.2, max_order=2)
     return expl.select(
-        "role", "tool",
+        "lang", "source",
         F.round("support", 6).alias("support"),
         F.round("global_ratio", 6).alias("global_ratio"),
         F.col("outlier_count").cast("long").alias("outlier_count"),
@@ -859,18 +876,30 @@ def q37_transcript_anomaly_diff(spark, sf):
 
 
 def q38_ivf_ann(spark, sf):
-    """IVF coarse-quantizer ANN (k-means cells + n_probe rescoring) — the
-    second scale path for similarity search; recall<1 → rows-only (exactness
-    at full probe pytest-verified)."""
-    from macrobase_spark.pipelines.similarity import ivf_topk
+    """IVF coarse-quantizer ANN through the PERSISTED index (ivf_build →
+    cell-partitioned parquet → ivf_query). Hash-gated (r4, exactness
+    contract): with n_probe = n_centroids the probed-cell union covers the
+    whole table, so the end-to-end index path (build, persist, probe-cell
+    partition filter, per-query `_cell` equi-join, rescore, top-k) must
+    reproduce the exact brute-force ranking — which the DuckDB oracle
+    computes directly. The recall-path variant (n_probe < n_centroids,
+    pruning behaviorally proven) stays pytest-gated in
+    tests/test_text_dedup.py/test_plans.py."""
+    import hashlib
+    import tempfile
+
+    from macrobase_spark.pipelines.similarity import ivf_build, ivf_query
 
     emb = _t(spark, sf, "embeddings")
     queries_df = (
         emb.filter(F.col("vec_id") < 2)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    res = ivf_topk(emb.filter(F.col("vec_id") >= 2), queries_df, k=5,
-                   n_centroids=8, n_probe=3)
+    key = hashlib.md5(sf.encode()).hexdigest()[:10]
+    cache = os.path.join(tempfile.gettempdir(), f"mb_ivf_{key}")
+    if not os.path.exists(os.path.join(cache, "ivf_meta.json")):
+        ivf_build(emb.filter(F.col("vec_id") >= 2), cache, n_centroids=8)
+    res = ivf_query(spark, cache, queries_df, k=5, n_probe=8)
     return res.select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
                       "rank").orderBy("q_id", "rank")
 

@@ -512,6 +512,45 @@ SELECT o_orderpriority,
 FROM gs, g ORDER BY o_orderpriority
 """
 
+ORACLES["q29_windowed_diff"] = """
+WITH base AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS ws,
+         CAST(user_id % 5 AS VARCHAR) AS cohort,
+         CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS o
+  FROM events),
+g AS (SELECT ws, SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot
+      FROM base GROUP BY ws),
+c AS (SELECT ws, cohort, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+      FROM base GROUP BY ws, cohort)
+SELECT strftime(c.ws, '%Y-%m-%d %H:%M') AS window_start,
+       strftime(c.ws + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M') AS window_end,
+       cohort,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM c JOIN g USING (ws)
+WHERE oc / g.g_out >= 0.0 AND (oc / tc) / (g.g_out / g.g_tot) >= 1.05
+ORDER BY window_start, cohort
+"""
+
+ORACLES["q30_multimodal_features"] = """
+-- structural contract of pipelines/multimodal.py derived by rule (not a
+-- value dump): synth_media kinds cycle image/audio/video by id%3, every
+-- 11th row is an undecodable fake-JPEG (ok=false, empty feature); feature
+-- dims are image 3+3+8=14, audio 2+16=18, video 3*2=6.
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE WHEN i % 11 = 10 THEN 'image'
+            ELSE ['image', 'audio', 'video'][(i % 3) + 1] END AS kind,
+       CAST(CASE WHEN i % 11 = 10 THEN 0
+                 WHEN i % 3 = 0 THEN 14
+                 WHEN i % 3 = 1 THEN 18
+                 ELSE 6 END AS INTEGER) AS feat_dim,
+       i % 11 <> 10 AS ok
+FROM range(64) t(i)
+ORDER BY media_id
+"""
+
 ORACLES["q32_fpgrowth_diff"] = """
 WITH cut AS (SELECT quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem),
 lab AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
@@ -569,6 +608,64 @@ def _ctx_sql(keys: list[str]) -> str:
                            on_m2=on_m2, on_d=on_d, gb_outer=gb_outer)
 
 
+ORACLES["q33_cubed_classifiers"] = """
+WITH cube AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS DOUBLE) AS cnt,
+         MIN(l_extendedprice) AS q0,
+         quantile_cont(l_extendedprice, 0.5) AS q50,
+         MAX(l_extendedprice) AS q100,
+         AVG(l_extendedprice) AS mu,
+         stddev_pop(l_extendedprice) AS sd
+  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+qpts AS (
+  SELECT q0 AS v, cnt * 0.25 AS w FROM cube
+  UNION ALL SELECT q50, cnt * 0.5 FROM cube
+  UNION ALL SELECT q100, cnt * 0.25 FROM cube),
+qtot AS (SELECT SUM(w) AS t FROM qpts),
+qcum AS (SELECT v, SUM(w) OVER (ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM qpts),
+qhi AS (SELECT MAX(v) AS hi FROM qcum
+        WHERE cw >= (5.0 / 100.0) * (SELECT t FROM qtot)),
+qlo AS (SELECT MAX(v) AS lo FROM qcum
+        WHERE cw >= (1.0 - 5.0 / 100.0) * (SELECT t FROM qtot)),
+qcls AS (
+  SELECT l_returnflag, l_linestatus,
+         LEAST((1.0 - (CASE WHEN q0 > qhi.hi THEN 0.0 WHEN q0 <= qhi.hi AND q50 >= qhi.hi THEN 0.0 + (0.5 - 0.0) * ((qhi.hi - q0) / (q50 - q0)) WHEN q50 <= qhi.hi AND q100 >= qhi.hi THEN 0.5 + (1.0 - 0.5) * ((qhi.hi - q50) / (q100 - q50)) ELSE 1.0 END)) * cnt
+               + (CASE WHEN q0 > qlo.lo THEN 0.0 WHEN q0 <= qlo.lo AND q50 >= qlo.lo THEN 0.0 + (0.5 - 0.0) * ((qlo.lo - q0) / (q50 - q0)) WHEN q50 <= qlo.lo AND q100 >= qlo.lo THEN 0.5 + (1.0 - 0.5) * ((qlo.lo - q50) / (q100 - q50)) ELSE 1.0 END) * cnt, cnt) AS eq
+  FROM cube, qhi, qlo),
+atot AS (SELECT SUM(cnt) AS t FROM cube),
+acum AS (SELECT mu AS v, SUM(cnt) OVER (ORDER BY mu DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM cube),
+ahi AS (SELECT MAX(v) AS hi FROM acum
+        WHERE cw >= (1.0 - (100.0 - 2.0) / 100.0) * (SELECT t FROM atot)),
+alo AS (SELECT MAX(v) AS lo FROM acum
+        WHERE cw >= (1.0 - 2.0 / 100.0) * (SELECT t FROM atot)),
+az AS (
+  SELECT l_returnflag, l_linestatus, cnt, mu, sd, ahi.hi AS hi,
+         (ahi.hi - mu) / (sd * sqrt(2.0)) AS zh,
+         (alo.lo - mu) / (sd * sqrt(2.0)) AS zl
+  FROM cube, ahi, alo),
+az2 AS (
+  SELECT *, abs(zh) AS xh, abs(zl) AS xl,
+         1.0 / (1.0 + 0.3275911 * abs(zh)) AS th,
+         1.0 / (1.0 + 0.3275911 * abs(zl)) AS tl
+  FROM az),
+acls AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN sd IS NULL OR isnan(sd) OR sd = 0
+              THEN CASE WHEN mu > hi OR mu < hi THEN cnt ELSE 0.0 END
+              ELSE LEAST((1.0 - ((1.0 + (CASE WHEN zh < 0 THEN -1.0 ELSE 1.0 END) * (1.0 - (0.254829592*th - 0.284496736*th*th + 1.421413741*th*th*th - 1.453152027*th*th*th*th + 1.061405429*th*th*th*th*th) * exp(-xh*xh))) / 2.0)) * cnt
+                         + ((1.0 + (CASE WHEN zl < 0 THEN -1.0 ELSE 1.0 END) * (1.0 - (0.254829592*tl - 0.284496736*tl*tl + 1.421413741*tl*tl*tl - 1.453152027*tl*tl*tl*tl + 1.061405429*tl*tl*tl*tl*tl) * exp(-xl*xl))) / 2.0) * cnt, cnt)
+         END AS ea
+  FROM az2)
+SELECT l_returnflag, l_linestatus,
+       ROUND(eq, 4) AS expected_outliers_quantile,
+       ROUND(ea, 4) AS expected_outliers_arith
+FROM qcls JOIN acls USING (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
 ORACLES["q35_contextual_mad"] = (
     "WITH ev AS (SELECT *, CAST(user_id % 3 AS VARCHAR) AS cohort FROM events),\n"
     "allctx AS (" + "\nUNION ALL\n".join(
@@ -579,6 +676,104 @@ ORACLES["q35_contextual_mad"] = (
     "FROM allctx\n"
     "ORDER BY outlier_rate DESC, event_type NULLS LAST, cohort NULLS LAST"
 )
+
+ORACLES["q36_ew_percentile"] = """
+WITH b AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200 * 1000000) AS pane,
+         value FROM events),
+pq AS (
+  SELECT pane, CAST(COUNT(*) AS DOUBLE) AS n,
+         quantile_cont(value, [0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35,
+                               0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75,
+                               0.8, 0.85, 0.9, 0.95, 1.0]) AS qs
+  FROM b GROUP BY pane),
+idx AS (SELECT pane, CAST(row_number() OVER (ORDER BY pane) - 1 AS DOUBLE) AS i
+        FROM pq),
+grid AS (SELECT pane, n, unnest(qs) AS v FROM pq),
+pairs AS (
+  SELECT t.pane AS tpane, g.v,
+         pow(0.5, (t.i - s.i) / 4.0) * g.n / 21.0 AS w
+  FROM grid g JOIN idx s ON g.pane = s.pane
+  JOIN idx t ON s.i <= t.i),
+tot AS (SELECT tpane, SUM(w) AS tw FROM pairs GROUP BY tpane),
+cum AS (
+  SELECT tpane, v,
+         SUM(w) OVER (PARTITION BY tpane ORDER BY v DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM pairs),
+cut AS (
+  SELECT c.tpane, MAX(c.v) AS cutoff
+  FROM cum c JOIN tot USING (tpane)
+  WHERE c.cw >= (1.0 - 95.0 / 100.0) * tot.tw
+  GROUP BY c.tpane),
+lab AS (
+  SELECT b.pane,
+         CASE WHEN b.value > cut.cutoff THEN 1.0 ELSE 0.0 END AS o
+  FROM b LEFT JOIN cut ON b.pane = cut.tpane)
+SELECT strftime(pane, '%Y-%m-%d %H:%M') AS pane,
+       CAST(SUM(o) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM lab GROUP BY pane ORDER BY pane
+"""
+
+ORACLES["q37_transcript_anomaly_diff"] = f"""
+WITH f AS (
+  SELECT lang, source,
+         CAST(len({TOKS}) AS DOUBLE) AS n,
+         CAST(len(list_distinct({TOKS})) AS DOUBLE) AS nu
+  FROM documents),
+r AS (
+  SELECT lang, source,
+         CASE WHEN n > 0 THEN 1.0 - nu / n ELSE 0.0 END AS rep,
+         ln(1.0 + n) AS ll
+  FROM f),
+med AS (SELECT quantile_cont(ll, 0.5) AS m FROM r),
+madv AS (SELECT quantile_cont(abs(ll - (SELECT m FROM med)), 0.5) AS mad FROM r),
+lab AS (
+  SELECT lang, source,
+         CASE WHEN rep > 0.5 OR
+                   abs(ll - (SELECT m FROM med))
+                     / ((SELECT mad FROM madv) * 1.4826) / 6.0
+                   > 0.5 * ln(3.0)
+              THEN 1.0 ELSE 0.0 END AS o
+  FROM r),
+g AS (SELECT SUM(o) AS g_out, CAST(COUNT(*) AS DOUBLE) AS g_tot FROM lab),
+gs AS (SELECT lang, source, SUM(o) AS oc, CAST(COUNT(*) AS DOUBLE) AS tc
+       FROM lab GROUP BY GROUPING SETS ((lang), (source), (lang, source)))
+SELECT lang, source,
+       ROUND(oc / g.g_out, 6) AS support,
+       ROUND((oc / tc) / (g.g_out / g.g_tot), 6) AS global_ratio,
+       CAST(oc AS BIGINT) AS outlier_count,
+       CAST(tc AS BIGINT) AS total_count
+FROM gs, g
+WHERE oc / g.g_out >= 0.05 AND (oc / tc) / (g.g_out / g.g_tot) >= 1.2
+ORDER BY lang, source
+"""
+
+ORACLES["q38_ivf_ann"] = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 2),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 2),
+sims AS (
+  SELECT q.q_id, v.vec_id,
+         CASE WHEN list_aggregate(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+                AND list_aggregate(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+              THEN list_aggregate(list_transform(list_zip(v.embedding, q.q_vec),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(v.embedding,
+                                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.q_vec,
+                                            x -> CAST(x AS DOUBLE) * x), 'sum')))
+              ELSE 0.0 END AS cs
+  FROM v CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, ROUND(cs, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
 
 ORACLES["q40_sql_diff_surface"] = """
 WITH lab AS (SELECT l_returnflag AS rf, l_linestatus AS ls,

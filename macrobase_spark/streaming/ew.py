@@ -28,6 +28,7 @@ def ew_percentile_classify(
     pane: str = "1 hour",
     half_life_panes: float = 4.0,
     output_col: str = "_OUTLIER",
+    exact: bool = False,
 ) -> DataFrame:
     """Per-pane decayed percentile threshold: for each time pane, the cutoff
     is the decay-weighted percentile of THIS and all PRIOR panes' metric
@@ -42,11 +43,15 @@ def ew_percentile_classify(
     pane_col = F.window(F.col(ts_col), pane).start.alias("_pane")
     base = df.withColumn("_pane", F.window(F.col(ts_col), pane).start)
 
-    # per-pane quantile grid (21 points) — a compact mergeable summary
+    # per-pane quantile grid (21 points) — a compact mergeable summary.
+    # exact=True swaps the t-digest sketch for the exact interpolated
+    # percentile (oracle parity / small panes); the default stays sketch-
+    # based for the scale path.
     qs = [i / 20.0 for i in range(21)]
+    qfn = "percentile({m}, {q!r})" if exact else "percentile_approx({m}, {q!r}, 2000)"
     pane_q = base.groupBy("_pane").agg(
         F.count("*").alias("_n"),
-        *[F.expr(f"percentile_approx({metric}, {q!r}, 2000)").alias(f"_q{i}")
+        *[F.expr(qfn.format(m=metric, q=q)).alias(f"_q{i}")
           for i, q in enumerate(qs)],
     )
     # decayed weighted percentile across panes, evaluated per target pane:

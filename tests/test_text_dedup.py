@@ -440,3 +440,120 @@ def test_lsh_persisted_index_multi_query_batch(spark, tmp_path):
         for r in solo:
             assert batch[(qid, r["rank"])] == (r["vec_id"],
                                                round(r["cos_sim"], 12)), qid
+
+
+def test_simhash_combo_scheme_recall_and_keyspace(spark):
+    """r3 verdict What's-wrong #1: the 4x16-bit pigeonhole join saturates at
+    ~10^8 docs. The (n_blocks=6, combo_blocks=3) scheme must (a) keep the
+    r<=3 pigeonhole guarantee on planted near-dups, and (b) collapse the
+    candidate count on a corpus skewed into one shared 16-bit block."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.dedup import (simhash_candidate_pairs,
+                                                 simhash_near_pairs)
+
+    rng = np.random.default_rng(7)
+    # (a) planted pairs: base fingerprints + <=3 flipped bits
+    bases = rng.integers(-(2 ** 63), 2 ** 63, size=30, dtype=np.int64)
+    rows, want = [], set()
+    for i, h in enumerate(bases):
+        rows.append((2 * i, int(h)))
+        flips = rng.choice(64, size=int(rng.integers(1, 4)), replace=False)
+        h2 = int(h)
+        for b in flips:
+            h2 ^= 1 << int(b)
+        h2 = int(np.int64(np.uint64(h2 % 2 ** 64)))
+        rows.append((2 * i + 1, h2))
+        want.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_pairs(df, max_hamming=3, n_blocks=6,
+                                       combo_blocks=3).collect()}
+    assert want <= got  # guarantee: every planted r<=3 pair found
+
+    # (b) skewed corpus: bits 0-15 zeroed everywhere, rest random
+    skew = [(i, int(np.int64(np.uint64(h) & np.uint64(0xFFFFFFFFFFFF0000))))
+            for i, h in enumerate(
+                rng.integers(-(2 ** 63), 2 ** 63, size=200, dtype=np.int64))]
+    sdf = spark.createDataFrame(skew, "doc_id long, simhash long")
+    n_classic = simhash_candidate_pairs(sdf, n_blocks=4, combo_blocks=1).count()
+    n_combo = simhash_candidate_pairs(sdf, n_blocks=6, combo_blocks=3).count()
+    assert n_classic == 200 * 199 // 2  # every pair collides in block 0
+    assert n_combo < n_classic / 20  # combination keys break the hot block
+
+
+def test_simhash_default_scheme_unchanged(spark):
+    """The default (4x16) scheme must produce the identical pair set as the
+    pre-refactor union-based implementation (q28 fixture stability)."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.dedup import simhash_near_pairs
+
+    rng = np.random.default_rng(11)
+    rows = [(i, int(h)) for i, h in enumerate(
+        rng.integers(-(2 ** 63), 2 ** 63, size=120, dtype=np.int64))]
+    # sprinkle exact blocks shared: copy one 16-bit block across some rows
+    rows += [(200 + i, (rows[i][1] & ~0xFFFF) | (rows[0][1] & 0xFFFF))
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in simhash_near_pairs(df, max_hamming=20).collect()}
+    # reference re-implementation of the old 4-union scheme, driver-side
+    import itertools
+    byid = dict(rows)
+    cand = set()
+    for a, b in itertools.combinations(sorted(byid), 2):
+        ha, hb = byid[a], byid[b]
+        for blk in range(4):
+            if (ha >> (blk * 16)) & 0xFFFF == (hb >> (blk * 16)) & 0xFFFF:
+                cand.add((a, b))
+                break
+    want = set()
+    for a, b in cand:
+        ham = bin((byid[a] ^ byid[b]) & (2 ** 64 - 1)).count("1")
+        if ham <= 20:
+            want.add((a, b, ham))
+    assert got == want
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from macrobase_spark.pipelines.dedup import auto_n_planes
+
+    assert auto_n_planes(100) == 8          # floor
+    assert auto_n_planes(10 ** 6) == 10     # 2^20 / 2^10 target occupancy
+    assert auto_n_planes(10 ** 9) == 20
+    assert auto_n_planes(1) == 8
+
+
+def test_lsh_bucket_occupancy_guard(spark):
+    """r3 verdict What's-wrong #2: a 10^6-vector synthetic with only 8
+    planes piles ~4k vectors per bucket; max_bucket splits over-occupied
+    buckets a second SRP level down and bounds the max occupancy."""
+    from macrobase_spark.pipelines.dedup import lsh_bucket_assign
+
+    vecs = spark.range(10 ** 6).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            ((F.hash(F.col("id") * (i + 1)) % 2001) / 1000.0).cast("double")
+            for i in range(4)
+        ]).alias("embedding"),
+    )
+    guarded = lsh_bucket_assign(vecs, n_planes=8, max_bucket=30_000)
+    occ = guarded.groupBy("_bkt").count().agg(
+        F.max("count").alias("mx"), F.count("*").alias("nb")).collect()[0]
+    assert occ["mx"] <= 30_000
+    assert occ["nb"] > 256  # hot buckets actually split
+
+    # recall sanity under the guard: duplicate directions still pair up
+    from macrobase_spark.pipelines.dedup import embedding_cosine_pairs
+
+    dup = spark.createDataFrame(
+        [(10**7 + i, [1.0, 2.0, 3.0, 4.0]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    pairs = embedding_cosine_pairs(
+        vecs.unionByName(dup), threshold=0.9999, method="lsh",
+        n_planes=8, max_bucket=30_000)
+    got = {(r["id_a"], r["id_b"]) for r in
+           pairs.filter(F.col("id_a") >= 10**7).collect()}
+    assert {(10**7, 10**7 + 1), (10**7, 10**7 + 2),
+            (10**7 + 1, 10**7 + 2)} <= got
