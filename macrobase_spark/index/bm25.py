@@ -212,17 +212,26 @@ def bm25_topk(
                          lambdas=lambdas, idfs=idfs),
         schema="doc_id long, term string, contrib double",
     )
-    # ascending-term add order for bitwise-reproducible float sums
-    scored = (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
-            ).alias("score")
+    if len(terms) == 1 and idfs is None:
+        # single-term fast path (compacted index: exactly one contribution
+        # per doc): the per-doc sum is the contribution itself, so the
+        # groupBy shuffle stage disappears — the plan is scan → Arrow score
+        # → TakeOrdered. Bitwise-identical to the aggregate (0.0 + x == x
+        # for positive doubles). Segmented indexes (idfs set) keep the
+        # aggregate: a term may span several segment rows.
+        scored = contrib.select("doc_id", F.col("contrib").alias("score"))
+    else:
+        # ascending-term add order for bitwise-reproducible float sums
+        scored = (
+            contrib.groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
         )
-    )
     if anomaly_max is not None or anomaly_weight:
         scored = scored.join(docs.select("doc_id", "anomaly"), "doc_id", "inner")
         if anomaly_max is not None:

@@ -13,9 +13,13 @@ the axis that matters at 10¹² rows).
   Q = qScale·ggᵀ (g=[t²/2, t]), R = rScale·t² — a faithful port of
   contrib/.../kalmanfilter/KalmanVectorFilter.java:29-86 for scalar series.
 - ar_scores: AR(p) one-step-ahead forecasts via Yule–Walker, score =
-  |residual|/σ̂ — the native stand-in for the reference's R-bridge ARIMA
-  (contrib/.../stats/ARIMA.java delegates to R's `forecast`; the R runtime
-  is out of environment, documented deviation).
+  |residual|/σ̂ (fast pure-AR path).
+- arima_scores: full ARIMA(p,d,q) via difference → Hannan–Rissanen
+  two-stage least squares → one-step forecasts on the original scale. The
+  reference bridges to R's CSS-ML fit (contrib/.../stats/ARIMA.java:1-117,
+  `forecast` package); same model class, different estimator — the R
+  runtime is out of environment (documented deviation, see the
+  arima_scores docstring).
 """
 
 from __future__ import annotations

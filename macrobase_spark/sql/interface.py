@@ -99,6 +99,12 @@ class MacroBaseSQL:
     Tables come from `IMPORT FROM CSV` statements or from any temp view
     already registered on the session (`df.createOrReplaceTempView`)."""
 
+    # single-file CSV sink bound: results up to this many rows are written
+    # by the driver as ONE file (reference QueryEngine exportToCsv
+    # semantics); larger results fall back to a distributed `<path>.d/`
+    # directory write so a big SELECT cannot OOM the driver
+    OUTFILE_DRIVER_ROWS = 1_000_000
+
     def __init__(self, spark: SparkSession, base_dir: str | None = None,
                  write_outfiles: bool = True, outfile_dir: str | None = None):
         self.spark = spark
@@ -143,7 +149,17 @@ class MacroBaseSQL:
             self.last_outfile = path
             if self.write_outfiles:
                 os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-                df.toPandas().to_csv(path, index=False)
+                # the reference's CSV sink is a single driver-written file
+                # (explanation-scale results); guard it so a big SELECT
+                # cannot OOM the driver — above the bound the result is
+                # written distributed (a directory of part CSVs) instead.
+                probe = df.limit(self.OUTFILE_DRIVER_ROWS + 1).toPandas()
+                if len(probe) <= self.OUTFILE_DRIVER_ROWS:
+                    probe.to_csv(path, index=False)
+                else:
+                    df.write.mode("overwrite").option("header", "true").csv(
+                        path + ".d")
+                    self.last_outfile = path + ".d"
         return df
 
     def _strip_outfile(self, stmt: str) -> tuple[str, str | None]:

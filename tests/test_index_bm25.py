@@ -165,10 +165,19 @@ def test_batch_topk_matches_single_queries(spark, corpus):
 def test_anomaly_diff_surfaces_planted_tool(spark):
     """Track A+B: DIFF over role/tool of anomalous turns surfaces
     tool='browser' (the generator plants degenerate turns 3x as often
-    there)."""
-    import __spark_entry__ as e
+    there). This is the transcript-corpus variant of the q37 driver gate
+    (which runs the same fused-pass anomaly → classify → DIFF pipeline over
+    the documents table so it can carry a DuckDB oracle)."""
+    from macrobase_spark.index.tokenize import turn_features, with_anomaly_score
+    from macrobase_spark.operators import diff
 
-    rows = e.q37_transcript_anomaly_diff(spark, "unused").collect()
+    t = with_doc_id(synth_transcripts(spark, n_convs=300, seed=42,
+                                      p_anomaly=0.05))
+    feats = with_anomaly_score(turn_features(t).drop("text"))
+    labeled = feats.withColumn(
+        "_OUTLIER", F.when(F.col("anomaly") > 0.5, 1.0).otherwise(0.0))
+    rows = diff(labeled.fillna("none", ["tool"]), ["role", "tool"],
+                min_support=0.05, min_ratio=1.2, max_order=2).collect()
     assert rows, "expected explanations"
     browser = [r for r in rows if r["tool"] == "browser"]
     assert browser, f"tool=browser not surfaced: {rows[:5]}"
@@ -342,3 +351,57 @@ def test_batch_wand_prunes_hot_two_term_query(spark, tmp_path):
             skipped += int((bm < lam[t]).sum())
             total += len(bm)
     assert skipped > 0, f"λ={lam} pruned zero of {total} blocks — vacuous"
+
+
+def test_compaction_after_many_updates(spark, tmp_path):
+    """r3 verdict Next-round #9 — compaction at scale: 20 incremental
+    updates leave many terms spanning many segment rows (hot terms salted
+    into several shards per delta); compact_index must merge every term
+    back to ONE row, re-enable version-gated block pruning index-wide, and
+    stay rank+score identical to a scratch build over everything."""
+    import math
+
+    from macrobase_spark.index.build import (bucket_versions, compact_index,
+                                             read_index, update_index)
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=140, seed=42)).cache()
+
+    def _slice(lo, hi):
+        return all_df.filter((F.col("conv_id") >= f"conv{lo:08d}")
+                             & (F.col("conv_id") < f"conv{hi:08d}"))
+
+    out = str(tmp_path / "many_seg")
+    build_index(_slice(0, 40), out, num_buckets=8, hot_df_threshold=120,
+                hot_sample_frac=0.5)
+    for i in range(20):
+        update_index(_slice(40 + 5 * i, 45 + 5 * i), out)
+
+    postings, _, stats = read_index(spark, out)
+    multi = postings.groupBy("term").count().filter(F.col("count") > 1)
+    n_multi = multi.count()
+    assert n_multi > 50, f"expected many segmented terms, got {n_multi}"
+    assert stats.get("segmented_buckets"), "updates must mark buckets stale"
+
+    rep = compact_index(spark, out)
+    assert rep["compacted_buckets"]
+    postings, _, stats = read_index(spark, out)
+    # single row per term again
+    assert postings.groupBy("term").count().filter(
+        F.col("count") > 1).count() == 0
+    assert stats["segmented_buckets"] == []
+    # pruning re-enabled: every bucket stamped at the current version
+    bv = bucket_versions(out)
+    assert set(bv.values()) == {stats["version"]}
+
+    # rank + score identity vs a from-scratch build of the full corpus
+    scratch = str(tmp_path / "many_seg_scratch")
+    build_index(all_df, scratch, num_buckets=8, hot_df_threshold=120,
+                hot_sample_frac=0.5, resume=False)
+    for q in ["the", "rare7", "tok0042 tok0007", "rare23 the call"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=10).collect()]
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, scratch, q, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
