@@ -165,8 +165,24 @@ def main():
     # can no longer sink the headline. Per-rep detail is emitted for audit.
     pair_low, pair_mid, pair_effs = [], [], []
     pair_hw, pair_effs_vs_hw = [], []
-    for _ in range(PAIR_REPS):
+    probe_only_hw = []
+    # Unthrottled-window hunt (r3 verdict Next-round #4): after the
+    # mandatory PAIR_REPS pairs, keep probing (cheap, ~10 s) for a window
+    # whose hardware ceiling is >= 0.85 and run ONE more pair there, so the
+    # recorded JSON carries either a raw-efficiency sample from a clean
+    # window or the probe evidence that no clean window existed in the
+    # whole bench hour. Bounded by MAX_PAIR_ATTEMPTS total attempts.
+    MAX_PAIR_ATTEMPTS = int(os.environ.get("BENCH_PAIR_REPS_MAX", "6"))
+    attempts = 0
+    while attempts < MAX_PAIR_ATTEMPTS:
+        attempts += 1
         hw = _hw_probe(low, mid)  # this window's weak-scaling ceiling
+        if len(pair_effs) >= PAIR_REPS:
+            if max(pair_hw) >= 0.85:
+                break  # already measured a pair in a clean window
+            if hw < 0.85:
+                probe_only_hw.append(round(hw, 3))
+                continue  # throttled window: don't burn a build pair here
         tl = _build_in_subprocess(low, src, os.path.join(TMP, "idx_low"),
                                   reps=1, warmup=True)
         tm = _build_in_subprocess(mid, src, os.path.join(TMP, "idx_mid"),
@@ -179,6 +195,9 @@ def main():
         # build — the faithful estimator of multi-node scaling, where each
         # executor owns its node's memory bandwidth (see BENCH.md)
         pair_effs_vs_hw.append(round(min(1.0, pair_effs[-1] / hw), 3))
+        if len(pair_effs) >= PAIR_REPS and max(pair_hw) >= 0.85:
+            break
+    best_i = max(range(len(pair_hw)), key=lambda j: pair_hw[j])
     t_low, t_mid = min(pair_low), min(pair_mid)
     # the (4N, 16N) step measured as its OWN back-to-back pair in one
     # window, with its own ceiling probe — not best-of-one-level vs another
@@ -201,7 +220,10 @@ def main():
 
     idx = os.path.join(TMP, "idx_high")
     lat = []
+    # steady-state serving latency: warm both code paths (single-term fast
+    # path and the multi-term aggregate) before timing
     bm25_topk(spark, idx, "warmup", k=10).collect()
+    bm25_topk(spark, idx, "warmup the", k=10).collect()
     for q in BM25_QUERIES:
         t0 = time.time()
         bm25_topk(spark, idx, q, k=10).collect()
@@ -264,6 +286,12 @@ def main():
             "pair_build_sec_N": pair_low,
             "pair_build_sec_4N": pair_mid,
             "pair_reps": PAIR_REPS,
+            # best-window evidence (r3 verdict #4): raw efficiency of the
+            # pair measured in the least-throttled window found, plus the
+            # ceilings of windows that were probed and skipped as throttled
+            "best_window_hw": pair_hw[best_i],
+            "efficiency_best_window": pair_effs[best_i],
+            "probe_only_hw": probe_only_hw,
         },
         "bm25_query_p50_sec": round(p50, 3),
         "bm25_batch_qps": round(bm25_batch_qps, 1),

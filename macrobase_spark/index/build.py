@@ -515,6 +515,7 @@ def update_index(
     from macrobase_spark.index.tokenize import exploded_postings, turn_features
 
     spark = df_new.sparkSession
+    restore_compact_backup(out_dir)  # recover any crashed compaction first
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     num_buckets = stats["num_buckets"]
@@ -615,6 +616,59 @@ def update_index(
             "elapsed_sec": time.time() - t0}
 
 
+def _compact_backup_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_compact_backup")
+
+
+def restore_compact_backup(out_dir: str) -> bool:
+    """Crash recovery for compact_index: its dynamic-partition overwrite
+    DELETES the old segment rows of every stale bucket, so a crash between
+    the overwrite and the stats/manifest commit would lose postings with no
+    way back. compact_index therefore copies the stale buckets' files (plus
+    stats.json and the manifest length) into `_compact_backup/` and marks
+    it `_complete` before touching anything; this function restores that
+    state. Returns True if a rollback happened.
+
+    - backup without `_complete`: crash mid-copy — originals untouched,
+      drop the partial backup.
+    - backup with `_complete`: restore the buckets' file sets, stats.json
+      bytes, and truncate the manifest — the index is byte-identical to the
+      pre-compaction state and compaction simply runs again later. (A
+      leftover backup after a fully-successful compaction also restores —
+      redundant but correct: the segment rows are still a valid index.)
+    Called from every index entry point (read_index, update_index,
+    compact_index, streaming ingest), so a crashed compaction can never be
+    silently queried."""
+    import shutil
+
+    backup = _compact_backup_dir(out_dir)
+    if not os.path.isdir(backup):
+        return False
+    if not os.path.exists(os.path.join(backup, "_complete")):
+        shutil.rmtree(backup)
+        return False
+    with open(os.path.join(backup, "_meta.json")) as f:
+        meta = json.load(f)
+    postings_root = os.path.join(out_dir, "postings")
+    for entry in os.listdir(backup):
+        src = os.path.join(backup, entry)
+        if not os.path.isdir(src):
+            continue
+        dest = os.path.join(postings_root, entry)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        shutil.move(src, dest)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        f.write(meta["stats"])
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    if os.path.exists(manifest_path):
+        with open(manifest_path, "r+") as f:
+            f.truncate(meta["manifest_len"])
+    shutil.rmtree(backup)
+    invalidate_index_cache(out_dir)
+    return True
+
+
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
     """Compact stale buckets after incremental updates: merge each term's
     segment rows (base + per-update deltas) back to ONE row and recompute
@@ -629,7 +683,18 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     Scale shape: the per-term merge is the SAME blob-level fan-in as the
     fresh build's phase 2 (pre-compressed partials, decode + merge-sort +
     re-encode on one reducer per term) — amortized background work, never
-    on the update or query path."""
+    on the update or query path.
+
+    Crash safety: the overwrite below deletes the stale buckets' old rows,
+    so those files (plus stats.json/manifest state) are first copied to
+    `_compact_backup/`; any entry point finding a completed backup restores
+    it (restore_compact_backup), making a crashed compaction a no-op
+    instead of data loss. The backup is bounded by the stale buckets'
+    compressed size (the deltas since the last compaction plus their base
+    rows), and is deleted on success."""
+    import shutil
+
+    restore_compact_backup(out_dir)  # recover any earlier crashed attempt
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     version = stats.get("version", 1)
@@ -639,6 +704,22 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         return {"version": version, "compacted_buckets": []}
 
     postings_root = os.path.join(out_dir, "postings")
+    backup = _compact_backup_dir(out_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.makedirs(backup)
+    manifest_path_ = os.path.join(out_dir, "manifest.jsonl")
+    with open(os.path.join(backup, "_meta.json"), "w") as f:
+        json.dump({
+            "stats": json.dumps(stats),
+            "manifest_len": (os.path.getsize(manifest_path_)
+                             if os.path.exists(manifest_path_) else 0),
+        }, f)
+    for b in stale:
+        src = os.path.join(postings_root, f"bucket={b}")
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(backup, f"bucket={b}"))
+    with open(os.path.join(backup, "_complete"), "w") as f:
+        f.write("1")
     merged = (
         spark.read.parquet(postings_root)
         .filter(F.col("bucket").isin(stale))
@@ -670,6 +751,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             f.write(json.dumps({"bucket": int(b), "status": "done",
                                 "version": version, "op": "compact",
                                 "ts": time.time()}) + "\n")
+    shutil.rmtree(backup)  # compaction fully committed — drop the backup
     invalidate_index_cache(out_dir)
     return {"version": version, "compacted_buckets": sorted(stale)}
 
@@ -697,6 +779,7 @@ def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame,
     update/compact by ANOTHER process bumps the stats file's version/mtime,
     invalidating naturally. Same-process builders also call
     `invalidate_index_cache` explicitly."""
+    restore_compact_backup(out_dir)  # never serve a crashed compaction
     stats_path = os.path.join(out_dir, "stats.json")
     mtime = os.stat(stats_path).st_mtime_ns
     key = (spark.sparkContext.applicationId, os.path.abspath(out_dir), mtime)

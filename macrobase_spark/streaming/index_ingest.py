@@ -187,9 +187,14 @@ def apply_stream_batch(
     """
     from macrobase_spark.index.build import (build_index, compact_index,
                                              invalidate_index_cache,
+                                             restore_compact_backup,
                                              update_index)
 
     os.makedirs(out_dir, exist_ok=True)
+    # recover a crashed compaction BEFORE snapshotting: compaction carries
+    # its own backup/restore protocol (its overwrite deletes old segment
+    # files, which the inflight-journal rollback could not resurrect)
+    restore_compact_backup(out_dir)
     rec = _load_epochs(out_dir)
     if run_id is not None:
         prev_run = rec.get("run_id")
@@ -263,13 +268,19 @@ def apply_stream_batch(
     rec["committed"] = sorted(set(rec["committed"]) | {epoch_id})[-64:]
     if action == "update":
         rec["since_compact"] += 1
+    _save_epochs(out_dir, rec)  # ← the epoch commit point
+    os.remove(inflight_path)
+    # compaction runs AFTER the epoch commit: it never changes query
+    # results (rank identity), carries its own backup/restore crash
+    # protocol, and a crash here must not re-apply the epoch's postings.
+    # If the since_compact reset below is lost to a crash, the next due
+    # epoch simply compacts again — idempotent.
     if action == "update" and compact_every and (
             rec["since_compact"] >= compact_every):
         compact_index(batch_df.sparkSession, out_dir)
         rec["since_compact"] = 0
+        _save_epochs(out_dir, rec)
         action = "update+compact"
-    _save_epochs(out_dir, rec)  # ← the commit point
-    os.remove(inflight_path)
     return prefix + action
 
 

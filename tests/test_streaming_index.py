@@ -176,3 +176,73 @@ def test_fresh_checkpoint_against_existing_index_raises(spark, tmp_path):
     assert apply_stream_batch(d1, 0, out, run_id="ckptB",
                               on_run_id_change="reset", **kw) == "update"
     _assert_matches_scratch(spark, out, all_df, tmp_path, "runid")
+
+
+def test_crashed_compaction_restores_and_stays_rank_identical(spark, tmp_path):
+    """compact_index's overwrite deletes the stale buckets' old segment
+    rows — a crash mid-overwrite must not lose postings. Simulate the two
+    crash states: (a) backup complete + bucket contents destroyed → any
+    entry point restores the pre-compaction state (queries rank-identical
+    to scratch); (b) backup partial (no _complete) → dropped, originals
+    untouched."""
+    import os
+    import shutil
+
+    from macrobase_spark.index.build import (build_index, compact_index,
+                                             read_index,
+                                             restore_compact_backup,
+                                             update_index)
+    from macrobase_spark.index.build import _compact_backup_dir
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=80, seed=42)).cache()
+    out = str(tmp_path / "ccrash")
+    build_index(_slice(all_df, 0, 50), out, num_buckets=8,
+                hot_df_threshold=120, hot_sample_frac=0.5)
+    update_index(_slice(all_df, 50, 80), out)
+
+    # (a) reproduce "backup written, overwrite destroyed a bucket, commit
+    # never happened": run a real compaction to produce its backup, then
+    # reinstate the backup and wreck the live bucket dirs it covers.
+    rep = compact_index(spark, out)
+    assert rep["compacted_buckets"]
+    # rebuild the exact crash state: redo update over a fresh copy
+    out2 = str(tmp_path / "ccrash2")
+    build_index(_slice(all_df, 0, 50), out2, num_buckets=8,
+                hot_df_threshold=120, hot_sample_frac=0.5)
+    update_index(_slice(all_df, 50, 80), out2)
+    import json as _json
+    backup = _compact_backup_dir(out2)
+    os.makedirs(backup)
+    with open(os.path.join(out2, "stats.json")) as f:
+        stats_txt = f.read()
+    man = os.path.join(out2, "manifest.jsonl")
+    with open(os.path.join(backup, "_meta.json"), "w") as f:
+        _json.dump({"stats": stats_txt,
+                    "manifest_len": os.path.getsize(man)}, f)
+    seg_buckets = _json.loads(stats_txt)["segmented_buckets"]
+    assert seg_buckets
+    for b in seg_buckets:
+        shutil.copytree(os.path.join(out2, "postings", f"bucket={b}"),
+                        os.path.join(backup, f"bucket={b}"))
+    with open(os.path.join(backup, "_complete"), "w") as f:
+        f.write("1")
+    # the "crash": overwrite half-done — one covered bucket emptied, one
+    # stray new file in another
+    wreck = os.path.join(out2, "postings", f"bucket={seg_buckets[0]}")
+    shutil.rmtree(wreck)
+    # read path must transparently restore before serving
+    read_index(spark, out2)
+    assert not os.path.isdir(backup)
+    for q in ["the", "rare7", "tok0042 tok0007"]:
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               bm25_topk(spark, out2, q, k=10).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                bm25_topk(spark, out, q, k=10).collect()]
+        assert got == want, q
+
+    # (b) partial backup (no _complete): dropped, nothing else touched
+    os.makedirs(os.path.join(backup, "bucket=0"))
+    before = sorted(os.listdir(os.path.join(out2, "postings")))
+    assert restore_compact_backup(out2) is False
+    assert not os.path.isdir(backup)
+    assert sorted(os.listdir(os.path.join(out2, "postings"))) == before
