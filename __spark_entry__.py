@@ -466,14 +466,29 @@ def q15_text_features(spark, sf):
 
 
 def q16_dedup_exact(spark, sf):
-    """Exact dedup by content hash (§ dedup): group count per digest."""
+    """Composite dedup gate (§ dedup): exact content-hash groups PLUS the
+    cluster leg (r4) — near-dup pairs collapsed into connected components
+    by the distributed large-star/small-star clustering
+    (pipelines/dedup.py dedup_clusters), oracled by a DuckDB recursive-CTE
+    transitive closure over the SAME deterministic n-gram-Jaccard pairs."""
+    from macrobase_spark.pipelines import ngram_jaccard_pairs
+    from macrobase_spark.pipelines.dedup import dedup_clusters
+
     d = _t(spark, sf, "documents")
-    return (
+    exact = (
         d.groupBy(F.md5("text").alias("content_key"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("rep_id"))
         .filter(F.col("n_copies") >= 1)
-        .orderBy("rep_id")
+        .select(F.lit("exact").alias("part"), F.col("content_key").alias("key"),
+                "n_copies", "rep_id")
     )
+    pairs = ngram_jaccard_pairs(d.filter(F.col("doc_id") < 100),
+                                n=2, min_jaccard=0.05)
+    clusters = dedup_clusters(pairs).select(
+        F.lit("cluster").alias("part"), F.col("id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col("cluster_id").alias("rep_id"))
+    return exact.unionByName(clusters).orderBy("part", "rep_id", "key")
 
 
 def q17_term_stats(spark, sf):

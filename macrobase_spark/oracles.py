@@ -338,9 +338,43 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 500
 """
 
-ORACLES["q16_dedup_exact"] = """
-SELECT md5(text) AS content_key, COUNT(*) AS n_copies, MIN(doc_id) AS rep_id
-FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1 ORDER BY rep_id
+ORACLES["q16_dedup_exact"] = f"""
+WITH RECURSIVE
+exact AS (
+  SELECT 'exact' AS part, md5(text) AS key, COUNT(*) AS n_copies,
+         MIN(doc_id) AS rep_id
+  FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1),
+d AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 100),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_distinct(list_transform(range(0, len(toks) - 2 + 1),
+                                 i -> array_to_string(toks[i + 1 : i + 2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM d),
+e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS DOUBLE) AS i
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.05),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+clusters AS (
+  SELECT 'cluster' AS part, CAST(u AS VARCHAR) AS key, CAST(1 AS BIGINT)
+           AS n_copies,
+         LEAST(u, MIN(v)) AS rep_id
+  FROM reach GROUP BY u)
+SELECT * FROM exact UNION ALL SELECT * FROM clusters
+ORDER BY part, rep_id, key
 """
 
 ORACLES["q17_term_stats"] = f"""

@@ -445,3 +445,124 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    collect_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR relation → one row
+    per node: (id, cluster_id), cluster_id = the component's minimum id.
+    This is the step that turns pairwise similarity (minhash_lsh_pairs,
+    simhash_near_pairs, ngram_jaccard_pairs, embedding_cosine_pairs) into
+    an actual deduplication: duplicate chains a→b→c collapse into one
+    cluster even though (a, c) was never emitted as a pair.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log n) rounds on ANY graph (no diameter dependence, unlike naive
+    min-label propagation on duplicate chains). Each half-round is pure
+    relational algebra: a groupBy(u).min(v) for the per-node minimum
+    neighbor and an equi-join to re-point edges — no collect_list, so a hub
+    node never materializes its whole neighborhood in one task; AQE's skew
+    join handles hot hubs. Lineage is truncated per round with
+    localCheckpoint (at cluster scale, set a checkpoint dir and swap in
+    checkpoint() for executor-loss resilience).
+
+    Determinism: min() aggregations only — the fixpoint is unique.
+
+    Small-graph fast path: pair sets up to `collect_threshold` are resolved
+    by a driver-side union-find in ONE collect (same unique fixpoint) — an
+    explanation-scale pair set should not pay O(log n) rounds of Spark
+    jobs. The distributed star rounds kick in only beyond the bound (the
+    100 TB path); collect_threshold=0 forces them (used by tests).
+    """
+    # symmetric edge list, self-loops dropped, long ids
+    e = pairs.select(F.col(id_a).cast("long").alias("u"),
+                     F.col(id_b).cast("long").alias("v"))
+    if collect_threshold > 0:
+        rows = e.limit(collect_threshold + 1).collect()
+        if len(rows) <= collect_threshold:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r_ in rows:
+                a, b = int(r_["u"]), int(r_["v"])
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = {x for r_ in rows for x in (int(r_["u"]), int(r_["v"]))}
+            out = [(x, find(x)) for x in sorted(nodes)]
+            return pairs.sparkSession.createDataFrame(
+                out, "id long, cluster_id long")
+    edges = (e.unionByName(e.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over Γ(u) ∪ {u}
+        mins = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        j = edges.join(mins, "u")
+        if large:
+            # connect every LARGER neighbor to u's min
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v"))
+        else:
+            # connect every smaller-or-equal neighbor (and u itself) to min
+            out = j.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v"))
+            out = out.unionByName(mins.select("u", F.col("m").alias("v")))
+        sym = out.unionByName(out.select(F.col("v").alias("u"),
+                                         F.col("u").alias("v")))
+        return sym.filter(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False)
+        edges = edges.localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u") * 31 + F.col("v")).alias("s")).collect()[0]
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint: every edge points a node at its component minimum
+    members = edges.filter(F.col("u") > F.col("v")).select(
+        F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = (edges.select("u").unionByName(edges.select(F.col("v").alias("u")))
+             .distinct().join(members.select(F.col("id").alias("u")),
+                              "u", "left_anti")
+             .select(F.col("u").alias("id"), F.col("u").alias("cluster_id")))
+    return members.unionByName(roots)
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative per near-duplicate cluster (the minimum id —
+    deterministic) and every row that appears in no pair: the corpus-level
+    dedup step of a training-data pipeline. `pairs` is any of the
+    candidate-pair operators' outputs; transitivity is handled by
+    dedup_clusters, so a→b→c keeps only a."""
+    drop = (dedup_clusters(pairs, id_a, id_b)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

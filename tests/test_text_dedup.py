@@ -557,3 +557,92 @@ def test_lsh_bucket_occupancy_guard(spark):
            pairs.filter(F.col("id_a") >= 10**7).collect()}
     assert {(10**7, 10**7 + 1), (10**7, 10**7 + 2),
             (10**7 + 1, 10**7 + 2)} <= got
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Connected components (large-star/small-star) over random pair sets
+    must match a driver-side union-find exactly — including transitive
+    chains the pairwise operators never emit directly."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.dedup import dedup_clusters
+
+    rng = np.random.default_rng(3)
+    n = 400
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(300, 2))
+             if a != b]
+    # union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in pairs:
+        touched |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in touched}
+    # min-id canonical labels
+    label = {}
+    for x, r in want.items():
+        label.setdefault(r, min(y for y in touched if find(y) == r))
+    want = {x: label[find(x)] for x in touched}
+
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    # both paths must produce the identical unique fixpoint
+    got_driver = {r["id"]: r["cluster_id"] for r in dedup_clusters(pdf).collect()}
+    got_dist = {r["id"]: r["cluster_id"] for r in
+                dedup_clusters(pdf, collect_threshold=0).collect()}
+    assert got_driver == want
+    assert got_dist == want
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 300-node path a0-a1-...-a299 (diameter 299) must resolve to ONE
+    cluster rooted at 0 — the O(log n) star rounds, not diameter-bound
+    propagation, within dedup_clusters' iteration cap."""
+    from macrobase_spark.pipelines.dedup import dedup_clusters
+
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(299)],
+                                "id_a long, id_b long")
+    got = dedup_clusters(pdf, collect_threshold=0).collect()
+    assert len(got) == 300
+    assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_drop_near_duplicates_end_to_end(spark):
+    """minhash pairs → clusters → one representative per cluster kept,
+    non-duplicates untouched (the corpus-level dedup contract)."""
+    from macrobase_spark.pipelines.dedup import (drop_near_duplicates,
+                                                 minhash_lsh_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    rows = []
+    for i in range(3):  # near-identical trio → chain of pairs
+        rows.append((10 + i, base + f" variant {i}"))
+    rows.append((50, "completely different text about spark query engines "
+                     "and distributed joins at terabyte scale"))
+    rows.append((60, "yet another unrelated document mentioning inverted "
+                     "indexes compression and posting lists"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, num_hashes=64, bands=16, min_jaccard=0.5)
+    assert pairs.count() >= 2
+    kept = sorted(r["doc_id"] for r in
+                  drop_near_duplicates(df, pairs).select("doc_id").collect())
+    assert kept == [10, 50, 60]
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from macrobase_spark.pipelines.dedup import (dedup_clusters,
+                                                 drop_near_duplicates)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    assert drop_near_duplicates(df, empty).count() == 2
