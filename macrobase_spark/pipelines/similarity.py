@@ -371,3 +371,114 @@ def lsh_bucketed_topk(
     pairs = _lsh_pairs(vectors, queries, n_planes, dim, seed,
                        id_col, vec_col, q_id_col, q_vec_col)
     return _pair_topk(pairs, k, id_col, q_id_col)
+
+
+def ivf_add(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental append to a persisted IVF index: new vectors are assigned
+    to the EXISTING centroids (frozen coarse quantizer — the standard IVF
+    incremental contract) and appended into their cell partitions. O(delta)
+    work; the query path needs no change (a probed cell's scan picks up the
+    appended files automatically), and results are exactly what a fresh
+    assignment of the combined corpus under the same centroids would give.
+
+    Centroid drift: additions do not refit the quantizer, so recall at a
+    given n_probe can degrade if the data distribution shifts — rebuild
+    (ivf_build) to refresh centroids; `ivf_compact` only merges small
+    appended files. Contract: append-only, new ids only (same as the text
+    index's update path)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    id_col = id_col or meta["id_col"]
+    v = _prep_vectors(vectors, id_col, vec_col).withColumn(
+        "_cell", _nearest_cells_udf(centroids, 1)(F.col("_v"))[0])
+    n = v.count()
+    (v.repartition("_cell")
+     .write.mode("append").partitionBy("_cell")
+     .parquet(os.path.join(index_dir, "cells.parquet")))
+    meta["appended"] = int(meta.get("appended", 0)) + int(n)
+    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"n_added": int(n)}
+
+
+def ivf_compact(spark, index_dir: str) -> dict:
+    """Merge the small files incremental ivf_add calls leave behind: rewrite
+    each cell's partition as one compacted file set. Pure maintenance — cell
+    assignment and query results are unchanged."""
+    import os
+
+    path = os.path.join(index_dir, "cells.parquet")
+    v = spark.read.parquet(path)
+    tmp = path + "_compact"
+    (v.repartition("_cell")
+     .write.mode("overwrite").partitionBy("_cell").parquet(tmp))
+    import shutil
+
+    old = path + "_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"compacted": True}
+
+
+def lsh_add(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental append to a persisted LSH index: bucket the new vectors
+    with the PERSISTED hyperplanes and append them as additional
+    bucket-sorted parquet files. Each appended segment carries its own
+    row-group min/max stats on `_bkt`, so the `_bkt IN (...)` pruning in
+    lsh_query keeps skipping non-matching row groups per segment file —
+    query results are identical to a from-scratch rebuild over the combined
+    corpus (same planes/seed → same buckets). O(delta) work; run
+    `lsh_compact` occasionally to merge segments back into one globally
+    sorted file set. Contract: append-only, new ids only."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "lsh_meta.json")) as f:
+        meta = json.load(f)
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    id_col = id_col or meta["id_col"]
+    v = _prep_vectors(vectors, id_col, vec_col).withColumn(
+        "_bkt", _lsh_bucket_expr(F.col("_v"), planes))
+    n = v.count()
+    (v.repartitionByRange(max(vectors.rdd.getNumPartitions(), 2), "_bkt")
+     .sortWithinPartitions("_bkt")
+     .write.mode("append").parquet(os.path.join(index_dir, "buckets.parquet")))
+    meta["appended"] = int(meta.get("appended", 0)) + int(n)
+    with open(os.path.join(index_dir, "lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"n_added": int(n)}
+
+
+def lsh_compact(spark, index_dir: str) -> dict:
+    """Rewrite the LSH bucket table as one globally range-sorted file set
+    (merging incremental segments): restores the single-segment row-group
+    locality; results unchanged."""
+    import os
+    import shutil
+
+    path = os.path.join(index_dir, "buckets.parquet")
+    v = spark.read.parquet(path)
+    tmp = path + "_compact"
+    (v.repartitionByRange(max(v.rdd.getNumPartitions() // 2, 2), "_bkt")
+     .sortWithinPartitions("_bkt")
+     .write.mode("overwrite").parquet(tmp))
+    old = path + "_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"compacted": True}

@@ -646,3 +646,94 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup_clusters(empty).count() == 0
     df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     assert drop_near_duplicates(df, empty).count() == 2
+
+
+def test_ivf_incremental_add_and_compact(spark, tmp_path):
+    """ivf_add: frozen-quantizer append — full-probe queries over the
+    updated index are exactly brute force over the COMBINED corpus; a
+    planted near-duplicate added incrementally is found at n_probe=1; and
+    ivf_compact merges the appended files without changing results."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import (cosine_topk_bruteforce,
+                                                      ivf_add, ivf_build,
+                                                      ivf_compact, ivf_query)
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 12)) * 5
+    base = np.concatenate([
+        centers[i] + rng.standard_normal((30, 12)) for i in range(4)
+    ]).astype("float32")
+    a = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    b_rows = [(i, [float(x) for x in base[i]]) for i in range(100, 120)]
+    qv = base[110] + rng.standard_normal(12).astype("float32") * 0.01
+    b_rows.append((999, [float(x) for x in qv]))  # planted near-dup of query
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<float>")
+    both = a.unionByName(b)
+    qdf = spark.createDataFrame([(0, [float(x) for x in qv])],
+                                "q_id long, q_vec array<float>")
+
+    out = str(tmp_path / "ivf_inc")
+    ivf_build(a, out, n_centroids=4, seed=11)
+    assert ivf_add(b, out)["n_added"] == 21
+
+    # appended near-dup retrievable at the cheapest probe depth
+    got = ivf_query(spark, out, qdf, k=3, n_probe=1).collect()
+    assert got and got[0]["vec_id"] == 999
+
+    # full probe over the updated index == brute force over A ∪ B
+    exact = cosine_topk_bruteforce(both, qdf, k=5).collect()
+    full = ivf_query(spark, out, qdf, k=5, n_probe=4).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 12)) for r in full] == \
+           [(r["vec_id"], round(r["cos_sim"], 12)) for r in exact]
+
+    ivf_compact(spark, out)
+    again = ivf_query(spark, out, qdf, k=5, n_probe=4).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 12)) for r in again] == \
+           [(r["vec_id"], round(r["cos_sim"], 12)) for r in exact]
+
+
+def test_lsh_incremental_add_matches_rebuild(spark, tmp_path):
+    """lsh_add: appended segments bucket with the persisted planes, so the
+    updated index answers EXACTLY like a from-scratch rebuild over the
+    combined corpus (deterministic planes); lsh_compact merges segments
+    into fewer files without changing results."""
+    import glob
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import (lsh_add, lsh_build,
+                                                      lsh_compact, lsh_query)
+
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal((160, 10)).astype("float32")
+    a = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120, 160)],
+        "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(j, [float(x) for x in (base[5 * j] + 0.01 * rng.standard_normal(10))])
+         for j in range(4)], "q_id long, q_vec array<float>")
+
+    inc = str(tmp_path / "lsh_inc")
+    lsh_build(a, inc, n_planes=4, seed=3)
+    assert lsh_add(b, inc)["n_added"] == 40
+    scratch = str(tmp_path / "lsh_scratch")
+    lsh_build(a.unionByName(b), scratch, n_planes=4, seed=3)
+
+    want = [(r["q_id"], r["vec_id"], round(r["cos_sim"], 12)) for r in
+            lsh_query(spark, scratch, qdf, k=5).orderBy("q_id", "rank").collect()]
+    got = [(r["q_id"], r["vec_id"], round(r["cos_sim"], 12)) for r in
+           lsh_query(spark, inc, qdf, k=5).orderBy("q_id", "rank").collect()]
+    assert got == want
+
+    files_before = len(glob.glob(f"{inc}/buckets.parquet/part-*"))
+    lsh_compact(spark, inc)
+    files_after = len(glob.glob(f"{inc}/buckets.parquet/part-*"))
+    assert files_after < files_before
+    again = [(r["q_id"], r["vec_id"], round(r["cos_sim"], 12)) for r in
+             lsh_query(spark, inc, qdf, k=5).orderBy("q_id", "rank").collect()]
+    assert again == want
