@@ -447,9 +447,13 @@ def q14_diff_join(spark, sf):
 
 def q15_text_features(spark, sf):
     """Composite text-analysis gate (§ text analysis): token counting,
-    token-set fingerprint, quality heuristic, and stopword-overlap language
-    ID as parallel Catalyst expressions over `documents`."""
+    token-set fingerprint, quality heuristic, stopword-overlap language ID,
+    and (r4) PII scrubbing — all parallel Catalyst expressions over
+    `documents`; the scrub leg is hash-compared as md5 of the scrubbed
+    text (patterns are RE2-safe by design, so DuckDB reproduces the chain
+    bit-for-bit)."""
     from macrobase_spark.functions import fingerprint, lang_id, quality_score, token_count
+    from macrobase_spark.functions.text import scrub_pii
 
     d = _t(spark, sf, "documents")
     return (
@@ -459,6 +463,7 @@ def q15_text_features(spark, sf):
             quality_score("text").alias("quality"),
             lang_id("text").alias("lang_pred"),
             fingerprint("text").alias("fp"),
+            F.md5(scrub_pii("text")).alias("scrub_fp"),
         )
         .orderBy("doc_id")
         .limit(500)

@@ -4,4 +4,6 @@ from macrobase_spark.functions.text import (  # noqa: F401
     quality_score,
     lang_id,
     fingerprint,
+    scrub_pii,
+    pii_counts,
 )

@@ -84,3 +84,47 @@ def ngrams(col: str | Column, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# PII patterns: RE2-compatible (no lookaround/backrefs) so the same pattern
+# text runs identically under Spark's Java regex and DuckDB's RE2 — keeps
+# the scrubbing oracle-checkable. Ordering matters: emails/IPs/SSNs before
+# the greedy phone pattern (which would otherwise half-eat their digits).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,14}[0-9]"),
+]
+
+
+def scrub_pii(col: str | Column = "text",
+              replacement: str = "[{kind}]") -> Column:
+    """Replace common PII (emails, IPv4s, phone-like digit runs, SSNs) with
+    typed placeholders — the standard pre-training scrub pass. Pure
+    Catalyst `regexp_replace` chain: codegen'd, no Python in the row path,
+    linear scan per doc. `replacement` may reference {kind}.
+
+    Recall/precision are heuristic by design (regex PII scrubbing always
+    is); patterns are deliberately RE2-safe so the exact same behavior is
+    reproducible in DuckDB for oracle checks."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, replacement.format(kind=kind))
+    return out
+
+
+def pii_counts(col: str | Column = "text") -> Column:
+    """Struct of per-kind PII match counts (for filtering/reporting without
+    rewriting the text): `F.col('c.email')` etc. Same patterns as
+    scrub_pii, applied progressively (each kind counted on text already
+    scrubbed of the previous kinds, so overlapping matches are not
+    double-counted — identical semantics to the scrub chain)."""
+    c = F.col(col) if isinstance(col, str) else col
+    fields = []
+    cur = c
+    for kind, pat in PII_PATTERNS:
+        fields.append(F.size(F.split(cur, pat)) - 1)
+        cur = F.regexp_replace(cur, pat, "")
+    return F.struct(*[f.alias(k) for f, (k, _) in zip(fields, PII_PATTERNS)])

@@ -313,7 +313,7 @@ _lang_scores = ",\n".join(
 ORACLES["q15_text_features"] = f"""
 WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
 s AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          CAST(len(toks) AS DOUBLE) AS n,
          CAST(len(list_distinct(toks)) AS DOUBLE) AS nu,
          CAST(length(text) AS DOUBLE) AS n_chars,
@@ -324,6 +324,7 @@ s AS (
   FROM t
 )
 SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[email]', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[ipv4]', 'g'), '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[ssn]', 'g'), '\+?[0-9][0-9()\-\. ]{7,14}[0-9]', '[phone]', 'g')) AS scrub_fp,
        CAST(n AS BIGINT) AS n_tokens,
        ROUND(GREATEST(0.0, LEAST(1.0,
            (CASE WHEN n > 0 THEN nu / n ELSE 0.0 END)

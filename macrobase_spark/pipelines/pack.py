@@ -1,0 +1,87 @@
+"""Sequence packing for training-data pipelines: assign documents to
+fixed-token-budget packs (the pre-tokenization step that turns a deduped
+corpus into dense training sequences).
+
+Greedy packing is inherently sequential (each pack boundary depends on the
+previous one), so the distributed shape is sharded greedy: documents are
+split deterministically into `n_groups` shards, each shard packs
+independently (one applyInPandas group — only (id, token_count) metadata
+moves, never text), and pack ids are (shard, local-index) pairs. The cost
+of sharding is at most ONE underfull pack per shard — negligible against
+corpus size at scale, and the price of not serializing 10¹² rows through a
+single packer. Determinism: shard assignment is a hash of the id, order
+within a shard is (order_col, id), so the output is independent of input
+partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Assign each row a `pack_id` (string "shard:index") and `pack_pos`
+    (0-based position within its pack) such that every pack's token total
+    is ≤ max_tokens — except documents individually longer than the budget,
+    which get a singleton pack (flagged `oversize=true`; filter or split
+    them upstream).
+
+    Greedy first-fit-in-order within each shard: rows ordered by
+    (order_col or id_col, id_col) accumulate until the next row would
+    overflow, then a new pack starts. Only (id, tokens) metadata shuffles.
+    """
+    order = order_col or id_col
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(order).alias("_ord"),
+        F.col(token_col).cast("long").alias("_tok"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+        .alias("_shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "_id"], kind="mergesort")
+        toks = pdf["_tok"].to_numpy(np.int64)
+        shard = int(pdf["_shard"].iloc[0])
+        pack_idx = np.empty(len(toks), dtype=np.int64)
+        pack_pos = np.empty(len(toks), dtype=np.int64)
+        cur, used, pos = 0, 0, 0
+        for i, t in enumerate(toks):
+            if used > 0 and used + t > max_tokens:
+                cur += 1
+                used, pos = 0, 0
+            pack_idx[i] = cur
+            pack_pos[i] = pos
+            used += t
+            pos += 1
+        return pd.DataFrame({
+            "_id": pdf["_id"].to_numpy(),
+            "pack_id": [f"{shard}:{p}" for p in pack_idx],
+            "pack_pos": pack_pos,
+        })
+
+    packed = src.groupBy("_shard").applyInPandas(
+        pack, schema="_id long, pack_id string, pack_pos long")
+    return df.join(packed.withColumnRenamed("_id", id_col), id_col).withColumn(
+        "oversize", F.col(token_col).cast("long") > F.lit(max_tokens))
+
+
+def pack_stats(packed: DataFrame, token_col: str,
+               max_tokens: int) -> DataFrame:
+    """Per-pack totals + fill ratio — the packing-quality report."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col(token_col).cast("long")).alias("pack_tokens"))
+        .withColumn("fill", F.col("pack_tokens") / F.lit(float(max_tokens)))
+    )
