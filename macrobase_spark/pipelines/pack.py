@@ -28,7 +28,8 @@ def pack_sequences(
     max_tokens: int,
     id_col: str = "doc_id",
     order_col: str | None = None,
-    n_groups: int = 64,
+    n_groups: int | None = None,
+    rows_per_shard: int = 2_000_000,
 ) -> DataFrame:
     """Assign each row a `pack_id` (string "shard:index") and `pack_pos`
     (0-based position within its pack) such that every pack's token total
@@ -39,8 +40,16 @@ def pack_sequences(
     Greedy first-fit-in-order within each shard: rows ordered by
     (order_col or id_col, id_col) accumulate until the next row would
     overflow, then a new pack starts. Only (id, tokens) metadata shuffles.
+
+    n_groups=None auto-scales the shard count so each shard's metadata
+    (~24 B/row) stays task-sized (`rows_per_shard`, default 2M rows ≈
+    50 MB per pandas group) — a fixed shard count would make each shard a
+    single applyInPandas group and stop fitting one task at corpus scale.
     """
     order = order_col or id_col
+    if n_groups is None:
+        n = df.select(id_col).count()
+        n_groups = max(8, -(-n // rows_per_shard))
     src = df.select(
         F.col(id_col).alias("_id"),
         F.col(order).alias("_ord"),
