@@ -17,9 +17,13 @@ shared. Round-2 → round-3 name map (merges in parens):
   q33(=q47+q48) q34(=q49) q35(=q52) q36(=q53) q37(=q54) q38(=q55)
   q39(=q56) q40(=q57) q41(=q58) q42(=q59) q43(=q60) q44(=q62) q45(=q63)
   q46(=q64) q47(=q65) q48(=q66) q49(=q67) q50(=q68)
-`oracle_sql()` — DuckDB-equivalent SQL per query (omitted only for ops whose
-semantics aren't SQL-expressible: index-path BM25, MinHash/SimHash with
-engine-specific hashes, streaming state, multimodal stubs → rows-only checks).
+`oracle_sql()` — DuckDB-equivalent SQL per query. 44/50 carry one (r4;
+including the index-path BM25 gates vs the relational twin SQL and the
+LSH-ANN path with its projection planes embedded as literals). The 6
+without (q27/q28 MinHash/SimHash — xxhash64 is engine-specific; q34
+weighted reservoir — stochastic; q39 FAST-MCD, q48 ARIMA
+(SVD least squares), q49 KDE/GMM (sampled fits) — iterative linear
+algebra with no SQL form) are rows-only with pytest semantic gates.
 
 Determinism discipline for value-hash parity:
 - every computed column aliased identically on both sides;

@@ -547,6 +547,76 @@ SELECT o_orderpriority,
 FROM gs, g ORDER BY o_orderpriority
 """
 
+ORACLES["q26_bm25_index_path"] = f"""
+-- the INDEX path (build -> compressed postings -> block-max topk) must
+-- reproduce the relational BM25 exactly (same tokenizer, same formula,
+-- float64 throughout, ascending-term sums) — this oracle is the q18
+-- relational twin's SQL, so the driver now hash-checks the index
+-- end-to-end instead of rows-only
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+consts AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                  (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN ('merge', 'scan', 'row') GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLES["q50_bm25_batch"] = f"""
+-- batched index-path BM25 vs the relational twin, one leg per query
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+consts AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                  (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN ('merge', 'scan', 'row', 'index', 'table', 'join')
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT 'q1' AS query_id, tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('merge', 'row', 'scan')
+  GROUP BY tf.doc_id
+  UNION ALL
+  SELECT 'q2' AS query_id, tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('index')
+  GROUP BY tf.doc_id
+  UNION ALL
+  SELECT 'q3' AS query_id, tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('join', 'table')
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
 ORACLES["q29_windowed_diff"] = """
 WITH base AS (
   SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS ws,
@@ -584,6 +654,53 @@ SELECT CAST(i AS BIGINT) AS media_id,
        i % 11 <> 10 AS ok
 FROM range(64) t(i)
 ORDER BY media_id
+"""
+
+ORACLES["q31_lsh_ann"] = """
+-- LSH-bucketed ANN: the sign-random-projection planes are deterministic
+-- (seed 3), embedded here as literals, so DuckDB reproduces bucket
+-- assignment AND the within-bucket exact rescoring — the approximate
+-- path's semantics verified end-to-end, not just rows-only
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+         (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [2.0409191213851825, -2.5556650313141818, 0.41809884672577885, -0.5677696061279298, -0.45264929211044586, -0.2155971630897659, -2.019986129147251, -0.23193237764418947, -0.8652130762749417, 3.3229995166448827, 0.22578661322792176, -0.3526307943415954, -0.2812874181513504, -0.6680463461089501, -1.0551505512051214, -0.39080097723465473, 0.48194538850678587, -0.2385536065733667, 0.9577587029597641, -0.19980212906658, 0.024259565076664623, 1.545820851212812, 0.5451055226876446, -0.505228735614018, -0.1828389745977349, 0.5405251317548021, 1.9350880340988528, -0.2696203273419135, -0.24355867907910456, 1.0023136012756912, -0.8864599431605871, -0.291720232439864, 0.8825389674564839, 0.5803500161908991, 0.09151670328235219, 0.6701043548284794, -2.8281623068437627, 1.02130681750008, -0.9596447598081417, -1.6686198426559695, 0.27644575952099965, 0.7005448853493901, -0.4447674556827841, -1.0764058401008076, 0.026124833534033623, -0.05274730824287927, 1.4055981660180925, 0.7474079874793504, 0.19381564626462, 1.1116332052239921, -0.20552304990579248, -0.9258995736483681, 0.584058311025248, 0.5825384186556901, -0.2148289111268558, -0.7828085779639662, 0.22915390521326254, -2.4938942784579905, 0.690124770162812, 0.4913682607449912, -1.6388571438904884, 0.06135350983817159, -0.9640996635412404, 0.7572210447581504]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [-2.034167273443428, -0.9144945379945887, 0.7095799877420675, 1.156401048432157, -2.158005380126208, -0.49803984475130336, 0.32802009254257697, -0.6092161379498706, 1.5906402313231438, -1.1912266816177808, 0.354531946286926, -1.0484055185445111, 1.4059629431348852, -0.021651229055558368, -0.3722505640006159, -1.7181849497326165, 1.6818255450666806, 0.7527785926973876, 0.753563837509362, 1.1378812589177814, 0.3492265781230293, -0.6392466105764212, -0.8002412270301018, -0.800199979361005, 1.3700723413337117, -1.4603812011954127, -0.5963695117707888, -0.32124391928619556, 0.22461902534909414, 0.5753493885078089, -1.2490970090955427, -1.730013451272522, -0.004414232621967487, 1.2135638252860816, 0.7570580592965243, 0.21565078369996044, -0.3171556440173552, 0.2932336958002246, -0.24333508574217566, 0.817206580492595, -0.7944473388868819, 0.13423994708633882, -0.11078013611159404, 0.5433593895301524, 0.22463852364937692, 2.550034636307906, 1.498654758135483, 1.4967371655185107, -2.0395038375946424, -0.3403166247023773, -0.6086106159129299, 0.5327215998890392, -2.279026489055327, 1.1744986790091876, 1.0669833108953142, -1.3020708582457947, -0.9785485286214127, -0.8011720107811816, 0.043295900283144985, 0.6409710646894711, 2.0478860553573326, -0.19744542988767094, 0.7675025589036195, 0.15541781005943467]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [1.7599262839082537, 0.7421578612115688, 1.3685504508744795, -1.0776751897834627, -0.19224071152595104, -0.8137724218420405, 1.5049474040083073, 0.6576399038177728, -0.3051444257775161, -0.4524678870704014, 0.4846648782067015, -0.7014955301795535, -0.9305888762121555, 0.4812744922715323, 2.463132032105226, -0.24613355406481327, -0.5558657807935545, -1.171156834025543, -1.3350109575593827, 0.524983234564226, 0.8508030327785525, 0.0091747208824902, 0.3325759886762084, 0.11591657750710396, 0.13865484604722084, -1.5261590525828475, -0.45811827304922115, 0.11147930758994773, -0.7831667805636854, -0.47642974385981746, -0.8191201803277345, -0.3334966741984413, 0.8531082743251359, -0.40658035065559817, -0.15387068019710476, 0.813718359438118, 0.6447702141569163, 1.6952075589596332, -2.090485078128588, 0.856858944523106, -0.4822840867730822, 0.13469181881788084, 0.837719384899064, 1.0832531556913447, 1.0393506903088359, 0.15510669107825276, 1.6096626830183138, -0.2829742272161367, -0.14098191307078672, 0.7993511888940862, -0.5513724079804637, 2.160906258701247, 1.019206565354622, 2.1755753226203938, -0.026589187155779802, -0.38308855026130717, 0.16704800216692559, 0.7345765026061907, -0.5874276868740115, 0.3797017469724474, -0.01680427892083426, 1.6156817605764437, -0.6627018123008657, 1.046161771728719]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [-0.6438635355400087, -0.9606341931074224, -0.7102994273756232, -1.1901858618422472, 0.1463503600664521, 1.0312607960786646, 0.1643148785347983, 0.6243251121848756, 1.6321741955751323, 0.27002644717885166, 0.19516236096309458, -0.27506146796027464, -1.6082422850112825, 0.7597389318680837, -1.7564604476259789, 0.6526764363838281, -0.014320335733954404, 1.1267814508104348, -0.067770260510462, -0.8232001579576669, 0.3579102667525859, -0.5602361357081261, -0.1809568246618137, 0.0418707868620003, -0.13454971174566932, -0.18880227497381663, -0.8324449882870513, -0.18913378409281006, -2.13834060712102, -0.15733209522523053, -1.198055985931922, 1.1202636903470218, 1.2699267473212534, -1.951025780521256, 0.14491679036588978, -0.12636392216675604, -1.0467156300808687, 0.5316531426489993, -0.46168954465474565, -1.7675990956866041, -0.2666766520569678, -0.14825311830009477, 0.10643101824147437, -1.2312329987327657, 0.6156809269215894, 0.7354570881988916, -1.1458272768549103, -0.6588555689831765, -0.08033731382935666, -0.5659253270123664, 1.7437546098496857, 0.20837211615824647, -1.010582036354199, -0.7881089276247821, -0.05747025825572099, 2.2957788082586084, -0.17826432182306642, 0.12747641923980615, 0.5140453781581755, -0.0401259362630417, 2.280660872566708, -0.5315249470251602, 0.7442031251457859, 0.16043796898357113]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 8 ELSE 0 END) AS bkt
+  FROM embeddings WHERE vec_id < 2),
+v AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [2.0409191213851825, -2.5556650313141818, 0.41809884672577885, -0.5677696061279298, -0.45264929211044586, -0.2155971630897659, -2.019986129147251, -0.23193237764418947, -0.8652130762749417, 3.3229995166448827, 0.22578661322792176, -0.3526307943415954, -0.2812874181513504, -0.6680463461089501, -1.0551505512051214, -0.39080097723465473, 0.48194538850678587, -0.2385536065733667, 0.9577587029597641, -0.19980212906658, 0.024259565076664623, 1.545820851212812, 0.5451055226876446, -0.505228735614018, -0.1828389745977349, 0.5405251317548021, 1.9350880340988528, -0.2696203273419135, -0.24355867907910456, 1.0023136012756912, -0.8864599431605871, -0.291720232439864, 0.8825389674564839, 0.5803500161908991, 0.09151670328235219, 0.6701043548284794, -2.8281623068437627, 1.02130681750008, -0.9596447598081417, -1.6686198426559695, 0.27644575952099965, 0.7005448853493901, -0.4447674556827841, -1.0764058401008076, 0.026124833534033623, -0.05274730824287927, 1.4055981660180925, 0.7474079874793504, 0.19381564626462, 1.1116332052239921, -0.20552304990579248, -0.9258995736483681, 0.584058311025248, 0.5825384186556901, -0.2148289111268558, -0.7828085779639662, 0.22915390521326254, -2.4938942784579905, 0.690124770162812, 0.4913682607449912, -1.6388571438904884, 0.06135350983817159, -0.9640996635412404, 0.7572210447581504]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [-2.034167273443428, -0.9144945379945887, 0.7095799877420675, 1.156401048432157, -2.158005380126208, -0.49803984475130336, 0.32802009254257697, -0.6092161379498706, 1.5906402313231438, -1.1912266816177808, 0.354531946286926, -1.0484055185445111, 1.4059629431348852, -0.021651229055558368, -0.3722505640006159, -1.7181849497326165, 1.6818255450666806, 0.7527785926973876, 0.753563837509362, 1.1378812589177814, 0.3492265781230293, -0.6392466105764212, -0.8002412270301018, -0.800199979361005, 1.3700723413337117, -1.4603812011954127, -0.5963695117707888, -0.32124391928619556, 0.22461902534909414, 0.5753493885078089, -1.2490970090955427, -1.730013451272522, -0.004414232621967487, 1.2135638252860816, 0.7570580592965243, 0.21565078369996044, -0.3171556440173552, 0.2932336958002246, -0.24333508574217566, 0.817206580492595, -0.7944473388868819, 0.13423994708633882, -0.11078013611159404, 0.5433593895301524, 0.22463852364937692, 2.550034636307906, 1.498654758135483, 1.4967371655185107, -2.0395038375946424, -0.3403166247023773, -0.6086106159129299, 0.5327215998890392, -2.279026489055327, 1.1744986790091876, 1.0669833108953142, -1.3020708582457947, -0.9785485286214127, -0.8011720107811816, 0.043295900283144985, 0.6409710646894711, 2.0478860553573326, -0.19744542988767094, 0.7675025589036195, 0.15541781005943467]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [1.7599262839082537, 0.7421578612115688, 1.3685504508744795, -1.0776751897834627, -0.19224071152595104, -0.8137724218420405, 1.5049474040083073, 0.6576399038177728, -0.3051444257775161, -0.4524678870704014, 0.4846648782067015, -0.7014955301795535, -0.9305888762121555, 0.4812744922715323, 2.463132032105226, -0.24613355406481327, -0.5558657807935545, -1.171156834025543, -1.3350109575593827, 0.524983234564226, 0.8508030327785525, 0.0091747208824902, 0.3325759886762084, 0.11591657750710396, 0.13865484604722084, -1.5261590525828475, -0.45811827304922115, 0.11147930758994773, -0.7831667805636854, -0.47642974385981746, -0.8191201803277345, -0.3334966741984413, 0.8531082743251359, -0.40658035065559817, -0.15387068019710476, 0.813718359438118, 0.6447702141569163, 1.6952075589596332, -2.090485078128588, 0.856858944523106, -0.4822840867730822, 0.13469181881788084, 0.837719384899064, 1.0832531556913447, 1.0393506903088359, 0.15510669107825276, 1.6096626830183138, -0.2829742272161367, -0.14098191307078672, 0.7993511888940862, -0.5513724079804637, 2.160906258701247, 1.019206565354622, 2.1755753226203938, -0.026589187155779802, -0.38308855026130717, 0.16704800216692559, 0.7345765026061907, -0.5874276868740115, 0.3797017469724474, -0.01680427892083426, 1.6156817605764437, -0.6627018123008657, 1.046161771728719]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN list_aggregate(list_transform(list_zip(embedding, [-0.6438635355400087, -0.9606341931074224, -0.7102994273756232, -1.1901858618422472, 0.1463503600664521, 1.0312607960786646, 0.1643148785347983, 0.6243251121848756, 1.6321741955751323, 0.27002644717885166, 0.19516236096309458, -0.27506146796027464, -1.6082422850112825, 0.7597389318680837, -1.7564604476259789, 0.6526764363838281, -0.014320335733954404, 1.1267814508104348, -0.067770260510462, -0.8232001579576669, 0.3579102667525859, -0.5602361357081261, -0.1809568246618137, 0.0418707868620003, -0.13454971174566932, -0.18880227497381663, -0.8324449882870513, -0.18913378409281006, -2.13834060712102, -0.15733209522523053, -1.198055985931922, 1.1202636903470218, 1.2699267473212534, -1.951025780521256, 0.14491679036588978, -0.12636392216675604, -1.0467156300808687, 0.5316531426489993, -0.46168954465474565, -1.7675990956866041, -0.2666766520569678, -0.14825311830009477, 0.10643101824147437, -1.2312329987327657, 0.6156809269215894, 0.7354570881988916, -1.1458272768549103, -0.6588555689831765, -0.08033731382935666, -0.5659253270123664, 1.7437546098496857, 0.20837211615824647, -1.010582036354199, -0.7881089276247821, -0.05747025825572099, 2.2957788082586084, -0.17826432182306642, 0.12747641923980615, 0.5140453781581755, -0.0401259362630417, 2.280660872566708, -0.5315249470251602, 0.7442031251457859, 0.16043796898357113]),
+             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') > 0 THEN 8 ELSE 0 END) AS bkt
+  FROM embeddings WHERE vec_id >= 2),
+sims AS (
+  SELECT q.q_id, v.vec_id,
+         CASE WHEN list_aggregate(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+                AND list_aggregate(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * x), 'sum') > 0
+              THEN list_aggregate(list_transform(list_zip(v.embedding, q.q_vec),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(v.embedding,
+                                          x -> CAST(x AS DOUBLE) * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.q_vec,
+                                            x -> CAST(x AS DOUBLE) * x), 'sum')))
+              ELSE 0.0 END AS cs
+  FROM v JOIN q ON v.bkt = q.bkt),
+ranked AS (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT q_id, vec_id, ROUND(cs, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
 """
 
 ORACLES["q32_fpgrowth_diff"] = """
