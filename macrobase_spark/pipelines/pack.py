@@ -31,15 +31,22 @@ def pack_sequences(
     n_groups: int | None = None,
     rows_per_shard: int = 2_000_000,
 ) -> DataFrame:
-    """Assign each row a `pack_id` (string "shard:index") and `pack_pos`
-    (0-based position within its pack) such that every pack's token total
-    is ≤ max_tokens — except documents individually longer than the budget,
-    which get a singleton pack (flagged `oversize=true`; filter or split
-    them upstream).
+    """Assign each document a `pack_id` (string "shard:index") and
+    `pack_pos` (0-based position within its pack) such that every pack's
+    token total is ≤ max_tokens — except documents individually longer
+    than the budget, which get a singleton pack (flagged `oversize=true`;
+    filter or split them upstream).
+
+    Returns the ASSIGNMENT relation only — (id, token count, pack_id,
+    pack_pos, oversize) — so nothing but metadata ever shuffles; join it
+    back to the corpus on the id when materializing packed text (an
+    id-keyed join the caller can co-locate with bucketed storage). A
+    convenience that returned the full corpus would smuggle a
+    text-by-id shuffle into every call.
 
     Greedy first-fit-in-order within each shard: rows ordered by
     (order_col or id_col, id_col) accumulate until the next row would
-    overflow, then a new pack starts. Only (id, tokens) metadata shuffles.
+    overflow, then a new pack starts.
 
     n_groups=None auto-scales the shard count so each shard's metadata
     (~24 B/row) stays task-sized (`rows_per_shard`, default 2M rows ≈
@@ -75,14 +82,18 @@ def pack_sequences(
             pos += 1
         return pd.DataFrame({
             "_id": pdf["_id"].to_numpy(),
+            "_tok": toks,
             "pack_id": [f"{shard}:{p}" for p in pack_idx],
             "pack_pos": pack_pos,
         })
 
     packed = src.groupBy("_shard").applyInPandas(
-        pack, schema="_id long, pack_id string, pack_pos long")
-    return df.join(packed.withColumnRenamed("_id", id_col), id_col).withColumn(
-        "oversize", F.col(token_col).cast("long") > F.lit(max_tokens))
+        pack, schema="_id long, _tok long, pack_id string, pack_pos long")
+    return packed.select(
+        F.col("_id").alias(id_col),
+        F.col("_tok").alias(token_col),
+        "pack_id", "pack_pos",
+        (F.col("_tok") > F.lit(max_tokens)).alias("oversize"))
 
 
 def pack_stats(packed: DataFrame, token_col: str,
