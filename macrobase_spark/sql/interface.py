@@ -91,6 +91,10 @@ _BARE_ON_RE = re.compile(
     r"(\bJOIN\s+\w+(?:\s+\w+)?)\s+ON\s+(\w+)(?!\s*(?:=|\.|<|>|!))",
     re.IGNORECASE)
 _PCT_RE = re.compile(r"percentile\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+_SEARCH_RE = re.compile(
+    r"SEARCH\s*\(\s*(?P<idx>\w+)\s*,\s*'(?P<q>[^']*)'\s*"
+    r"(?:,\s*(?P<k>\d+)\s*)?\)",
+    re.IGNORECASE)
 
 
 class MacroBaseSQL:
@@ -117,8 +121,24 @@ class MacroBaseSQL:
         self.outfile_dir = outfile_dir or self.base_dir
         self.last_outfile: str | None = None
         self._view_n = 0
+        self._indexes: dict[str, str] = {}
 
     # ------------------------------------------------------------- public
+
+    def attach_index(self, name: str, index_dir: str) -> None:
+        """Register a persisted inverted index (index.build.build_index
+        output) under `name`, making `SEARCH(name, 'query terms' [, k])`
+        usable as a relation in FROM clauses — the BM25 engine surfaced
+        through the SQL front-end:
+
+            SELECT s.doc_id, s.score, d.text
+            FROM SEARCH(transcripts, 'merge scan row', 10) s
+            JOIN docs d USING (doc_id)
+
+        The SEARCH relation has columns (doc_id, score), ranked by BM25
+        over the index (k defaults to 10); it stays a lazy DataFrame, so
+        joins/filters around it plan normally."""
+        self._indexes[name] = index_dir
 
     def execute(self, text: str) -> DataFrame | None:
         """Run one or more ';'-separated statements; returns the last
@@ -188,11 +208,32 @@ class MacroBaseSQL:
     # ------------------------------------------------------------- plain
 
     def _plain_query(self, stmt: str) -> DataFrame:
+        stmt = self._rewrite_search(stmt)
         stmt = _BARE_ON_RE.sub(lambda m: f"{m.group(1)} USING ({m.group(2)})", stmt)
         stmt = self._qualify_join_dups(stmt)
         if _PCT_RE.search(stmt):
             stmt = self._rewrite_percentile(stmt)
         return self.spark.sql(stmt)
+
+    def _rewrite_search(self, stmt: str) -> str:
+        """Replace SEARCH(index, 'terms'[, k]) with a temp view holding the
+        BM25 top-k relation for that query (see attach_index)."""
+
+        def sub(m: re.Match) -> str:
+            name = m.group("idx")
+            if name not in self._indexes:
+                raise ValueError(
+                    f"no index attached as {name!r} — call "
+                    "attach_index(name, index_dir) first")
+            from macrobase_spark.index.bm25 import bm25_topk
+
+            k = int(m.group("k") or 10)
+            view = self._fresh_view("search")
+            bm25_topk(self.spark, self._indexes[name], m.group("q"),
+                      k=k).createOrReplaceTempView(view)
+            return view
+
+        return _SEARCH_RE.sub(sub, stmt)
 
     def _qualify_join_dups(self, stmt: str) -> str:
         """`SELECT * FROM a JOIN b USING (c)` where a and b share NON-join

@@ -180,3 +180,32 @@ def test_outfile_guard_small_and_large(spark, tmp_path):
     assert os.path.isdir(mb.last_outfile)
     got = spark.read.option("header", "true").csv(mb.last_outfile)
     assert got.count() == 50
+
+
+def test_search_relation_in_sql(spark, tmp_path):
+    """attach_index + SEARCH(name, 'terms', k) as a FROM relation: the BM25
+    engine surfaced through the SQL front-end, composable with joins."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "sql_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5)
+    t.select("doc_id", "role", "text").createOrReplaceTempView("turns")
+
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("transcripts", idx)
+    got = mb.execute(
+        "SELECT s.doc_id, s.score, t.role "
+        "FROM SEARCH(transcripts, 'rare7 the', 5) s "
+        "JOIN turns t USING (doc_id) ORDER BY s.score DESC;").collect()
+    want = bm25_topk(spark, idx, "rare7 the", k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want]
+    assert all(r["role"] is not None for r in got)
+
+    with pytest.raises(ValueError, match="no index attached"):
+        mb.execute("SELECT * FROM SEARCH(nope, 'x');")
