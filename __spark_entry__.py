@@ -467,7 +467,14 @@ def q15_text_features(spark, sf):
             quality_score("text").alias("quality"),
             lang_id("text").alias("lang_pred"),
             fingerprint("text").alias("fp"),
-            F.md5(scrub_pii("text")).alias("scrub_fp"),
+            # planted deterministic PII (the corpus has none) so the scrub
+            # hash-leg is non-vacuous — mirrored verbatim in the oracle
+            F.md5(scrub_pii(F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7")))).alias("scrub_fp"),
         )
         .orderBy("doc_id")
         .limit(500)
@@ -675,19 +682,37 @@ def q25_count_mean_shift_diff(spark, sf):
 # ------- rows-only entries (no SQL-expressible oracle; driver records a
 # ------- weaker rows-only check; semantics are pytest-verified instead)
 
+
+def _cache_key(sf: str, table: str) -> str:
+    """Fingerprint a cached-index key with the SOURCE table's size+mtime:
+    a stale cache built from an older regeneration of the same sf path
+    must never serve a gate (r4 self-review)."""
+    import hashlib
+
+    path = os.path.join(sf, f"{table}.parquet")
+    sig = [sf, table]
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+
+
 def q26_bm25_index_path(spark, sf):
     """BM25 through the real inverted index (build → query). Rank-identity
     vs the exact oracle is asserted in tests/test_index_bm25.py; here the
     driver checks stable schema/rows."""
-    import hashlib
     import tempfile
 
     from macrobase_spark.index import bm25_topk, build_index
 
     d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
         "turn_idx", F.col("doc_id").cast("int"))
-    key = hashlib.md5(sf.encode()).hexdigest()[:10]
-    cache = os.path.join(tempfile.gettempdir(), f"mb_idx_{key}")
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"mb_idx_{_cache_key(sf, 'documents')}")
     if not os.path.exists(os.path.join(cache, "stats.json")):
         build_index(d, cache, num_buckets=4, hot_df_threshold=10**9)
     return bm25_topk(spark, cache, "merge scan row", k=10).select(
@@ -909,7 +934,6 @@ def q38_ivf_ann(spark, sf):
     computes directly. The recall-path variant (n_probe < n_centroids,
     pruning behaviorally proven) stays pytest-gated in
     tests/test_text_dedup.py/test_plans.py."""
-    import hashlib
     import tempfile
 
     from macrobase_spark.pipelines.similarity import ivf_build, ivf_query
@@ -919,8 +943,8 @@ def q38_ivf_ann(spark, sf):
         emb.filter(F.col("vec_id") < 2)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    key = hashlib.md5(sf.encode()).hexdigest()[:10]
-    cache = os.path.join(tempfile.gettempdir(), f"mb_ivf_{key}")
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"mb_ivf_{_cache_key(sf, 'embeddings')}")
     if not os.path.exists(os.path.join(cache, "ivf_meta.json")):
         ivf_build(emb.filter(F.col("vec_id") >= 2), cache, n_centroids=8)
     res = ivf_query(spark, cache, queries_df, k=5, n_probe=8)
@@ -1169,7 +1193,6 @@ def q50_bm25_batch(spark, sf):
     """Batched BM25 (N queries, ONE scoring job) through the real index —
     per-query equality to bm25_topk is pytest-asserted exactly; rows-only
     driver gate on the stable output contract."""
-    import hashlib
     import tempfile
 
     from macrobase_spark.index import build_index
@@ -1177,8 +1200,8 @@ def q50_bm25_batch(spark, sf):
 
     d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
         "turn_idx", F.col("doc_id").cast("int"))
-    key = hashlib.md5(sf.encode()).hexdigest()[:10]
-    cache = os.path.join(tempfile.gettempdir(), f"mb_idx_{key}")
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"mb_idx_{_cache_key(sf, 'documents')}")
     if not os.path.exists(os.path.join(cache, "stats.json")):
         build_index(d, cache, num_buckets=4, hot_df_threshold=10**9)
     res = bm25_topk_batch(

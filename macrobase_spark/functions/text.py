@@ -126,5 +126,8 @@ def pii_counts(col: str | Column = "text") -> Column:
     cur = c
     for kind, pat in PII_PATTERNS:
         fields.append(F.size(F.split(cur, pat)) - 1)
-        cur = F.regexp_replace(cur, pat, "")
+        # replace with the SAME typed placeholder scrub_pii uses — deleting
+        # with '' would merge surrounding digit runs into phantom matches
+        # for later patterns, diverging from what scrub_pii redacts
+        cur = F.regexp_replace(cur, pat, f"[{kind}]")
     return F.struct(*[f.alias(k) for f, (k, _) in zip(fields, PII_PATTERNS)])

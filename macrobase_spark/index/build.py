@@ -649,6 +649,18 @@ def restore_compact_backup(out_dir: str) -> bool:
         return False
     with open(os.path.join(backup, "_meta.json")) as f:
         meta = json.load(f)
+    # liveness guard: a backup whose owning compactor PROCESS is still
+    # alive is an in-progress compaction, not a crash — rolling it back
+    # from a concurrent reader would corrupt the index mid-overwrite.
+    # (Same-host pid probe; on a multi-host deployment pair this with a
+    # lease file on the shared store.)
+    pid = meta.get("pid")
+    if pid is not None and pid != os.getpid():
+        try:
+            os.kill(int(pid), 0)
+            return False  # owner alive → leave the backup alone
+        except (OSError, ProcessLookupError):
+            pass  # owner dead → genuine crash, recover
     postings_root = os.path.join(out_dir, "postings")
     for entry in os.listdir(backup):
         src = os.path.join(backup, entry)
@@ -713,6 +725,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             "stats": json.dumps(stats),
             "manifest_len": (os.path.getsize(manifest_path_)
                              if os.path.exists(manifest_path_) else 0),
+            "pid": os.getpid(),
         }, f)
     for b in stale:
         src = os.path.join(postings_root, f"bucket={b}")

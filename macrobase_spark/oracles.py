@@ -310,6 +310,29 @@ _lang_scores = ",\n".join(
     f"       len(list_intersect(toks, {words!r})) AS s_{lang}"
     for lang, words in _LANGS.items()
 )
+
+def _pii_scrub_sql(expr: str) -> str:
+    """Build the DuckDB scrub chain from the CANONICAAL pattern list in
+    functions/text.py — never inline regex text into an f-string template
+    (f-string brace interpolation corrupted `{2,}`-style quantifiers and
+    non-raw escapes turned \\b into backspace; caught by r4 self-review)."""
+    from macrobase_spark.functions.text import PII_PATTERNS
+
+    out = expr
+    for kind, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{lit}', '[{kind}]', 'g')"
+    return out
+
+
+# planted PII: the corpus itself contains none, so the scrub leg would be
+# vacuously green; both sides append a deterministic synthetic email+IP so
+# the hash check proves the chain actually fires on every row
+_PII_PLANT = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+              "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+              "|| '.7'")
+_scrub_fp_sql = "md5(" + _pii_scrub_sql(_PII_PLANT) + ")"
+
 ORACLES["q15_text_features"] = f"""
 WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
 s AS (
@@ -324,7 +347,7 @@ s AS (
   FROM t
 )
 SELECT doc_id,
-       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[email]', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[ipv4]', 'g'), '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[ssn]', 'g'), '\+?[0-9][0-9()\-\. ]{7,14}[0-9]', '[phone]', 'g')) AS scrub_fp,
+       {_scrub_fp_sql} AS scrub_fp,
        CAST(n AS BIGINT) AS n_tokens,
        ROUND(GREATEST(0.0, LEAST(1.0,
            (CASE WHEN n > 0 THEN nu / n ELSE 0.0 END)

@@ -231,11 +231,19 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             F.lit((1 << widths[i]) - 1)).cast("long")
         for i in range(n_blocks)
     ]
+    # pack combo keys with a stride of the ACTUAL max block width — a fixed
+    # 16-bit stride would overflow the signed-long key for combo_blocks ≥ 4
+    stride = max(widths)
+    if combo_blocks * stride > 63:
+        raise ValueError(
+            f"combo key needs {combo_blocks * stride} bits (combo_blocks="
+            f"{combo_blocks} x {stride}-bit blocks) — exceeds a signed "
+            "long; use more (narrower) blocks or fewer combo blocks")
     keys = []
     for j, combo in enumerate(combinations(range(n_blocks), combo_blocks)):
         k = F.lit(0).cast("long")
         for pos, bi in enumerate(combo):
-            k = k + bkeys[bi] * F.lit(1 << (16 * pos))
+            k = k + bkeys[bi] * F.lit(1 << (stride * pos))
         keys.append(F.struct(F.lit(j).alias("blk"), k.alias("bkey")))
     b = df.select(
         F.col(id_col).alias("_id"), "simhash",
@@ -280,16 +288,13 @@ def auto_n_planes(n: int) -> int:
 
 
 def _srp_bucket(vec_col, planes: np.ndarray):
-    """Sign-random-projection bucket id (long) of an array<double> column."""
-    bkt = F.lit(0).cast("long")
-    for i in range(planes.shape[0]):
-        dot = F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in planes[i]]),
-                       lambda a, b: a * b),
-            F.lit(0.0), lambda a, x: a + x)
-        bkt = bkt + F.when(dot > 0, F.lit(int(2 ** i)).cast("long")).otherwise(
-            F.lit(0).cast("long"))
-    return bkt
+    """Sign-random-projection bucket id (long) of an array<double> column —
+    thin cast wrapper over the ONE SRP primitive shared with the persisted
+    LSH index (similarity._lsh_bucket_expr), so the two modules can never
+    drift out of bucket compatibility."""
+    from macrobase_spark.pipelines.similarity import _lsh_bucket_expr
+
+    return _lsh_bucket_expr(vec_col, planes).cast("long")
 
 
 _SPLIT_PLANES = 6  # 64-way split of over-occupied buckets
@@ -317,10 +322,15 @@ def lsh_bucket_assign(
         F.col(vec_col).cast("array<double>").alias("_e"),
     ).withColumn("_n", F.sqrt(F.aggregate(
         "_e", F.lit(0.0), lambda a, x: a + x * x)))
+    first = df.select(vec_col).first()
+    if first is None:  # empty corpus: nothing to bucket, don't crash
+        return v.withColumn("_bkt", F.lit(0).cast("long"))
     if n_planes is None:
+        # auto mode costs one count() action over the id projection —
+        # documented trade for a corpus-scaled bucket count
         n_planes = auto_n_planes(df.select(id_col).count())
     rng = np.random.default_rng(seed)
-    dim = len(df.select(vec_col).first()[0])
+    dim = len(first[0])
     planes = rng.standard_normal((n_planes, dim))
     v = v.withColumn("_bkt", _srp_bucket("_e", planes))
     if max_bucket is not None:
@@ -530,16 +540,29 @@ def dedup_clusters(
         return sym.filter(F.col("u") != F.col("v")).distinct()
 
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         edges = _star(_star(edges, large=True), large=False)
         edges = edges.localCheckpoint(eager=True)
+        # order-independent set fingerprint: XOR of xxhash64(u, v) over the
+        # (distinct) edge set + count. A weak u+v-style checksum could
+        # collide across different edge sets and stop the loop pre-fixpoint
+        # (r4 self-review); a 64-bit-hash collision is ~2^-64. bit_xor
+        # (not sum) so ANSI overflow checking can never trip.
         sig = edges.agg(
             F.count("*").alias("n"),
-            F.sum(F.col("u") * 31 + F.col("v")).alias("s")).collect()[0]
+            F.expr("bit_xor(xxhash64(u, v))").alias("s")).collect()[0]
         sig = (sig["n"], sig["s"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not reach the star fixpoint in {max_iter} "
+            "rounds — raise max_iter (convergence is O(log n) rounds, so "
+            "this indicates an extraordinarily large component count or a "
+            "bug, not normal operation)")
     # fixpoint: every edge points a node at its component minimum
     members = edges.filter(F.col("u") > F.col("v")).select(
         F.col("u").alias("id"), F.col("v").alias("cluster_id"))

@@ -230,6 +230,7 @@ def ivf_query(
                     F.explode(_nearest_cells_udf(centroids, n_probe)(F.col("_q"))))
     )
     probed = sorted({r["_cell"] for r in qx.select("_cell").distinct().collect()})
+    _recover_swap(os.path.join(index_dir, "cells.parquet"))
     cells = (
         spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
         .filter(F.col("_cell").isin(probed))
@@ -296,6 +297,7 @@ def lsh_query(
     q = _prep_queries(queries, q_id_col, q_vec_col).withColumn(
         "_bkt", _lsh_bucket_expr(F.col("_q"), planes))
     probed = sorted({r["_bkt"] for r in q.select("_bkt").distinct().collect()})
+    _recover_swap(os.path.join(index_dir, "buckets.parquet"))
     v = (spark.read.parquet(os.path.join(index_dir, "buckets.parquet"))
          .filter(F.col("_bkt").isin(probed)))
     pairs = v.join(F.broadcast(q), "_bkt").drop("_bkt")
@@ -373,6 +375,49 @@ def lsh_bucketed_topk(
     return _pair_topk(pairs, k, id_col, q_id_col)
 
 
+def _atomic_json_write(path: str, obj: dict) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)  # atomic: a crash never leaves half a meta file
+
+
+def _recover_swap(path: str) -> None:
+    """Recover the compaction rename swap: a crash between
+    rename(path, path_old) and rename(path_tmp, path) leaves the live dir
+    missing — restore from _old (or promote a fully-written _tmp). Also
+    clears stale _old/_tmp leftovers that would wedge the next compaction.
+    Called from every query/compact entry point."""
+    import os
+    import shutil
+
+    old, tmp = path + "_old", path + "_compact"
+    if not os.path.exists(path):
+        if os.path.isdir(tmp) and os.path.exists(
+                os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)      # tmp was complete: finish the swap
+        elif os.path.isdir(old):
+            os.rename(old, path)      # roll back to the pre-compact data
+    for leftover in (old, tmp):
+        if os.path.exists(path) and os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+
+
+def _swap_in(path: str, tmp: str) -> None:
+    import os
+    import shutil
+
+    old = path + "_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def ivf_add(
     vectors: DataFrame,
     index_dir: str,
@@ -405,8 +450,7 @@ def ivf_add(
      .write.mode("append").partitionBy("_cell")
      .parquet(os.path.join(index_dir, "cells.parquet")))
     meta["appended"] = int(meta.get("appended", 0)) + int(n)
-    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_json_write(os.path.join(index_dir, "ivf_meta.json"), meta)
     return {"n_added": int(n)}
 
 
@@ -417,16 +461,12 @@ def ivf_compact(spark, index_dir: str) -> dict:
     import os
 
     path = os.path.join(index_dir, "cells.parquet")
+    _recover_swap(path)  # clear any crashed previous attempt first
     v = spark.read.parquet(path)
     tmp = path + "_compact"
     (v.repartition("_cell")
      .write.mode("overwrite").partitionBy("_cell").parquet(tmp))
-    import shutil
-
-    old = path + "_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_in(path, tmp)
     return {"compacted": True}
 
 
@@ -459,8 +499,7 @@ def lsh_add(
      .sortWithinPartitions("_bkt")
      .write.mode("append").parquet(os.path.join(index_dir, "buckets.parquet")))
     meta["appended"] = int(meta.get("appended", 0)) + int(n)
-    with open(os.path.join(index_dir, "lsh_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_json_write(os.path.join(index_dir, "lsh_meta.json"), meta)
     return {"n_added": int(n)}
 
 
@@ -472,13 +511,11 @@ def lsh_compact(spark, index_dir: str) -> dict:
     import shutil
 
     path = os.path.join(index_dir, "buckets.parquet")
+    _recover_swap(path)  # clear any crashed previous attempt first
     v = spark.read.parquet(path)
     tmp = path + "_compact"
     (v.repartitionByRange(max(v.rdd.getNumPartitions() // 2, 2), "_bkt")
      .sortWithinPartitions("_bkt")
      .write.mode("overwrite").parquet(tmp))
-    old = path + "_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_in(path, tmp)
     return {"compacted": True}

@@ -173,9 +173,13 @@ class MacroBaseSQL:
                 # (explanation-scale results); guard it so a big SELECT
                 # cannot OOM the driver — above the bound the result is
                 # written distributed (a directory of part CSVs) instead.
-                probe = df.limit(self.OUTFILE_DRIVER_ROWS + 1).toPandas()
-                if len(probe) <= self.OUTFILE_DRIVER_ROWS:
-                    probe.to_csv(path, index=False)
+                # The probe is a row-limited COUNT (no driver
+                # materialization); the small path re-executes the
+                # explanation-scale query once more, which is the cheap
+                # side of the trade.
+                n = df.limit(self.OUTFILE_DRIVER_ROWS + 1).count()
+                if n <= self.OUTFILE_DRIVER_ROWS:
+                    df.toPandas().to_csv(path, index=False)
                 else:
                     df.write.mode("overwrite").option("header", "true").csv(
                         path + ".d")
