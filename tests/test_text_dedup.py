@@ -737,3 +737,98 @@ def test_lsh_incremental_add_matches_rebuild(spark, tmp_path):
     again = [(r["q_id"], r["vec_id"], round(r["cos_sim"], 12)) for r in
              lsh_query(spark, inc, qdf, k=5).orderBy("q_id", "rank").collect()]
     assert again == want
+
+
+def test_ann_compact_swap_recovery(spark, tmp_path):
+    """A crash between the two renames of ivf_compact/lsh_compact leaves no
+    live table; the next query entry point must recover from _old (and a
+    complete _compact staging dir must win over _old)."""
+    import os
+    import shutil
+    import numpy as np
+
+    from macrobase_spark.pipelines.similarity import (ivf_build, ivf_query,
+                                                      lsh_build, lsh_query)
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((60, 8)).astype("float32")
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame([(0, [float(x) for x in base[7]])],
+                                "q_id long, q_vec array<float>")
+
+    ivf = str(tmp_path / "ivf_sw")
+    ivf_build(vdf, ivf, n_centroids=4)
+    want = [r["vec_id"] for r in ivf_query(spark, ivf, qdf, k=3, n_probe=4).collect()]
+    cells = os.path.join(ivf, "cells.parquet")
+    os.rename(cells, cells + "_old")  # crash between the renames
+    got = [r["vec_id"] for r in ivf_query(spark, ivf, qdf, k=3, n_probe=4).collect()]
+    assert got == want
+    assert os.path.isdir(cells) and not os.path.isdir(cells + "_old")
+
+    lsh = str(tmp_path / "lsh_sw")
+    lsh_build(vdf, lsh, n_planes=3)
+    wantl = [r["vec_id"] for r in lsh_query(spark, lsh, qdf, k=3).collect()]
+    buckets = os.path.join(lsh, "buckets.parquet")
+    # crash AFTER staging completed but before any rename: _compact with
+    # _SUCCESS and the live dir both present → stale staging cleared
+    shutil.copytree(buckets, buckets + "_compact")
+    gotl = [r["vec_id"] for r in lsh_query(spark, lsh, qdf, k=3).collect()]
+    assert gotl == wantl
+    assert not os.path.isdir(buckets + "_compact")
+
+
+def test_compact_backup_pid_liveness(spark, tmp_path):
+    """restore_compact_backup must NOT roll back a backup whose owning
+    process is still alive (in-progress compaction seen by a concurrent
+    reader), and MUST recover one whose owner is dead."""
+    import json
+    import os
+
+    from macrobase_spark.index.build import restore_compact_backup
+
+    out = str(tmp_path / "pidx")
+    os.makedirs(os.path.join(out, "_compact_backup"))
+    with open(os.path.join(out, "_compact_backup", "_meta.json"), "w") as f:
+        json.dump({"stats": json.dumps({"n_docs": 0}),
+                   "manifest_len": 0, "pid": 1}, f)  # pid 1: always alive
+    with open(os.path.join(out, "_compact_backup", "_complete"), "w") as f:
+        f.write("1")
+    assert restore_compact_backup(out) is False  # owner alive → untouched
+    assert os.path.isdir(os.path.join(out, "_compact_backup"))
+
+    meta = os.path.join(out, "_compact_backup", "_meta.json")
+    with open(meta, "w") as f:
+        json.dump({"stats": json.dumps({"n_docs": 0}),
+                   "manifest_len": 0, "pid": 2 ** 22 + 12345}, f)  # dead
+    assert restore_compact_backup(out) is True
+    assert not os.path.isdir(os.path.join(out, "_compact_backup"))
+
+
+def test_simhash_wide_combo_schemes(spark):
+    """(8,5) is a legitimate r<=3 scheme (8-bit blocks, 40-bit keys) and
+    must work; (4,4) needs 64 bits and must raise, not overflow."""
+    import numpy as np
+
+    from macrobase_spark.pipelines.dedup import (simhash_candidate_pairs,
+                                                 simhash_near_pairs)
+
+    rng = np.random.default_rng(5)
+    rows = []
+    want = set()
+    for i, h in enumerate(rng.integers(-(2 ** 63), 2 ** 63, size=20,
+                                       dtype=np.int64)):
+        rows.append((2 * i, int(h)))
+        h2 = int(h) ^ (1 << int(rng.integers(0, 64)))
+        h2 = int(np.int64(np.uint64(h2 % 2 ** 64)))
+        rows.append((2 * i + 1, h2))
+        want.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_near_pairs(df, max_hamming=3, n_blocks=8,
+                              combo_blocks=5).collect()}
+    assert want <= got
+
+    with pytest.raises(ValueError, match="exceeds a signed long"):
+        simhash_candidate_pairs(df, n_blocks=4, combo_blocks=4)
