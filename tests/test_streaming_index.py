@@ -246,3 +246,50 @@ def test_crashed_compaction_restores_and_stays_rank_identical(spark, tmp_path):
     assert restore_compact_backup(out2) is False
     assert not os.path.isdir(backup)
     assert sorted(os.listdir(os.path.join(out2, "postings"))) == before
+
+
+def test_stream_dedup_index_updates(spark, tmp_path):
+    """Dedup-on-ingest: re-delivered/duplicated documents across micro-
+    batches must enter the index exactly once; the final index is
+    rank+score identical to a scratch build over the UNIQUE corpus."""
+    from macrobase_spark.streaming.dedup_ingest import (
+        dedup_batch, stream_dedup_index_updates)
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=60, seed=42)).cache()
+    uniq = _slice(all_df, 0, 60)
+    # arrival files: second file re-delivers convs 20..40 under NEW doc_ids
+    # (id+10^6) — content duplicates with different ids, the hard case
+    dup = (_slice(all_df, 20, 40)
+           .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    _slice(all_df, 0, 40).coalesce(1).write.parquet(str(src / "d0"))
+    dup.unionByName(_slice(all_df, 40, 60)).coalesce(1).write.parquet(
+        str(src / "d1"))
+
+    out = str(tmp_path / "dd_idx")
+    q = stream_dedup_index_updates(
+        (spark.readStream.schema(all_df.schema)
+         .option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")),
+        out, str(tmp_path / "ckpt"), compact_every=0,
+        trigger={"availableNow": True},
+        build_kwargs=dict(num_buckets=8, hot_df_threshold=120,
+                          hot_sample_frac=0.5))
+    q.awaitTermination(300)
+
+    from macrobase_spark.index.build import read_index
+    from macrobase_spark.pipelines.dedup import dedup_exact
+
+    # content-dedup also collapses legitimately identical turns WITHIN the
+    # unique corpus (the synthetic corpus contains such a pair) — the
+    # expected index corpus is dedup_exact(uniq), min id kept
+    expected = dedup_exact(uniq).cache()
+    docs = read_index(spark, out)[1]
+    assert docs.count() == expected.count()
+    assert docs.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    _assert_matches_scratch(spark, out, expected, tmp_path, "dd")
+
+    # batch-level API: a whole re-delivered batch dedups to nothing
+    left = dedup_batch(_slice(all_df, 0, 40),
+                       str(tmp_path / "dd_idx" / "_dedup"))
+    assert left.count() == 0
