@@ -64,13 +64,21 @@ def dedup_filter(
     ).filter(F.col(id_col) == F.col("_min")).drop("_min")
     path = os.path.join(seen_dir, "keys.parquet")
     if os.path.exists(path):
-        # bucket pruning: the batch's key-bucket set is small — push it as
-        # a partition filter so the anti-join scans only matching buckets
+        # Scale shape: the seen-keys store grows with the corpus and must
+        # NEVER shuffle per batch. Two broadcast passes instead of a plain
+        # anti-join (which would hash-partition the whole store):
+        #   1. matched = store ⋉ broadcast(batch keys) — one partition-
+        #      pruned SCAN of the matching buckets, no store shuffle;
+        #      |matched| ≤ |batch|.
+        #   2. batch anti-join broadcast(matched) — driver-free, tiny.
         kbs = [r["_kb"] for r in keep.select("_kb").distinct().collect()]
         seen = (spark.read.parquet(path)
                 .filter(F.col("_kb").isin(kbs))
                 .select("_key", "_kb"))
-        return keep.join(seen, ["_key", "_kb"], "left_anti")
+        batch_keys = keep.select("_key", "_kb").distinct()
+        matched = seen.join(F.broadcast(batch_keys), ["_key", "_kb"],
+                            "left_semi").distinct()
+        return keep.join(F.broadcast(matched), ["_key", "_kb"], "left_anti")
     return keep
 
 
