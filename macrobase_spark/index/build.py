@@ -659,8 +659,10 @@ def restore_compact_backup(out_dir: str) -> bool:
         try:
             os.kill(int(pid), 0)
             return False  # owner alive → leave the backup alone
-        except (OSError, ProcessLookupError):
+        except ProcessLookupError:
             pass  # owner dead → genuine crash, recover
+        except PermissionError:
+            return False  # alive but other-user (EPERM) → leave it alone
     postings_root = os.path.join(out_dir, "postings")
     for entry in os.listdir(backup):
         src = os.path.join(backup, entry)

@@ -4,28 +4,31 @@ table) — the standard training-data ingest shape where re-crawled or
 re-delivered content must not inflate the corpus.
 
 Design (foreachBatch, composes with streaming/index_ingest.py):
-- per batch: compute the content key (normalized fingerprint or raw md5 —
-  same options as pipelines/dedup.dedup_exact), drop in-batch duplicates
-  (keep min id), then LEFT ANTI join against the persisted seen-keys
-  table and append the survivors' keys.
-- the seen-keys store is a parquet table of (key, doc_id) HASH-BUCKETED by
-  key into a fixed directory layout, so the anti-join reads only the
-  bucket files matching the batch's keys (a micro-batch touches a bounded
-  key set; the store grows with the corpus but each epoch's join is
-  O(batch + matching buckets)).
-- exactly-once: key appends are idempotent at the semantic level (a replay
-  re-appends keys that are already present, which cannot change future
-  dedup decisions — duplicate key rows are harmless to the anti-join), so
-  this layer needs no epoch ledger of its own; pair it with
-  index_ingest.apply_stream_batch (which has one) for the index mutation.
-
-Scale shape: everything is one anti-join per batch keyed on the content
-hash; the text column never shuffles (keys are computed in place, the join
-projects keys + ids only).
+- per batch: compute content keys on an (id, key) PROJECTION — document
+  text never enters any dedup shuffle (the same discipline as
+  pipelines/dedup.dedup_exact); decide drop-ids from metadata only, then
+  anti-join the batch rows by id (drop sets are duplicate-sized, so the
+  join broadcasts under AQE).
+- the seen-keys store is a parquet table of (key, first_id) hash-bucketed
+  by key; its bucket count + normalization flag are persisted in
+  `_meta.json` (a silently changed constant would otherwise disable dedup
+  against existing stores). The store is only ever SCANNED, never
+  shuffled: matches are found by broadcasting the batch's key set into a
+  left-semi scan of the pruned buckets.
+- replays append duplicate key rows (harmless to the anti-join semantics);
+  `compact_seen` periodically rewrites the store to distinct keys and one
+  file set per bucket — without it a year-long stream accumulates one
+  small file per bucket per epoch. The streaming wrapper runs it on the
+  same cadence as index compaction.
+- crash ordering: keys are recorded AFTER the downstream apply commits
+  (see stream_dedup_index_updates) — recording first would make a
+  crash-then-replay anti-join the batch against its own keys and silently
+  drop the documents.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
@@ -33,14 +36,42 @@ from pyspark.sql import functions as F
 
 from macrobase_spark.functions.text import fingerprint
 
-_N_KEY_BUCKETS = 64
+_DEFAULT_KEY_BUCKETS = 64
 
 
-def _keyed(df: DataFrame, id_col: str, text_col: str,
-           normalize: bool) -> DataFrame:
-    key = fingerprint(text_col) if normalize else F.md5(F.col(text_col))
-    return df.withColumn("_key", key).withColumn(
-        "_kb", F.pmod(F.xxhash64("_key"), F.lit(_N_KEY_BUCKETS)).cast("int"))
+def _store_meta(seen_dir: str, normalize: bool) -> dict:
+    """Load (or create) the store's layout contract."""
+    path = os.path.join(seen_dir, "_meta.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            meta = json.load(f)
+        if bool(meta.get("normalize")) != bool(normalize):
+            raise ValueError(
+                f"seen-keys store at {seen_dir!r} was built with "
+                f"normalize={meta.get('normalize')} — mixing key schemes "
+                "would silently stop matching previously seen content")
+        return meta
+    os.makedirs(seen_dir, exist_ok=True)
+    meta = {"n_buckets": _DEFAULT_KEY_BUCKETS, "normalize": bool(normalize)}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return meta
+
+
+def _keyed_ids(df: DataFrame, id_col: str, text_col: str, normalize: bool,
+               n_buckets: int) -> DataFrame:
+    """(id, _key, _kb) projection — text is consumed to COMPUTE the key and
+    never survives into the relation, so no dedup stage shuffles it. NULL
+    text keys as empty content (a NULL _key would never equi-join and the
+    row would be re-ingested on every redelivery)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    key = fingerprint(text) if normalize else F.md5(text)
+    return df.select(
+        F.col(id_col), key.alias("_key"),
+    ).withColumn("_kb", F.pmod(F.xxhash64("_key"), F.lit(n_buckets))
+                 .cast("int"))
 
 
 def dedup_filter(
@@ -49,48 +80,77 @@ def dedup_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
-) -> DataFrame:
-    """Batch minus (a) in-batch duplicate content (min id kept) and (b)
-    content already recorded in `seen_dir`. Keeps the internal `_key`/`_kb`
-    columns so `record_keys` can persist the survivors WITHOUT recomputing;
-    drop them (or call record_keys) before handing the rows on."""
-    spark = batch_df.sparkSession
-    keyed = _keyed(batch_df, id_col, text_col, normalize)
-    # in-batch dedup: keep the min id per key (deterministic)
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (fresh_rows, fresh_keys): the batch minus in-batch duplicate
+    content (min id kept) and minus content already in the store, plus the
+    (id, _key, _kb) metadata of the survivors for `record_keys`. All dedup
+    decisions happen on metadata projections; the batch rows are filtered
+    with one id anti-join at the end."""
     from pyspark.sql import Window as W
 
-    keep = keyed.withColumn(
+    spark = batch_df.sparkSession
+    meta = _store_meta(seen_dir, normalize)
+    # the keyed projection fans into several branches below — pin it once
+    # (metadata-sized) so the fingerprint pass over text runs exactly once
+    ids = _keyed_ids(batch_df, id_col, text_col, normalize,
+                     meta["n_buckets"]).localCheckpoint(eager=True)
+    keep_ids = ids.withColumn(
         "_min", F.min(id_col).over(W.partitionBy("_key"))
     ).filter(F.col(id_col) == F.col("_min")).drop("_min")
+
     path = os.path.join(seen_dir, "keys.parquet")
     if os.path.exists(path):
-        # Scale shape: the seen-keys store grows with the corpus and must
-        # NEVER shuffle per batch. Two broadcast passes instead of a plain
-        # anti-join (which would hash-partition the whole store):
-        #   1. matched = store ⋉ broadcast(batch keys) — one partition-
-        #      pruned SCAN of the matching buckets, no store shuffle;
-        #      |matched| ≤ |batch|.
-        #   2. batch anti-join broadcast(matched) — driver-free, tiny.
-        kbs = [r["_kb"] for r in keep.select("_kb").distinct().collect()]
+        # store side is only SCANNED: broadcast the batch key set into a
+        # left-semi over the pruned buckets (matches ≤ batch size), then
+        # broadcast the matches back — the store never shuffles.
+        kbs = [r["_kb"] for r in keep_ids.select("_kb").distinct().collect()]
         seen = (spark.read.parquet(path)
                 .filter(F.col("_kb").isin(kbs))
                 .select("_key", "_kb"))
-        batch_keys = keep.select("_key", "_kb").distinct()
+        batch_keys = keep_ids.select("_key", "_kb").distinct()
         matched = seen.join(F.broadcast(batch_keys), ["_key", "_kb"],
                             "left_semi").distinct()
-        return keep.join(F.broadcast(matched), ["_key", "_kb"], "left_anti")
-    return keep
+        fresh_keys = keep_ids.join(F.broadcast(matched), ["_key", "_kb"],
+                                   "left_anti")
+    else:
+        fresh_keys = keep_ids
+    fresh_keys = fresh_keys.localCheckpoint(eager=True)
+    # drop set = batch ids NOT surviving — duplicate-sized, so this final
+    # anti-join broadcasts under AQE and the text column never shuffles
+    drop_ids = ids.select(id_col).exceptAll(fresh_keys.select(id_col))
+    fresh_rows = batch_df.join(drop_ids, id_col, "left_anti")
+    return fresh_rows, fresh_keys
 
 
-def record_keys(fresh: DataFrame, seen_dir: str,
+def record_keys(fresh_keys: DataFrame, seen_dir: str,
                 id_col: str = "doc_id") -> None:
-    """Append the surviving rows' content keys to the store. Append is
-    idempotent at the semantic level: a replayed append adds duplicate key
-    rows, which cannot change any future anti-join decision."""
+    """Append the surviving (key, id) metadata to the store. Semantically
+    idempotent: a replayed append adds duplicate key rows, which cannot
+    change any future anti-join decision (compact_seen clears them)."""
     path = os.path.join(seen_dir, "keys.parquet")
-    (fresh.select("_key", "_kb", F.col(id_col).alias("first_id"))
+    (fresh_keys.select("_key", "_kb", F.col(id_col).alias("first_id"))
      .repartition("_kb")
      .write.mode("append").partitionBy("_kb").parquet(path))
+
+
+def compact_seen(spark, seen_dir: str) -> dict:
+    """Rewrite the seen-keys store to distinct keys (min first_id) and one
+    compacted file set per bucket — bounds the per-batch scan cost that
+    epoch appends (plus replay duplicates) would otherwise grow without
+    limit. Same crash-safe rename-swap protocol as the ANN compactors."""
+    from macrobase_spark.pipelines.similarity import _recover_swap, _swap_in
+
+    path = os.path.join(seen_dir, "keys.parquet")
+    if not os.path.exists(path):
+        return {"compacted": False}
+    _recover_swap(path)
+    tmp = path + "_compact"
+    (spark.read.parquet(path)
+     .groupBy("_key", "_kb").agg(F.min("first_id").alias("first_id"))
+     .repartition("_kb")
+     .write.mode("overwrite").partitionBy("_kb").parquet(tmp))
+    _swap_in(path, tmp)
+    return {"compacted": True}
 
 
 def dedup_batch(
@@ -99,13 +159,19 @@ def dedup_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
+    sink=None,
 ) -> DataFrame:
-    """One-shot batch dedup: filter + record in one call (batch-job use;
-    the streaming body orders record_keys AFTER the downstream apply — see
-    stream_dedup_index_updates for why)."""
-    fresh = dedup_filter(batch_df, seen_dir, id_col, text_col, normalize)
-    record_keys(fresh, seen_dir, id_col)
-    return fresh.drop("_key", "_kb")
+    """One-shot batch dedup. `sink(fresh_rows)` — your durable write — runs
+    BETWEEN filtering and key recording: recording first would mean a
+    crash before your write permanently loses those documents (the rerun
+    would anti-join them against their own keys). If you have no durable
+    side effect, sink=None just filters and records."""
+    fresh_rows, fresh_keys = dedup_filter(batch_df, seen_dir, id_col,
+                                          text_col, normalize)
+    if sink is not None:
+        sink(fresh_rows)
+    record_keys(fresh_keys, seen_dir, id_col)
+    return fresh_rows
 
 
 def stream_dedup_index_updates(
@@ -118,33 +184,38 @@ def stream_dedup_index_updates(
     compact_every: int = 8,
     trigger: dict | None = None,
     build_kwargs: dict | None = None,
+    on_run_id_change: str = "error",
 ):
     """Dedup-on-ingest feeding the full-text index: each micro-batch is
     exact-deduped against everything already ingested, then applied to the
     LSM index via apply_stream_batch (which supplies the effectively-once
-    epoch protocol). The seen-keys store lives inside the index dir, so
-    index + dedup state travel together. Returns the StreamingQuery."""
+    epoch protocol; on_run_id_change passes through for checkpoint-reset
+    handling). The seen-keys store lives inside the index dir and is
+    compacted on the index's compaction cadence. Returns the
+    StreamingQuery."""
     from macrobase_spark.streaming.index_ingest import apply_stream_batch
 
     seen_dir = os.path.join(out_dir, "_dedup")
     run_id = os.path.abspath(checkpoint_dir)
 
     def _body(batch_df: DataFrame, epoch_id: int) -> None:
-        # ORDER MATTERS: keys are recorded AFTER the index apply. Recording
-        # first would make a crash-then-replay anti-join the batch against
-        # its own keys and silently drop the docs from the index. With this
-        # order a crash between apply-commit and record leaves the keys
-        # unrecorded; the replay skips the apply (epoch committed) and
-        # re-records — duplicate key rows are harmless to the anti-join.
-        fresh = dedup_filter(batch_df, seen_dir, doc_id_col, text_col,
-                             normalize).localCheckpoint(eager=True)
-        action = apply_stream_batch(fresh.drop("_key", "_kb"), epoch_id,
-                                    out_dir, doc_id_col=doc_id_col,
+        # ORDER MATTERS: keys are recorded AFTER the index apply (see the
+        # module docstring). A crash between apply-commit and record leaves
+        # keys unrecorded; the replay skips the apply (epoch committed) and
+        # re-records — duplicate key rows are harmless and compacted away.
+        fresh_rows, fresh_keys = dedup_filter(
+            batch_df, seen_dir, doc_id_col, text_col, normalize)
+        action = apply_stream_batch(fresh_rows, epoch_id, out_dir,
+                                    doc_id_col=doc_id_col,
                                     text_col=text_col,
                                     compact_every=compact_every,
-                                    build_kwargs=build_kwargs, run_id=run_id)
+                                    build_kwargs=build_kwargs,
+                                    run_id=run_id,
+                                    on_run_id_change=on_run_id_change)
         if action != "skip_empty":
-            record_keys(fresh, seen_dir, doc_id_col)
+            record_keys(fresh_keys, seen_dir, doc_id_col)
+        if action.endswith("+compact"):
+            compact_seen(batch_df.sparkSession, seen_dir)
 
     writer = stream_df.writeStream.foreachBatch(_body).option(
         "checkpointLocation", checkpoint_dir)

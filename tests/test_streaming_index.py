@@ -293,3 +293,49 @@ def test_stream_dedup_index_updates(spark, tmp_path):
     left = dedup_batch(_slice(all_df, 0, 40),
                        str(tmp_path / "dd_idx" / "_dedup"))
     assert left.count() == 0
+
+
+def test_dedup_ingest_null_text_meta_and_compaction(spark, tmp_path):
+    """r4 review follow-ups: NULL-text rows dedup across batches (keys
+    coalesce, never NULL); a normalize-scheme mismatch on an existing store
+    raises; compact_seen shrinks the store's file count without changing
+    dedup behavior; dedup_batch's sink callback runs BEFORE keys are
+    recorded."""
+    import glob
+
+    from macrobase_spark.streaming.dedup_ingest import (compact_seen,
+                                                        dedup_batch,
+                                                        dedup_filter)
+
+    seen = str(tmp_path / "seen")
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "hello world"), (3, "hello world")],
+        "doc_id long, text string")
+    sunk = {}
+
+    def sink(rows):
+        sunk["n"] = rows.count()  # must be callable before record
+
+    out1 = dedup_batch(b1, seen, sink=sink)
+    assert sunk["n"] == 2  # null-text row + one copy of 'hello world'
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]
+
+    # redelivered null-text + dup content in a later batch: both dropped
+    b2 = spark.createDataFrame(
+        [(10, None), (11, "hello world"), (12, "brand new text")],
+        "doc_id long, text string")
+    out2 = dedup_batch(b2, seen)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [12]
+
+    with pytest.raises(ValueError, match="normalize"):
+        dedup_filter(b2, seen, normalize=False)
+
+    # replay appends pile up files; compaction shrinks them, behavior same
+    for _ in range(4):
+        dedup_batch(b1, seen)  # all-replay batches (record empty appends)
+    files_before = len(glob.glob(f"{seen}/keys.parquet/_kb=*/part-*"))
+    compact_seen(spark, seen)
+    files_after = len(glob.glob(f"{seen}/keys.parquet/_kb=*/part-*"))
+    assert files_after <= files_before
+    out3 = dedup_batch(b2, seen)
+    assert out3.count() == 0  # batch 2 fully seen now
