@@ -22,6 +22,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def greedy_pack(toks: np.ndarray, max_tokens: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """The sequential greedy kernel (pure, property-tested): given token
+    counts in pack order, return (pack index, position-in-pack) per doc.
+    Invariants: pack totals ≤ max_tokens except single oversize docs; pack
+    indexes are 0..K contiguous; positions restart at 0 per pack."""
+    pack_idx = np.empty(len(toks), dtype=np.int64)
+    pack_pos = np.empty(len(toks), dtype=np.int64)
+    cur, used, pos = 0, 0, 0
+    for i, t in enumerate(toks):
+        # boundary on pack NON-EMPTINESS (pos), not tokens used: with a
+        # used>0 test, zero-token docs kept the pack 'empty' and an
+        # oversize doc could share their pack, breaking the
+        # oversize-packs-are-singletons invariant (hypothesis-caught)
+        if pos > 0 and used + t > max_tokens:
+            cur += 1
+            used, pos = 0, 0
+        pack_idx[i] = cur
+        pack_pos[i] = pos
+        used += t
+        pos += 1
+    return pack_idx, pack_pos
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
@@ -69,17 +93,7 @@ def pack_sequences(
         pdf = pdf.sort_values(["_ord", "_id"], kind="mergesort")
         toks = pdf["_tok"].to_numpy(np.int64)
         shard = int(pdf["_shard"].iloc[0])
-        pack_idx = np.empty(len(toks), dtype=np.int64)
-        pack_pos = np.empty(len(toks), dtype=np.int64)
-        cur, used, pos = 0, 0, 0
-        for i, t in enumerate(toks):
-            if used > 0 and used + t > max_tokens:
-                cur += 1
-                used, pos = 0, 0
-            pack_idx[i] = cur
-            pack_pos[i] = pos
-            used += t
-            pos += 1
+        pack_idx, pack_pos = greedy_pack(toks, max_tokens)
         return pd.DataFrame({
             "_id": pdf["_id"].to_numpy(),
             "_tok": toks,

@@ -84,3 +84,43 @@ def test_pack_sequences_oversize_and_determinism(spark):
     b = sorted((r["doc_id"], r["pack_id"], r["pack_pos"])
                for r in p2.collect())
     assert a == b
+
+
+def test_greedy_pack_invariants_property():
+    """Hypothesis fuzz of the pure packing kernel: full coverage, budget
+    respected (oversize docs alone), contiguous pack ids, positions restart
+    per pack, greediness (a new pack only opens when the next doc would
+    overflow)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from macrobase_spark.pipelines.pack import greedy_pack
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=3000), max_size=200),
+           st.integers(min_value=1, max_value=2048))
+    def run(sizes, budget):
+        toks = np.asarray(sizes, dtype=np.int64)
+        idx, pos = greedy_pack(toks, budget)
+        assert len(idx) == len(pos) == len(toks)
+        if len(toks) == 0:
+            return
+        # contiguous pack ids starting at 0
+        assert idx[0] == 0
+        assert ((np.diff(idx) == 0) | (np.diff(idx) == 1)).all()
+        # positions restart per pack and increment within
+        for k in np.unique(idx):
+            p = pos[idx == k]
+            assert (p == np.arange(len(p))).all()
+        # budget: totals <= budget unless the pack is a single oversize doc
+        for k in np.unique(idx):
+            total = toks[idx == k].sum()
+            if total > budget:
+                assert (idx == k).sum() == 1 and toks[idx == k][0] > budget
+        # greedy: consecutive packs could not be merged
+        for k in range(int(idx.max())):
+            total_k = toks[idx == k].sum()
+            first_next = toks[idx == k + 1][0]
+            assert total_k + first_next > budget
+
+    run()
