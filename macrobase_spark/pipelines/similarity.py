@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from macrobase_spark.atomic import (atomic_json_write as _atomic_json_write,
+                                    recover_swap as _recover_swap,
+                                    swap_in as _swap_in)
+
 
 def _norm(col) -> "F.Column":
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
@@ -373,49 +377,6 @@ def lsh_bucketed_topk(
     pairs = _lsh_pairs(vectors, queries, n_planes, dim, seed,
                        id_col, vec_col, q_id_col, q_vec_col)
     return _pair_topk(pairs, k, id_col, q_id_col)
-
-
-def _atomic_json_write(path: str, obj: dict) -> None:
-    import json
-    import os
-
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)  # atomic: a crash never leaves half a meta file
-
-
-def _recover_swap(path: str) -> None:
-    """Recover the compaction rename swap: a crash between
-    rename(path, path_old) and rename(path_tmp, path) leaves the live dir
-    missing — restore from _old (or promote a fully-written _tmp). Also
-    clears stale _old/_tmp leftovers that would wedge the next compaction.
-    Called from every query/compact entry point."""
-    import os
-    import shutil
-
-    old, tmp = path + "_old", path + "_compact"
-    if not os.path.exists(path):
-        if os.path.isdir(tmp) and os.path.exists(
-                os.path.join(tmp, "_SUCCESS")):
-            os.rename(tmp, path)      # tmp was complete: finish the swap
-        elif os.path.isdir(old):
-            os.rename(old, path)      # roll back to the pre-compact data
-    for leftover in (old, tmp):
-        if os.path.exists(path) and os.path.isdir(leftover):
-            shutil.rmtree(leftover)
-
-
-def _swap_in(path: str, tmp: str) -> None:
-    import os
-    import shutil
-
-    old = path + "_old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
 
 
 def ivf_add(

@@ -138,7 +138,8 @@ def compact_seen(spark, seen_dir: str) -> dict:
     compacted file set per bucket — bounds the per-batch scan cost that
     epoch appends (plus replay duplicates) would otherwise grow without
     limit. Same crash-safe rename-swap protocol as the ANN compactors."""
-    from macrobase_spark.pipelines.similarity import _recover_swap, _swap_in
+    from macrobase_spark.atomic import recover_swap as _recover_swap
+    from macrobase_spark.atomic import swap_in as _swap_in
 
     path = os.path.join(seen_dir, "keys.parquet")
     if not os.path.exists(path):
