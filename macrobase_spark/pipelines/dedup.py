@@ -8,8 +8,12 @@ All shuffle-aware by construction:
   Candidate generation never compares all pairs: only docs sharing a band
   bucket meet, so cost is Σ_bucket |bucket|² (bounded by banding params).
 - SimHash: 64-bit fingerprint, near-dup = hamming distance ≤ r via
-  pigeonhole block join (4 blocks of 16 bits → r ≤ 3 guaranteed recall).
+  pigeonhole block join — classic (4 blocks × 16 bits, r ≤ 3) or the
+  scale scheme (combination keys, e.g. C(6,3)=20 keys of ~32 bits, same
+  guarantee, keyspace past 2¹⁶ saturation).
 - n-gram Jaccard: shingle explode → inverted candidate join → exact verify.
+- clustering: candidate pairs → connected components (large-star/small-
+  star; driver union-find below a threshold) → canonical keep set.
 """
 
 from __future__ import annotations
