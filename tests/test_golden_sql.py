@@ -209,3 +209,29 @@ def test_search_relation_in_sql(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no index attached"):
         mb.execute("SELECT * FROM SEARCH(nope, 'x');")
+
+
+def test_search_composes_with_diff(spark, tmp_path):
+    """SEARCH(...) inside a DIFF SPLIT subrelation: subqueries route through
+    the same translator, so the BM25 engine composes with the explanation
+    surface in one SQL statement."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "sqldiff_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5)
+    t.select("doc_id", "role", "tool").createOrReplaceTempView("turns2")
+
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+    out = mb.execute(
+        "SELECT * FROM DIFF (SPLIT ("
+        "  SELECT t.role, s.score FROM SEARCH(tr, 'the', 300) s"
+        "  JOIN turns2 t USING (doc_id)"
+        ") WHERE score > 1.0) ON role "
+        "WITH MIN RATIO 0.0 MIN SUPPORT 0.0;").collect()
+    assert out, "expected explanation rows"
+    assert {"role", "support", "global_ratio"} <= set(out[0].asDict())
