@@ -154,7 +154,11 @@ def bm25_topk(
     postings, docs, stats = read_index(spark, index_dir)
     terms = _tokenize_query(query)
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    allow_prune = True
+    # anomaly modifiers change the final ranking AFTER raw-BM25 scoring
+    # (filtering can promote docs from pruned blocks; weighting reorders),
+    # so every block-pruning θ computed from raw scores is invalid — score
+    # fully. Exactness over speed, same policy as the stale-version gate.
+    allow_prune = anomaly_max is None and not anomaly_weight
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -170,7 +174,8 @@ def bm25_topk(
         # (exactness over speed) until the bucket is rewritten/compacted
         sv = stats.get("version", 1)
         bv = bucket_versions(index_dir)
-        allow_prune = all(bv.get(b, 1) == sv for b in buckets)
+        allow_prune = allow_prune and all(
+            bv.get(b, 1) == sv for b in buckets)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     cand = postings.filter(F.col("term").isin(terms)).select(

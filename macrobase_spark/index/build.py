@@ -155,13 +155,11 @@ def _encode_slice(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray,
 def _decode_partial(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     from macrobase_spark.index.codec import varint_decode
 
-    ids, tfs = delta_varint_decode(blob)
-    # dls stream sits after the main stream; re-scan to find its offset
-    n_arr, off = varint_decode(blob, count=1)
-    n = int(n_arr[0])
-    _, off = varint_decode(blob, count=n, offset=off)
-    _, off = varint_decode(blob, count=n, offset=off)
-    dls, _ = varint_decode(blob, count=n, offset=off)
+    # single pass: the main decode reports where it stopped, and the dls
+    # stream is read from there (the old re-scan decoded the header/deltas/
+    # tfs twice on every blob of every query — r4 review)
+    ids, tfs, off = delta_varint_decode(blob, return_offset=True)
+    dls, _ = varint_decode(blob, count=len(ids), offset=off)
     return ids, tfs, dls
 
 
@@ -241,8 +239,23 @@ def build_index(
         with open(manifest_path) as f:
             for line in f:
                 rec = json.loads(line)
+                if rec.get("op") in ("update", "compact"):
+                    # an update/compact record marks maintenance, NOT a
+                    # completed build bucket: resuming a full rebuild over
+                    # an incrementally-updated index would silently index
+                    # nothing and desync segmented_buckets (r4 review) —
+                    # that operation needs overwrite semantics.
+                    raise ValueError(
+                        f"index at {out_dir!r} has incremental updates "
+                        "(update/compact manifest records); a full rebuild "
+                        "over it must pass resume=False, or keep evolving "
+                        "it with update_index/compact_index")
                 if rec.get("status") == "done":
                     done[rec["bucket"]] = rec
+    elif os.path.exists(manifest_path):
+        # overwrite build: drop the old manifest so its update/compact
+        # records can't poison a FUTURE resume over the rebuilt index
+        os.remove(manifest_path)
 
     t0 = time.time()
     phases: dict[str, float] = {}
@@ -257,7 +270,13 @@ def build_index(
     if src.rdd.getNumPartitions() < n_shuffle:
         src = src.repartition(n_shuffle)
     docs_path = os.path.join(out_dir, "docs.parquet")
-    docs_done = os.path.exists(os.path.join(out_dir, "stats.json")) and resume
+    # the docs table is committed by a CONCURRENT thread well after
+    # stats.json lands, so resume must check the docs write's own commit
+    # marker (_SUCCESS) — stats.json alone would skip the docs write after
+    # a crash mid-build and leave the index without its docs table
+    docs_done = (resume
+                 and os.path.exists(os.path.join(out_dir, "stats.json"))
+                 and os.path.exists(os.path.join(docs_path, "_SUCCESS")))
 
     # hot-term detection is independent of the docs pipeline → run it as a
     # concurrent Spark job from a helper thread (the local/cluster scheduler
@@ -475,11 +494,141 @@ def build_index(
     }
 
 
+def _list_dir(path: str) -> list[str] | None:
+    """Immediate entries of a directory (None if absent). One level is
+    enough: Spark writes parquet part files flat inside docs.parquet/ and
+    inside each postings/bucket=N/ dir."""
+    if not os.path.isdir(path):
+        return None
+    return sorted(os.listdir(path))
+
+
+def take_index_snapshot(out_dir: str) -> dict:
+    """Record the pre-mutation state of every index artifact update_index /
+    build_index touches."""
+    stats_path = os.path.join(out_dir, "stats.json")
+    stats_bytes = None
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats_bytes = f.read()
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    manifest_len = (os.path.getsize(manifest_path)
+                    if os.path.exists(manifest_path) else 0)
+    postings_root = os.path.join(out_dir, "postings")
+    buckets: dict[str, list[str]] = {}
+    if os.path.isdir(postings_root):
+        for entry in sorted(os.listdir(postings_root)):
+            sub = os.path.join(postings_root, entry)
+            if os.path.isdir(sub):
+                buckets[entry] = sorted(os.listdir(sub))
+    return {
+        "stats": stats_bytes,
+        "manifest_len": manifest_len,
+        "docs": _list_dir(os.path.join(out_dir, "docs.parquet")),
+        "postings_root_exists": os.path.isdir(postings_root),
+        "buckets": buckets,
+    }
+
+
+def rollback_index_snapshot(out_dir: str, snap: dict) -> None:
+    """Undo a partial (or complete-but-uncommitted) epoch apply: delete
+    files the failed attempt created, restore stats.json, truncate the
+    manifest. After this the index is byte-identical in content listing to
+    the pre-epoch state, so re-applying the same batch is safe."""
+    # stats.json
+    stats_path = os.path.join(out_dir, "stats.json")
+    if snap["stats"] is None:
+        if os.path.exists(stats_path):
+            os.remove(stats_path)
+    else:
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap["stats"])
+        os.replace(tmp, stats_path)
+    # manifest: lines appended by the failed attempt would re-stamp bucket
+    # versions — truncate back to the recorded length
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    if os.path.exists(manifest_path):
+        if snap["manifest_len"] == 0:
+            os.remove(manifest_path)
+        else:
+            with open(manifest_path, "r+") as f:
+                f.truncate(snap["manifest_len"])
+    # docs.parquet: drop appended part files (or the whole dir on a failed
+    # fresh build)
+    docs_path = os.path.join(out_dir, "docs.parquet")
+    if snap["docs"] is None:
+        if os.path.isdir(docs_path):
+            shutil.rmtree(docs_path)
+    elif os.path.isdir(docs_path):
+        keep = set(snap["docs"])
+        for entry in os.listdir(docs_path):
+            if entry not in keep:
+                full = os.path.join(docs_path, entry)
+                (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+    # postings: drop new bucket dirs and new files inside existing buckets
+    postings_root = os.path.join(out_dir, "postings")
+    if not snap["postings_root_exists"]:
+        if os.path.isdir(postings_root):
+            shutil.rmtree(postings_root)
+    elif os.path.isdir(postings_root):
+        keep_buckets = snap["buckets"]
+        for entry in os.listdir(postings_root):
+            sub = os.path.join(postings_root, entry)
+            if not os.path.isdir(sub):
+                continue
+            if entry not in keep_buckets:
+                shutil.rmtree(sub)
+                continue
+            keep = set(keep_buckets[entry])
+            for fname in os.listdir(sub):
+                if fname not in keep:
+                    full = os.path.join(sub, fname)
+                    (shutil.rmtree if os.path.isdir(full)
+                     else os.remove)(full)
+
+
+
+_UPDATE_INFLIGHT = "_update_inflight.json"
+
+
+def recover_update_inflight(out_dir: str) -> bool:
+    """Crash recovery for update_index's own journal (the streaming epoch
+    protocol has its own; this one protects DIRECT update_index callers):
+    a leftover inflight record whose owning process is dead means the
+    update crashed mid-mutation — roll the index back to the journaled
+    snapshot so a retry cannot duplicate doc rows or leave unstamped
+    segment rows queryable. A LIVE owner means an update is in progress in
+    another process: leave it alone (reads during an update were always
+    racy-by-design; the journal only has to make crashes safe)."""
+    import shutil as _shutil  # noqa: F401  (rollback uses shutil via module)
+
+    path = os.path.join(out_dir, _UPDATE_INFLIGHT)
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        rec = json.load(f)
+    pid = rec.get("pid")
+    if pid is not None and pid != os.getpid():
+        try:
+            os.kill(int(pid), 0)
+            return False  # live concurrent update — not ours to undo
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            return False
+    rollback_index_snapshot(out_dir, rec["snapshot"])
+    os.remove(path)
+    invalidate_index_cache(out_dir)
+    return True
+
+
 def update_index(
     df_new: DataFrame,
     out_dir: str,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    journal: bool = True,
 ) -> dict:
     """Incremental append: LSM-style segment write, NO merge with existing
     posting lists at update time.
@@ -516,6 +665,18 @@ def update_index(
 
     spark = df_new.sparkSession
     restore_compact_backup(out_dir)  # recover any crashed compaction first
+    recover_update_inflight(out_dir)  # roll back a crashed previous update
+    if journal:
+        # update appends docs + postings BEFORE the stats/manifest commit;
+        # journal a pre-mutation snapshot so a crash in between cannot
+        # leave a queryable inconsistent index or let a retry duplicate
+        # rows. The streaming epoch protocol passes journal=False — its
+        # own inflight journal already covers the whole epoch.
+        snap = take_index_snapshot(out_dir)
+        with open(os.path.join(out_dir, _UPDATE_INFLIGHT + ".tmp"), "w") as f:
+            json.dump({"pid": os.getpid(), "snapshot": snap}, f)
+        os.replace(os.path.join(out_dir, _UPDATE_INFLIGHT + ".tmp"),
+                   os.path.join(out_dir, _UPDATE_INFLIGHT))
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     num_buckets = stats["num_buckets"]
@@ -568,8 +729,13 @@ def update_index(
     hot_set = set(stats.get("hot_terms", []))
     hot_set |= set(detect_hot_terms(src, 0.1, 50_000, doc_id_col, text_col))
 
-    new_post = exploded_postings(src, doc_id_col, text_col).withColumn(
+    # persisted: the touched-buckets collect AND the encode+write below
+    # both consume this relation — without the pin every update would
+    # re-tokenize the whole delta, and a nondeterministic df_new could
+    # even write buckets the version gate never stamped stale (r4 review)
+    new_post = (exploded_postings(src, doc_id_col, text_col).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     salted = new_post.withColumn(
@@ -593,6 +759,7 @@ def update_index(
     )
     postings_root = os.path.join(out_dir, "postings")
     new_enc.write.mode("append").partitionBy("bucket").parquet(postings_root)
+    new_post.unpersist()
 
     seg = sorted(set(stats.get("segmented_buckets", [])) | set(touched))
     stats.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
@@ -611,6 +778,8 @@ def update_index(
                                 "version": bv.get(b, 1), "op": "update",
                                 "ts": time.time()}) + "\n")
     invalidate_index_cache(out_dir)
+    if journal:
+        os.remove(os.path.join(out_dir, _UPDATE_INFLIGHT))
     return {"n_docs": n_docs, "avgdl": avgdl, "version": version,
             "touched_buckets": sorted(touched),
             "elapsed_sec": time.time() - t0}
@@ -709,6 +878,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     import shutil
 
     restore_compact_backup(out_dir)  # recover any earlier crashed attempt
+    recover_update_inflight(out_dir)
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     version = stats.get("version", 1)
@@ -795,6 +965,7 @@ def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame,
     invalidating naturally. Same-process builders also call
     `invalidate_index_cache` explicitly."""
     restore_compact_backup(out_dir)  # never serve a crashed compaction
+    recover_update_inflight(out_dir)  # nor a crashed (dead-owner) update
     stats_path = os.path.join(out_dir, "stats.json")
     mtime = os.stat(stats_path).st_mtime_ns
     key = (spark.sparkContext.applicationId, os.path.abspath(out_dir), mtime)
@@ -804,6 +975,11 @@ def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame,
         stats = json.load(f)
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     docs = spark.read.parquet(os.path.join(out_dir, "docs.parquet"))
+    # evict superseded entries for the same (app, path): cross-process
+    # updates bump the mtime key every epoch and would otherwise grow the
+    # cache (and pin old DataFrames) for the life of a query server
+    for k in [k for k in _INDEX_CACHE if k[:2] == key[:2] and k != key]:
+        del _INDEX_CACHE[k]
     _INDEX_CACHE[key] = (postings, docs, stats)
     return postings, docs, stats
 

@@ -116,15 +116,21 @@ def delta_varint_encode(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
     return header + varint_encode(deltas) + varint_encode(t)
 
 
-def delta_varint_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one posting list → (doc_ids uint64 sorted, tfs uint64)."""
+def delta_varint_decode(buf: bytes, return_offset: bool = False):
+    """Decode one posting list → (doc_ids uint64 sorted, tfs uint64)[,
+    next_offset]. return_offset exposes where the main stream ends so
+    callers with trailing streams (the per-posting dl stream) can continue
+    decoding WITHOUT re-scanning the header/deltas/tfs a second time —
+    the query hot path decodes each blob exactly once."""
     n_arr, off = varint_decode(buf, count=1)
     n = int(n_arr[0])
     if n == 0:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+        empty = np.empty(0, dtype=np.uint64)
+        return (empty, empty, off) if return_offset else (empty, empty)
     deltas, off = varint_decode(buf, count=n, offset=off)
-    tfs, _ = varint_decode(buf, count=n, offset=off)
-    return np.cumsum(deltas, dtype=np.uint64), tfs
+    tfs, off = varint_decode(buf, count=n, offset=off)
+    ids = np.cumsum(deltas, dtype=np.uint64)
+    return (ids, tfs, off) if return_offset else (ids, tfs)
 
 
 def merge_posting_blobs(blobs: list[bytes]) -> bytes:

@@ -30,32 +30,19 @@ _TOKENIZED_SCHEMA = T.StructType(
 
 
 def _tokenize_batch(text: pd.Series) -> pd.DataFrame:
-    """Vectorized tokenize + per-doc term counting in numpy.
-
-    Strategy: flatten all tokens of the batch, factorize once, then a single
-    np.unique over (row, token_code) composite keys yields every (doc, term,
-    tf) triple — no Python loop over rows or tokens.
-    """
-    token_lists = text.fillna("").str.lower().str.findall(TOKEN_PATTERN)
-    lens = token_lists.str.len().to_numpy(dtype=np.int64)
+    """Vectorized tokenize + per-doc term counting in numpy, built on the
+    ONE shared flatten/factorize/np.unique core (_flat_term_counts) — the
+    same kernel every other tokenizing UDF uses, so the tokenizer can
+    never diverge between the array-assembling and flat paths."""
+    bounds, _urow, ucode, counts, vocab, lens = _flat_term_counts(text)
     n_rows = len(lens)
-    if n_rows == 0 or lens.sum() == 0:
+    if bounds is None:
         empty_t = [[] for _ in range(n_rows)]
         return pd.DataFrame(
             {"terms": empty_t, "tfs": [[] for _ in range(n_rows)],
              "doc_len": np.zeros(n_rows, dtype=np.int32),
              "rep_ratio": np.zeros(n_rows)}
         )
-    flat = np.concatenate([np.asarray(x, dtype=object) for x in token_lists])
-    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-    codes, uniques = pd.factorize(flat)
-    vocab = np.asarray(uniques, dtype=object)
-    key = row_idx * len(vocab) + codes
-    uk, counts = np.unique(key, return_counts=True)
-    urow = uk // len(vocab)
-    ucode = uk % len(vocab)
-    # per-row boundaries in the sorted (row, code) stream
-    bounds = np.searchsorted(urow, np.arange(n_rows + 1))
     terms_col, tfs_col = [], []
     for r in range(n_rows):
         s, e = bounds[r], bounds[r + 1]
@@ -184,6 +171,9 @@ def with_anomaly_score(df: DataFrame, exact: bool = False) -> DataFrame:
     fn = "percentile" if exact else "percentile_approx"
     ll = F.log1p(F.col("doc_len").cast("double"))
     med = df.agg(F.expr(f"{fn}(log1p(cast(doc_len as double)), 0.5)")).collect()[0][0]
+    if med is None:  # empty input: nothing to score (and 'None' would be
+        # interpolated into the MAD SQL below as an unresolved identifier)
+        return df.withColumn("anomaly", F.lit(0.0))
     mad = (
         df.agg(
             F.expr(

@@ -50,6 +50,10 @@ import shutil
 
 from pyspark.sql import DataFrame
 
+from macrobase_spark.index.build import (take_index_snapshot as _take_snapshot,
+                                         rollback_index_snapshot
+                                         as _rollback_to_snapshot)
+
 _EPOCHS_FILE = "_stream_epochs.json"
 _INFLIGHT_FILE = "_epoch_inflight.json"
 
@@ -68,100 +72,6 @@ def _save_epochs(out_dir: str, rec: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(rec, f)
     os.replace(tmp, path)  # atomic on POSIX: a crash never half-writes
-
-
-def _list_dir(path: str) -> list[str] | None:
-    """Immediate entries of a directory (None if absent). One level is
-    enough: Spark writes parquet part files flat inside docs.parquet/ and
-    inside each postings/bucket=N/ dir."""
-    if not os.path.isdir(path):
-        return None
-    return sorted(os.listdir(path))
-
-
-def _take_snapshot(out_dir: str) -> dict:
-    """Record the pre-mutation state of every index artifact update_index /
-    build_index touches."""
-    stats_path = os.path.join(out_dir, "stats.json")
-    stats_bytes = None
-    if os.path.exists(stats_path):
-        with open(stats_path) as f:
-            stats_bytes = f.read()
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    manifest_len = (os.path.getsize(manifest_path)
-                    if os.path.exists(manifest_path) else 0)
-    postings_root = os.path.join(out_dir, "postings")
-    buckets: dict[str, list[str]] = {}
-    if os.path.isdir(postings_root):
-        for entry in sorted(os.listdir(postings_root)):
-            sub = os.path.join(postings_root, entry)
-            if os.path.isdir(sub):
-                buckets[entry] = sorted(os.listdir(sub))
-    return {
-        "stats": stats_bytes,
-        "manifest_len": manifest_len,
-        "docs": _list_dir(os.path.join(out_dir, "docs.parquet")),
-        "postings_root_exists": os.path.isdir(postings_root),
-        "buckets": buckets,
-    }
-
-
-def _rollback_to_snapshot(out_dir: str, snap: dict) -> None:
-    """Undo a partial (or complete-but-uncommitted) epoch apply: delete
-    files the failed attempt created, restore stats.json, truncate the
-    manifest. After this the index is byte-identical in content listing to
-    the pre-epoch state, so re-applying the same batch is safe."""
-    # stats.json
-    stats_path = os.path.join(out_dir, "stats.json")
-    if snap["stats"] is None:
-        if os.path.exists(stats_path):
-            os.remove(stats_path)
-    else:
-        tmp = stats_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(snap["stats"])
-        os.replace(tmp, stats_path)
-    # manifest: lines appended by the failed attempt would re-stamp bucket
-    # versions — truncate back to the recorded length
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    if os.path.exists(manifest_path):
-        if snap["manifest_len"] == 0:
-            os.remove(manifest_path)
-        else:
-            with open(manifest_path, "r+") as f:
-                f.truncate(snap["manifest_len"])
-    # docs.parquet: drop appended part files (or the whole dir on a failed
-    # fresh build)
-    docs_path = os.path.join(out_dir, "docs.parquet")
-    if snap["docs"] is None:
-        if os.path.isdir(docs_path):
-            shutil.rmtree(docs_path)
-    elif os.path.isdir(docs_path):
-        keep = set(snap["docs"])
-        for entry in os.listdir(docs_path):
-            if entry not in keep:
-                full = os.path.join(docs_path, entry)
-                (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
-    # postings: drop new bucket dirs and new files inside existing buckets
-    postings_root = os.path.join(out_dir, "postings")
-    if not snap["postings_root_exists"]:
-        if os.path.isdir(postings_root):
-            shutil.rmtree(postings_root)
-    elif os.path.isdir(postings_root):
-        keep_buckets = snap["buckets"]
-        for entry in os.listdir(postings_root):
-            sub = os.path.join(postings_root, entry)
-            if not os.path.isdir(sub):
-                continue
-            if entry not in keep_buckets:
-                shutil.rmtree(sub)
-                continue
-            keep = set(keep_buckets[entry])
-            for fname in os.listdir(sub):
-                if fname not in keep:
-                    full = os.path.join(sub, fname)
-                    (shutil.rmtree if os.path.isdir(full)
-                     else os.remove)(full)
 
 
 def apply_stream_batch(
@@ -260,7 +170,7 @@ def apply_stream_batch(
         action = "build"
     else:
         update_index(batch_df, out_dir, doc_id_col=doc_id_col,
-                     text_col=text_col)
+                     text_col=text_col, journal=False)
         action = "update"
 
     # bounded ledger: high-water mark + a short recent window (see module

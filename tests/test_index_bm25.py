@@ -405,3 +405,47 @@ def test_compaction_after_many_updates(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
+
+
+def test_anomaly_modifier_disables_block_pruning(spark, tmp_path):
+    """r4 review: block-max pruning bounds are valid only for RAW BM25 —
+    with an anomaly filter, the rightful replacements for filtered-out top
+    docs can sit in pruned blocks. Build a corpus where the hot term spans
+    many blocks and the raw top-k is dominated by high-anomaly docs; the
+    filtered top-k must still match the exact oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # 2000 docs containing 'zzterm': short degenerate (high-anomaly, high
+    # tf/dl → top raw scores) vs long clean docs (low anomaly, lower score)
+    for i in range(2000):
+        if i < 500:
+            # CLUSTERED at low doc_ids so whole later blocks contain only
+            # clean docs — those blocks have strictly lower bounds and DO
+            # get pruned once the top-k fills with degenerate scores
+            text = "zzterm " * 3  # repetitive → rep_ratio high → anomalous
+        else:
+            # the BEST clean docs (shortest → highest impact) live at the
+            # highest doc_ids, i.e. in blocks the raw-score pruning skips —
+            # so a pruning bug returns the wrong (inferior) clean docs
+            # rather than coincidentally matching by tie-break
+            n_fill = 10 if i >= 1900 else 30
+            filler = " ".join(f"w{rng.integers(0, 500)}" for _ in range(n_fill))
+            text = f"zzterm {filler}"
+        rows.append((i, f"c{i:06d}", 0, text))
+    df = spark.createDataFrame(rows, "doc_id long, conv_id string, "
+                                     "turn_idx int, text string")
+    out = str(tmp_path / "anom_prune")
+    build_index(df, out, num_buckets=2, hot_df_threshold=10 ** 9)
+
+    docs = [(r[0], r[3]) for r in rows]
+    _, docs_df, _ = read_index(spark, out)
+    anom = {r["doc_id"]: r["anomaly"] for r in docs_df.collect()}
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, "zzterm", k=10, anomaly_max=0.5).collect()]
+    want = bm25_oracle(docs, "zzterm", k=10, anomaly=anom, anomaly_max=0.5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    assert all(anom[d] <= 0.5 for d, _ in got)

@@ -339,3 +339,82 @@ def test_dedup_ingest_null_text_meta_and_compaction(spark, tmp_path):
     assert files_after <= files_before
     out3 = dedup_batch(b2, seen)
     assert out3.count() == 0  # batch 2 fully seen now
+
+
+def test_direct_update_crash_rolls_back(spark, tmp_path):
+    """r4 review: update_index (the PUBLIC entry point, outside the
+    streaming epoch protocol) appends docs+postings before its stats/
+    manifest commit. Simulate a crash mid-update (journal present, owner
+    dead, partial mutation on disk): the next entry point must roll the
+    index back so queries are rank-identical to pre-update and a retried
+    update cannot duplicate rows."""
+    import json as _json
+    import os
+
+    from macrobase_spark.index.build import (_UPDATE_INFLIGHT, build_index,
+                                             read_index,
+                                             take_index_snapshot,
+                                             update_index)
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=70, seed=42)).cache()
+    out = str(tmp_path / "upd_crash")
+    build_index(_slice(all_df, 0, 40), out, num_buckets=8,
+                hot_df_threshold=120, hot_sample_frac=0.5)
+    pre = take_index_snapshot(out)
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            bm25_topk(spark, out, "the", k=10).collect()]
+
+    # the "crash": run a real update, then reinstate the pre-update journal
+    # with a dead owner pid — exactly the state a killed update leaves
+    update_index(_slice(all_df, 40, 70), out)
+    with open(os.path.join(out, _UPDATE_INFLIGHT), "w") as f:
+        _json.dump({"pid": 2 ** 22 + 54321, "snapshot": pre}, f)
+
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           bm25_topk(spark, out, "the", k=10).collect()]  # read recovers
+    assert got == want
+    assert not os.path.exists(os.path.join(out, _UPDATE_INFLIGHT))
+    # retry lands cleanly: no duplicated docs, matches scratch
+    update_index(_slice(all_df, 40, 70), out)
+    docs = read_index(spark, out)[1]
+    assert docs.count() == docs.select("doc_id").distinct().count()
+    _assert_matches_scratch(spark, out, all_df, tmp_path, "updcrash")
+
+
+def test_rebuild_over_updated_index_requires_overwrite(spark, tmp_path):
+    """r4 review: build_index(resume=True) over an index with incremental
+    updates would treat update/compact manifest records as completed build
+    buckets and silently index nothing — it must refuse instead."""
+    from macrobase_spark.index.build import build_index, update_index
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=50, seed=42)).cache()
+    out = str(tmp_path / "reb")
+    build_index(_slice(all_df, 0, 30), out, num_buckets=8,
+                hot_df_threshold=120, hot_sample_frac=0.5)
+    update_index(_slice(all_df, 30, 50), out)
+    with pytest.raises(ValueError, match="resume=False"):
+        build_index(all_df, out, num_buckets=8, hot_df_threshold=120,
+                    hot_sample_frac=0.5, resume=True)
+    # overwrite path still works and matches scratch
+    build_index(all_df, out, num_buckets=8, hot_df_threshold=120,
+                hot_sample_frac=0.5, resume=False)
+    _assert_matches_scratch(spark, out, all_df, tmp_path, "reb")
+
+
+def test_overwrite_rebuild_clears_manifest(spark, tmp_path):
+    """resume=False rebuild truncates the old manifest, so a later
+    resume=True no longer trips over stale update/compact records."""
+    from macrobase_spark.index.build import build_index, update_index
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    out = str(tmp_path / "man")
+    build_index(_slice(all_df, 0, 25), out, num_buckets=8,
+                hot_df_threshold=120, hot_sample_frac=0.5)
+    update_index(_slice(all_df, 25, 40), out)
+    build_index(all_df, out, num_buckets=8, hot_df_threshold=120,
+                hot_sample_frac=0.5, resume=False)
+    # resume over the rebuilt index: fast no-op, no error
+    rep = build_index(all_df, out, num_buckets=8, hot_df_threshold=120,
+                      hot_sample_frac=0.5, resume=True)
+    assert rep["n_docs"] == all_df.count()
+    _assert_matches_scratch(spark, out, all_df, tmp_path, "man")
