@@ -70,9 +70,16 @@ def classify_percentile(
         # false -> nothing is an outlier (Spark would instead treat NaN as
         # the largest double and mis-label every row on the low side)
         return df.withColumn(output_col, F.lit(0.0))
+    from pyspark.sql.types import DoubleType, FloatType
+
+    # NaN metric VALUES: Java's `NaN > hi` is false (inlier); Spark's total
+    # order makes NaN the largest double, which would label every NaN row
+    # an outlier on the high side — mask them explicitly
+    is_float = isinstance(df.schema[metric].dataType, (DoubleType, FloatType))
+    not_nan = ~F.isnan(F.col(metric)) if is_float else F.lit(True)
     cond = F.lit(False)
     if include_high:
-        cond = cond | (F.col(metric) > F.lit(hi))
+        cond = cond | ((F.col(metric) > F.lit(hi)) & not_nan)
     if include_low:
         cond = cond | (F.col(metric) < F.lit(lo))
     return df.withColumn(output_col, F.when(cond, 1.0).otherwise(0.0))
@@ -136,6 +143,8 @@ def classify_arithmetic_cubed(
     from pyspark.sql import Window as W
 
     total = df.agg(F.sum(count_col).alias("t")).collect()[0]["t"]
+    if total is None:  # empty / all-NULL cube input
+        return df.withColumn(output_col, F.lit(0.0))
     w_desc = W.orderBy(F.col(mean_col).desc()).rowsBetween(W.unboundedPreceding, 0)
     cum = df.select(mean_col, F.sum(count_col).over(w_desc).alias("cw"))
     hi_rank = (1.0 - (100.0 - percentile) / 100.0) * total  # weight from top
@@ -233,11 +242,20 @@ def classify_quantile_cubed(
         last_q, last_c = qs[-1]
         segs = []
         for (q1, c1), (q2, c2) in zip(qs, qs[1:]):
-            # fraction at cut within segment [c1, c2] → q1 + (q2-q1)*t
-            t = (F.lit(cut) - F.col(c1)) / (F.col(c2) - F.col(c1))
+            # fraction at cut within segment [c1, c2] → q1 + (q2-q1)*t;
+            # a FLAT segment (c1 == c2 == cut) has no interior — take the
+            # segment's upper fraction (t=1). An unguarded division would
+            # be NULL (non-ANSI) or error (ANSI), and F.least() SKIPS
+            # nulls, silently counting the whole group as outliers.
+            t = F.when(F.col(c2) != F.col(c1),
+                       (F.lit(cut) - F.col(c1)) / (F.col(c2) - F.col(c1))
+                       ).otherwise(F.lit(1.0))
             frac = F.lit(q1) + (F.lit(q2) - F.lit(q1)) * t
             segs.append(((F.col(c1) <= cut) & (F.col(c2) >= cut), frac))
-        cdf = F.when(F.col(first_c) > cut, F.lit(0.0))
+        # NULL quantile columns: no curve to interpolate — contribute zero
+        # expected outliers on either side (cdf pinned so 1-cdf or cdf = 0)
+        cdf = F.when(F.col(first_c).isNull(), F.lit(1.0 if above else 0.0))
+        cdf = cdf.when(F.col(first_c) > cut, F.lit(0.0))
         for cond, frac in segs:
             cdf = cdf.when(cond, frac)
         cdf = cdf.otherwise(F.when(F.col(last_c) < cut, F.lit(1.0)).otherwise(F.lit(1.0)))

@@ -19,10 +19,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # context-key encoding: each attr contributes a SELF-DELIMITING token —
-# "V<len>:<value>" for a present value, "N" for NULL, "-" for an attr
-# outside the combo. The length prefix makes the concatenation injective:
-# no value (separator bytes, sentinel look-alikes) can collide two distinct
-# contexts, unlike the previous concat_ws('\x01') scheme.
+# "V<len>:<value>" for a present value, "-" for an attr outside the combo
+# (rows with a NULL in-combo value join no context — the reference encoder
+# never emits NULL items). The length prefix makes the concatenation
+# injective: no value (separator bytes, sentinel look-alikes) can collide
+# two distinct contexts, unlike the previous concat_ws('\x01') scheme.
 
 
 def contextual_mad_outliers(
@@ -35,8 +36,13 @@ def contextual_mad_outliers(
     exact: bool = True,
 ) -> DataFrame:
     """For every context (attr combo ≤ max_order): rate of rows whose
-    within-CONTEXT MAD score exceeds score_cutoff, vs the global rate.
-    Returns contexts ordered by rate ratio.
+    within-CONTEXT MAD score exceeds score_cutoff. Returns contexts (NULL =
+    attr absent from the combo) ordered by within-context outlier rate
+    descending. Rows with a NULL value for an IN-combo attribute belong to
+    no context of that combo (the reference encoder never emits NULL items
+    — same convention as diff()), which also keeps output rows unambiguous:
+    a (A=x, B=NULL) row can only mean "context A=x at order 1", never a
+    genuine NULL-valued order-2 context.
 
     Plan: one explode melts each row into (combo_id, context-key, metric) —
     |combos| rows per input row, ONE scan — then exactly three grouped
@@ -48,31 +54,35 @@ def contextual_mad_outliers(
     for k in range(1, min(max_order, len(attrs)) + 1):
         combos.extend(combinations(attrs, k))
 
-    # melt: one struct per combo carrying (combo id, output attr columns
-    # — NULL for attrs outside the combo — and a positional join key that
-    # is null-safe via the "N" token, since Spark equi-joins drop NULL keys;
-    # see the encoding note above for why it cannot collide)
+    # melt: one struct per combo carrying (combo id, output attr columns —
+    # NULL for attrs outside the combo — a validity flag that drops rows
+    # with NULL in-combo values, and a positional join key; see the
+    # encoding note above for why it cannot collide)
     ctx_structs = []
     for cid, combo in enumerate(combos):
         fields = [F.lit(cid).alias("_cid")]
         key_parts = []
+        valid = F.lit(True)
         for a in attrs:
             if a in combo:
                 col = F.col(a).cast("string")
                 fields.append(col.alias(a))
+                valid = valid & col.isNotNull()
                 key_parts.append(
-                    F.when(col.isNull(), F.lit("N")).otherwise(
-                        F.concat(F.lit("V"), F.length(col), F.lit(":"), col)))
+                    F.concat(F.lit("V"), F.length(col), F.lit(":"), col))
             else:
                 fields.append(F.lit(None).cast("string").alias(a))
                 key_parts.append(F.lit("-"))
         fields.append(F.concat(*key_parts).alias("_ckey"))
+        fields.append(valid.alias("_ok"))
         ctx_structs.append(F.struct(*fields))
 
     exploded = (
         df.select(F.col(metric).alias("_m"),
                   F.explode(F.array(*ctx_structs)).alias("_ctx"))
+        .filter(F.col("_ctx._ok"))
         .select("_ctx.*", "_m")
+        .drop("_ok")
     )
 
     # exact grouped percentile for oracle parity; percentile_approx for the

@@ -35,6 +35,9 @@ def kde_fit(df: DataFrame, cols: list[str], sample_limit: int = 2048,
         k = int(np.ceil(n / sample_limit))
         clean = clean.filter(F.pmod(F.xxhash64(*cols), F.lit(k)) == 0)
     x = np.array(clean.collect(), dtype=np.float64)
+    if x.size == 0:
+        raise ValueError(
+            f"kde_fit: no non-null rows in {cols} — nothing to fit")
     x = x[np.lexsort(x.T[::-1])]  # partition-independent
     c, d = x.shape
     # Scott's rule: h_j = σ_j · C^(−1/(d+4))
@@ -150,6 +153,9 @@ def gmm_score(df: DataFrame, cols: list[str], k: int = 3, seed: int = 11,
 
     if not distributed_fit:
         x = np.array(dbl.collect(), dtype=np.float64)
+        if x.size == 0:
+            raise ValueError(
+                f"gmm_score: no non-null rows in {cols} — nothing to fit")
         x = x[np.lexsort(x.T[::-1])]  # partition-independent
         weights, mus, covs = _em_fit_numpy(x, k, seed, max_iter)
         gaussians = [(mus[j], covs[j]) for j in range(k)]

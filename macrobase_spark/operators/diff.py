@@ -40,6 +40,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import uuid
 from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
@@ -63,7 +64,10 @@ def _metric_value(metric: str, oc: float, tc: float, g_out: float, g_tot: float)
         return (oc / tc) / ((g_out - oc) / (g_tot - tc))
     if metric == "prevalence_ratio":
         base_out = g_out if g_out != 0.0 else 1.0
-        base = base_out / (g_tot - base_out)
+        # all-outlier relation (g_tot == base_out): Java's double division
+        # gives base = +Inf and every ratio becomes 0.0 — not a crash
+        base = (float("inf") if g_tot - base_out == 0.0
+                else base_out / (g_tot - base_out))
         denom = (tc + 1.0 if tc == oc else tc) - oc
         return (oc / denom) / base
     raise ValueError(f"unknown ratio metric {metric!r}")
@@ -96,12 +100,36 @@ def _metric_expr(
             .otherwise((out_cnt / tot_cnt) / (unexposed_out / total_minus_exposed))
         )
     if metric == "prevalence_ratio":
-        # PrevalenceRatioQualityMetric.java:20-40: +1 smoothing on zero denoms
+        # PrevalenceRatioQualityMetric.java:20-40: +1 smoothing on zero
+        # denoms; an all-outlier relation makes base +Inf (Java double
+        # semantics) so every ratio is 0.0 — never a driver-side
+        # ZeroDivisionError
         base_out = g_out if g_out != 0.0 else 1.0
-        base = base_out / (g_tot - base_out)
+        base = (float("inf") if g_tot - base_out == 0.0
+                else base_out / (g_tot - base_out))
         denom = F.when(tot_cnt == out_cnt, tot_cnt + 1.0).otherwise(tot_cnt) - out_cnt
         return (out_cnt / denom) / F.lit(base)
     raise ValueError(f"unknown ratio metric {metric!r} (want one of {RATIO_METRICS})")
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote an attribute for generated SQL (reserved words,
+    spaces, hyphens)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_over_view(base: DataFrame, tag: str, sql_for_view) -> DataFrame:
+    """Run generated SQL over a UNIQUE temp view and drop the view as soon
+    as the result is analyzed — per-call uuid names make concurrent diff
+    calls on one session safe (a combos-hash name could collide across
+    threads and silently read the other call's data), and the catalog no
+    longer accumulates one leaked view per call."""
+    view = f"_mb_{tag}_{uuid.uuid4().hex[:12]}"
+    base.createOrReplaceTempView(view)
+    out = base.sparkSession.sql(sql_for_view(view))
+    out.schema  # force analysis; the resolved plan no longer needs the view
+    base.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 def _grouping_sets_sql(attrs: list[str], max_order: int,
@@ -251,20 +279,17 @@ def diff(
                 a, F.when(F.col(a).cast("string").isin(vals), F.col(a)))
         card = {a: max(len(ok_by_attr.get(a, ())), 1) for a in attrs}
 
-    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
-    view = f"_mb_diff_{abs(hash(tuple(combos))) % 10**8}"
-    base.createOrReplaceTempView(view)
-    attr_list = ", ".join(attrs)
-    grouped = df.sparkSession.sql(
-        f"""
+    sets_sql = ", ".join(
+        "(" + ", ".join(_bt(a) for a in c) + ")" for c in combos)
+    attr_list = ", ".join(_bt(a) for a in attrs)
+    grouped = _sql_over_view(base, "diff", lambda view: f"""
         SELECT {attr_list},
                sum(_ocnt) AS outlier_count,
                sum(_tcnt) AS total_count,
                grouping_id({attr_list}) AS _gid
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
-        """
-    )
+        """)
     all_absent = (1 << len(attrs)) - 1
     small = _est_lattice(card) <= collect_threshold
     if containment:
@@ -435,18 +460,15 @@ def diff_mean(
                           + ["support double", "mean_deviation double",
                              "total_count double"]))
 
-    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
-    view = f"_mb_diffmean_{abs(hash((tuple(attrs), max_order))) % 10**8}"
-    base.createOrReplaceTempView(view)
-    attr_list = ", ".join(attrs)
-    grouped = df.sparkSession.sql(
-        f"""
+    sets_sql = ", ".join(
+        "(" + ", ".join(_bt(a) for a in c) + ")" for c in combos)
+    attr_list = ", ".join(_bt(a) for a in attrs)
+    grouped = _sql_over_view(base, "diffmean", lambda view: f"""
         SELECT {attr_list}, count(*) AS cnt, sum(_x) AS m1,
                grouping_id({attr_list}) AS _gid
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
-        """
-    )
+        """)
     mean_dev = F.abs(F.col("m1") / F.col("cnt") - F.lit(g_mean)) / F.lit(g_std)
     return (
         grouped.withColumn("support", F.col("cnt") / F.lit(g_n))
@@ -507,17 +529,14 @@ def diff_mean_cubed(
                           + ["support double", "mean_deviation double",
                              "total_count double"]))
 
-    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
-    view = f"_mb_diffmeancube_{abs(hash((tuple(attrs), max_order))) % 10**8}"
-    base.createOrReplaceTempView(view)
-    attr_list = ", ".join(attrs)
-    grouped = df.sparkSession.sql(
-        f"""
+    sets_sql = ", ".join(
+        "(" + ", ".join(_bt(a) for a in c) + ")" for c in combos)
+    attr_list = ", ".join(_bt(a) for a in attrs)
+    grouped = _sql_over_view(base, "diffmeancube", lambda view: f"""
         SELECT {attr_list}, sum(_n) AS cnt, sum(_m1) AS m1
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
-        """
-    )
+        """)
     # zero-count groups (all-zero count_col rows): Java 0/0 subgroup mean is
     # NaN -> dropped; try_divide reproduces via NULL
     mean_dev = F.abs(F.try_divide(F.col("m1"), F.col("cnt")) - F.lit(g_mean)) / F.lit(g_std)
@@ -559,19 +578,16 @@ def diff_count_mean_shift(
             [], ", ".join([f"`{a}` string" for a in attrs]
                           + ["support double", "mean_shift double",
                              "outlier_count double", "total_count double"]))
-    sets_sql = ", ".join("(" + ", ".join(c) + ")" for c in combos)
-    view = f"_mb_diffcms_{abs(hash((tuple(attrs), max_order))) % 10**8}"
-    base.createOrReplaceTempView(view)
-    attr_list = ", ".join(attrs)
-    grouped = df.sparkSession.sql(
-        f"""
+    sets_sql = ", ".join(
+        "(" + ", ".join(_bt(a) for a in c) + ")" for c in combos)
+    attr_list = ", ".join(_bt(a) for a in attrs)
+    grouped = _sql_over_view(base, "diffcms", lambda view: f"""
         SELECT {attr_list},
                sum(_OUTLIERCOUNT) AS oc, sum(_INLIERCOUNT) AS ic,
                sum(_OUTLIERMEANSUM) AS oms, sum(_INLIERMEANSUM) AS ims
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
-        """
-    )
+        """)
     # Java double semantics under Spark's ANSI mode: the reference computes
     # (oms/oc)/(ims/ic) with IEEE doubles (MeanShiftQualityMetric.java:33-35)
     # — oc==0 or ic==0 yields NaN (dropped by the threshold filter), while
@@ -628,14 +644,16 @@ def diff_join(
         F.col("_ocnt").alias("_OUTLIER_W"),
         (F.col("_ocnt") + F.col("_icnt")).alias("_TOTAL_W"),
     )
-    # reuse diff() by expanding sufficient statistics: outlier weight and
-    # total weight per key-row
-    labeled = weighted.withColumn("_OUTLIER", F.col("_OUTLIER_W") / F.col("_TOTAL_W"))
+    # reuse diff() on the sufficient statistics directly: _OUTLIER_W is
+    # already an absolute per-row outlier count, so outlier_is_count=True
+    # avoids the (w/t)*t float round-trip that made counts non-integer
+    # (1/49*49 != 1.0) and could flip exact threshold comparisons
     return diff(
-        labeled,
+        weighted,
         attrs,
-        outlier_col="_OUTLIER",
+        outlier_col="_OUTLIER_W",
         count_col="_TOTAL_W",
+        outlier_is_count=True,
         min_support=min_support,
         ratio_metric=ratio_metric,
         min_ratio=min_ratio,

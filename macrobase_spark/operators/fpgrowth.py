@@ -37,6 +37,9 @@ def fpgrowth_diff(
     items = F.filter(items, lambda x: x.isNotNull())
     tx = df.select(items.alias("items"), F.col(outlier_col).cast("double").alias("_o"))
     g = tx.agg(F.sum("_o").alias("o"), F.count("*").alias("t")).collect()[0]
+    if g["o"] is None or float(g["o"]) == 0.0:
+        # empty input or zero outliers: same contract as diff()
+        raise ValueError("no outliers — nothing to explain")
     g_out, g_tot = float(g["o"]), float(g["t"])
 
     outliers = tx.filter(F.col("_o") > 0).select("items")

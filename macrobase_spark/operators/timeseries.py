@@ -43,7 +43,10 @@ def fft_features(df: DataFrame, keys: list[str], order_col: str,
 
     def fx(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf.sort_values(order_col)[value_col].to_numpy(np.float64)
-        padded = np.zeros(_next_pow2(len(x)))
+        # pad to at least n_coeffs so every series yields the same
+        # fixed-width 2*n_coeffs feature vector (a short series padded only
+        # to its own next pow2 would emit a ragged row)
+        padded = np.zeros(max(_next_pow2(len(x)), _next_pow2(n_coeffs)))
         padded[: len(x)] = x
         out = np.fft.fft(padded)[:n_coeffs]
         inter = np.empty(2 * len(out))

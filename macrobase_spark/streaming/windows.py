@@ -64,27 +64,26 @@ def windowed_diff(
     combos: list[tuple[str, ...]] = [()]  # () = per-window global aggregates
     for k in range(1, min(max_order, len(attrs)) + 1):
         combos.extend(combinations(attrs, k))
+    from macrobase_spark.operators.diff import _bt, _sql_over_view
+
     sets_sql = ", ".join(
-        "(" + ", ".join(("_w",) + c) + ")" for c in combos
+        "(" + ", ".join(("_w",) + tuple(_bt(a) for a in c)) + ")"
+        for c in combos
     )
     base = df.select(
         F.window(F.col(ts_col), window_length, slide).alias("_w"),
         *[F.col(a) for a in attrs],
         F.col(outlier_col).cast("double").alias("_o"),
     )
-    view = "_mb_wdiff"
-    base.createOrReplaceTempView(view)
-    attr_list = ", ".join(attrs)
-    grouped = df.sparkSession.sql(
-        f"""
+    attr_list = ", ".join(_bt(a) for a in attrs)
+    grouped = _sql_over_view(base, "wdiff", lambda view: f"""
         SELECT _w, {attr_list},
                sum(_o) AS outlier_count,
                count(*) AS total_count,
                grouping_id(_w, {attr_list}) AS _gid
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
-        """
-    )
+        """)
     # _w is in every grouping set (MSB always 0) → attrs-all-absent mask:
     all_absent = (1 << len(attrs)) - 1
     globals_df = grouped.filter(F.col("_gid") == all_absent).select(

@@ -234,3 +234,84 @@ def test_arithmetic_cubed_degenerate_std(spark):
     assert out["deg_low"] == 10.0
     assert out["deg_mid"] == 10.0
     assert all(v >= 0 for v in out.values())
+
+
+def test_prevalence_ratio_all_outliers_no_crash(spark):
+    """r4 review: an all-outlier relation made the prevalence base divide by
+    zero on the driver; Java semantics give base=+Inf and ratio 0.0."""
+    from macrobase_spark.operators.diff import diff
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 30 + [("b", 1.0)] * 20, "x string, _OUTLIER double")
+    out = diff(df, ["x"], ratio_metric="prevalence_ratio",
+               min_support=0.0, min_ratio=0.0, max_order=1).collect()
+    assert {r["x"] for r in out} == {"a", "b"}
+    assert all(r["prevalence_ratio"] == 0.0 for r in out)
+
+
+def test_diff_quoted_reserved_word_attrs(spark):
+    """r4 review: attr names that are SQL reserved words (or contain
+    spaces) must survive the generated GROUPING SETS SQL."""
+    from macrobase_spark.operators.diff import diff
+
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 1.0), ("y", "p", 0.0), ("y", "q", 0.0)],
+        "`order` string, `user id` string, _OUTLIER double")
+    out = diff(df, ["order", "user id"], min_support=0.0, min_ratio=0.0,
+               max_order=2).collect()
+    assert any(r["order"] == "x" for r in out)
+
+
+def test_classify_percentile_nan_values_are_inliers(spark):
+    """r4 review: Spark's NaN-is-largest total order labeled NaN metric
+    rows outliers on the high side; Java comparisons with NaN are false."""
+    from macrobase_spark.operators.classify import classify_percentile
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, float("nan"))]
+    df = spark.createDataFrame(rows, "id long, m double")
+    out = classify_percentile(df, "m", percentile=5.0)
+    nan_row = out.filter(F.col("id") == 100).collect()[0]
+    assert nan_row["_OUTLIER"] == 0.0
+    assert out.filter(F.col("_OUTLIER") > 0).count() == 10  # 5% each tail
+
+
+def test_quantile_cubed_flat_segment(spark):
+    """r4 review: a flat quantile segment at the cutoff divided by zero →
+    NULL → F.least skipped it → whole group counted as outliers."""
+    from macrobase_spark.operators.classify import classify_quantile_cubed
+
+    # group g2's curve is FLAT at value 10 (min=med=max=10); group g1
+    # spans 0..100 — cutoffs land strictly inside g1's range
+    df = spark.createDataFrame(
+        [("g1", 80.0, 0.0, 50.0, 100.0), ("g2", 20.0, 10.0, 10.0, 10.0)],
+        "g string, count double, q0 double, q50 double, q100 double")
+    out = {r["g"]: r["_OUTLIER"] for r in classify_quantile_cubed(
+        df, "count", {0.0: "q0", 0.5: "q50", 1.0: "q100"},
+        percentile=5.0).collect()}
+    # flat group: its single value is far from both global cutoffs → its
+    # interpolated outlier mass must be bounded, never the whole group
+    assert out["g2"] < 20.0
+    assert 0.0 <= out["g1"] <= 80.0
+
+
+def test_arithmetic_cubed_empty_input(spark):
+    from macrobase_spark.operators.classify import classify_arithmetic_cubed
+
+    df = spark.createDataFrame([], "g string, count double, mean double, std double")
+    assert classify_arithmetic_cubed(df, "count", "mean", "std").count() == 0
+
+
+def test_diff_join_counts_stay_integer(spark):
+    """r4 review: diff_join routed counts through (w/t)*t float division;
+    with outlier_is_count the emitted counts are exact integers."""
+    from macrobase_spark.operators.diff import diff_join
+
+    out_fk = spark.createDataFrame([(1,)] * 1 + [(2,)] * 3, "k long")
+    in_fk = spark.createDataFrame([(1,)] * 48 + [(2,)] * 7, "k long")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, attr string")
+    res = diff_join(out_fk, in_fk, dim, "k", ["attr"],
+                    min_support=0.0, min_ratio=0.0, max_order=1).collect()
+    by = {r["attr"]: r for r in res}
+    assert by["a"]["outlier_count"] == 1.0  # exactly, not 0.9999999999999999
+    assert by["a"]["total_count"] == 49.0
+    assert by["b"]["outlier_count"] == 3.0

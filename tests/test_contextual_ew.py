@@ -88,3 +88,19 @@ def test_contextual_key_encoding_no_collision(spark):
             if r["a"] is not None and r["b"] is not None}
     assert both[("x\x01y", "z")] == 40
     assert both[("x", "y\x01z")] == 40
+
+
+def test_contextual_null_values_join_no_context(spark):
+    """r4 review: rows with NULL in-combo values belong to no context, so a
+    (A=x, B=NULL) output row is unambiguously the order-1 context A=x."""
+    rows = ([("x", "p", float(i % 5)) for i in range(60)]
+            + [("x", None, float(i % 5) + 100.0) for i in range(60)])
+    df = spark.createDataFrame(rows, "a string, b string, v double")
+    res = contextual_mad_outliers(df, ["a", "b"], "v", min_context_size=10,
+                                  max_order=2).collect()
+    # exactly ONE (a=x, b=NULL) row — the order-1 context over ALL 120 rows
+    ax = [r for r in res if r["a"] == "x" and r["b"] is None]
+    assert len(ax) == 1
+    assert ax[0]["context_size"] == 120
+    # no context ever formed around the NULL b value
+    assert not [r for r in res if r["a"] is None and r["b"] is None]
