@@ -858,16 +858,18 @@ WITH b AS (
          value FROM events),
 pq AS (
   SELECT pane, CAST(COUNT(*) AS DOUBLE) AS n,
-         quantile_cont(value, [0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35,
-                               0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75,
-                               0.8, 0.85, 0.9, 0.95, 1.0]) AS qs
+         quantile_cont(value, [0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 0.96, 0.97, 0.98, 0.99, 0.995, 0.999, 1.0]) AS qs
   FROM b GROUP BY pane),
 idx AS (SELECT pane, CAST(row_number() OVER (ORDER BY pane) - 1 AS DOUBLE) AS i
         FROM pq),
-grid AS (SELECT pane, n, unnest(qs) AS v FROM pq),
+-- parallel unnest: grid values zipped with their band weights (mirrors
+-- streaming/ew.py EW_GRID_QS / EW_GRID_BANDS verbatim)
+grid AS (SELECT pane, n, unnest(qs) AS v,
+                unnest([0.025, 0.05, 0.049999999999999996, 0.05, 0.05, 0.04999999999999999, 0.04999999999999999, 0.05000000000000002, 0.05000000000000002, 0.04999999999999999, 0.05000000000000002, 0.04999999999999999, 0.04999999999999999, 0.04999999999999999, 0.04999999999999999, 0.050000000000000044, 0.04999999999999999, 0.04999999999999999, 0.04999999999999999, 0.02999999999999997, 0.010000000000000009, 0.010000000000000009, 0.010000000000000009, 0.007500000000000007, 0.004500000000000004, 0.0025000000000000022, 0.0005000000000000004]) AS band
+         FROM pq),
 pairs AS (
   SELECT t.pane AS tpane, g.v,
-         pow(0.5, (t.i - s.i) / 4.0) * g.n / 21.0 AS w
+         pow(0.5, (t.i - s.i) / 4.0) * g.n * g.band AS w
   FROM grid g JOIN idx s ON g.pane = s.pane
   JOIN idx t ON s.i <= t.i),
 tot AS (SELECT tpane, SUM(w) AS tw FROM pairs GROUP BY tpane),

@@ -88,15 +88,25 @@ def dedup_filter(
     with one id anti-join at the end."""
     from pyspark.sql import Window as W
 
+    from macrobase_spark.atomic import recover_swap
+
     spark = batch_df.sparkSession
     meta = _store_meta(seen_dir, normalize)
+    # recover a crashed compact_seen swap BEFORE the existence check: in
+    # the crash window keys.parquet is ABSENT (history sits in _old), and
+    # skipping recovery here would dedup against nothing, then a later
+    # compaction would delete the _old history for good
+    recover_swap(os.path.join(seen_dir, "keys.parquet"))
     # the keyed projection fans into several branches below — pin it once
     # (metadata-sized) so the fingerprint pass over text runs exactly once
     ids = _keyed_ids(batch_df, id_col, text_col, normalize,
                      meta["n_buckets"]).localCheckpoint(eager=True)
-    keep_ids = ids.withColumn(
-        "_min", F.min(id_col).over(W.partitionBy("_key"))
-    ).filter(F.col(id_col) == F.col("_min")).drop("_min")
+    keep_ids = (ids.withColumn(
+        "_min", F.min(id_col).over(W.partitionBy("_key")))
+        .filter(F.col(id_col) == F.col("_min")).drop("_min")
+        .dropDuplicates([id_col]))  # at-least-once sources can redeliver
+    # the SAME (id, content) twice within one batch: min-id keeps both
+    # twins, and an id anti-join cannot separate them — collapse here
 
     path = os.path.join(seen_dir, "keys.parquet")
     if os.path.exists(path):
@@ -117,8 +127,12 @@ def dedup_filter(
     fresh_keys = fresh_keys.localCheckpoint(eager=True)
     # drop set = batch ids NOT surviving — duplicate-sized, so this final
     # anti-join broadcasts under AQE and the text column never shuffles
-    drop_ids = ids.select(id_col).exceptAll(fresh_keys.select(id_col))
-    fresh_rows = batch_df.join(drop_ids, id_col, "left_anti")
+    # DISTINCT before the multiset difference: a same-id twin would
+    # otherwise survive in the drop set and anti-join away its own keeper
+    drop_ids = (ids.select(id_col).distinct()
+                .exceptAll(fresh_keys.select(id_col)))
+    fresh_rows = (batch_df.join(drop_ids, id_col, "left_anti")
+                  .dropDuplicates([id_col]))  # same-id twins: one survives
     return fresh_rows, fresh_keys
 
 
@@ -127,7 +141,10 @@ def record_keys(fresh_keys: DataFrame, seen_dir: str,
     """Append the surviving (key, id) metadata to the store. Semantically
     idempotent: a replayed append adds duplicate key rows, which cannot
     change any future anti-join decision (compact_seen clears them)."""
+    from macrobase_spark.atomic import recover_swap
+
     path = os.path.join(seen_dir, "keys.parquet")
+    recover_swap(path)
     (fresh_keys.select("_key", "_kb", F.col(id_col).alias("first_id"))
      .repartition("_kb")
      .write.mode("append").partitionBy("_kb").parquet(path))
@@ -142,9 +159,10 @@ def compact_seen(spark, seen_dir: str) -> dict:
     from macrobase_spark.atomic import swap_in as _swap_in
 
     path = os.path.join(seen_dir, "keys.parquet")
+    _recover_swap(path)  # BEFORE the existence probe: in the swap crash
+    # window the live dir is absent and only recovery can bring it back
     if not os.path.exists(path):
         return {"compacted": False}
-    _recover_swap(path)
     tmp = path + "_compact"
     (spark.read.parquet(path)
      .groupBy("_key", "_kb").agg(F.min("first_id").alias("first_id"))

@@ -201,11 +201,21 @@ def streaming_fpgrowth(
 
     def _emit_rows(g: int, tree: dict, p: int) -> pd.DataFrame:
         # a group's tree holds prefixes ENDING at owned items, but inner
-        # items are foreign — keep only itemsets whose LAST item is owned
-        # (the PFP shard contract: disjoint across groups, complete in union)
-        mined = tree_mine(tree, min_support_count)
-        rows = [(" ".join(s), c, p, g) for s, c in mined.items()
-                if _py_group(s[-1], num_groups) == g]
+        # items are foreign — mine only itemsets whose LAST item is owned
+        # (the PFP shard contract: disjoint across groups, complete in
+        # union). Passing `owned` prunes foreign-suffix branches at the
+        # first recursion level instead of mining the full lattice and
+        # post-filtering (≈ num_groups× wasted work per batch otherwise).
+        owned: set = set()
+        stack = [tree]
+        while stack:  # one cheap walk: every item name in the tree
+            t = stack.pop()
+            for it, (_c, ch) in t.items():
+                if _py_group(it, num_groups) == g:
+                    owned.add(it)
+                stack.append(ch)
+        mined = tree_mine(tree, min_support_count, owned=owned)
+        rows = [(" ".join(s), c, p, g) for s, c in mined.items()]
         return pd.DataFrame(rows, columns=["itemset", "support",
                                            "period", "grp"])
 

@@ -110,6 +110,21 @@ def apply_stream_batch(
         prev_run = rec.get("run_id")
         if prev_run is not None and prev_run != run_id:
             if on_run_id_change == "reset":
+                # a crashed OLD-run epoch may have left an inflight journal;
+                # its epoch ids mean nothing under the new run — roll the
+                # partial mutation back now (otherwise the id-mismatch
+                # branch below wedges every batch of the new stream)
+                stale = os.path.join(out_dir, _INFLIGHT_FILE)
+                if os.path.exists(stale):
+                    with open(stale) as f:
+                        old_inf = json.load(f)
+                    if old_inf.get("run_id") != run_id:
+                        from macrobase_spark.index.build import (
+                            invalidate_index_cache as _inv)
+
+                        _rollback_to_snapshot(out_dir, old_inf["snapshot"])
+                        _inv(out_dir)
+                        os.remove(stale)
                 rec = {"committed": [], "since_compact":
                        rec.get("since_compact", 0)}
             else:

@@ -91,7 +91,17 @@ def windowed_diff(
         F.col("outlier_count").alias("_g_out"),
         F.col("total_count").alias("_g_tot"),
     )
-    per_combo = grouped.filter(F.col("_gid") != all_absent)
+    # same grouping-id discipline as the batch diff() (operators/diff.py):
+    # a NULL attr must mean "grouped out of this set", never a genuine NULL
+    # data value — otherwise (a=x) rows and (a=x, b=NULL-data) rows are
+    # indistinguishable in the output and NULL items leak as explanations
+    present_cond = F.lit(True)
+    for i, a in enumerate(attrs):
+        is_grouped = (F.shiftright("_gid", len(attrs) - 1 - i)
+                      .bitwiseAND(F.lit(1)) == 0)
+        present_cond = present_cond & F.when(
+            is_grouped, F.col(a).isNotNull()).otherwise(F.col(a).isNull())
+    per_combo = grouped.filter((F.col("_gid") != all_absent) & present_cond)
     joined = per_combo.join(globals_df, per_combo["_w"] == globals_df["_gw"]).drop("_gw")
     oc, tc = F.col("outlier_count"), F.col("total_count")
     # a window pane with ZERO outliers has _g_out = 0: the reference's Java
@@ -115,7 +125,7 @@ def windowed_diff(
 
 
 def streaming_windowed_counts(
-    spark, source_df: DataFrame, ts_col: str, attrs: list[str],
+    source_df: DataFrame, ts_col: str, attrs: list[str],
     window_length: str = "5 minutes", watermark: str = "1 minute",
 ):
     """Structured Streaming demo of the windowed pipeline: tumbling-window

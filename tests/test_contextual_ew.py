@@ -104,3 +104,20 @@ def test_contextual_null_values_join_no_context(spark):
     assert ax[0]["context_size"] == 120
     # no context ever formed around the NULL b value
     assert not [r for r in res if r["a"] is None and r["b"] is None]
+
+
+def test_ew_percentile_resolves_default_99(spark):
+    """r4 review: the old uniform 21-point grid weighting quantized away any
+    percentile above ~95.2 — a single pane at the default percentile=99
+    flagged ZERO rows. The band-weighted tail-refined grid must flag ~1%."""
+    import datetime
+
+    from macrobase_spark.streaming.ew import ew_percentile_classify
+
+    base_ts = datetime.datetime(2024, 1, 1)
+    rows = [(base_ts, float(i)) for i in range(1000)]  # one pane, 0..999
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = ew_percentile_classify(df, "ts", "value", percentile=99.0,
+                                 pane="1 hour", exact=True)
+    n_out = out.agg(F.sum("_OUTLIER")).collect()[0][0]
+    assert 5 <= n_out <= 15, n_out  # ~10 of 1000 above the 99th percentile

@@ -418,3 +418,61 @@ def test_overwrite_rebuild_clears_manifest(spark, tmp_path):
                       hot_sample_frac=0.5, resume=True)
     assert rep["n_docs"] == all_df.count()
     _assert_matches_scratch(spark, out, all_df, tmp_path, "man")
+
+
+def test_dedup_ingest_swap_crash_and_same_id_twins(spark, tmp_path):
+    """r4 review: (a) a crash inside compact_seen's rename window leaves no
+    live keys.parquet — every store entry point must recover from _old
+    before the existence check (the old code deduped against NOTHING and a
+    later compaction deleted the history); (b) the SAME (id, content) row
+    redelivered twice within one batch must collapse to one survivor."""
+    import os
+
+    from macrobase_spark.streaming.dedup_ingest import dedup_batch
+
+    seen = str(tmp_path / "seen2")
+    b1 = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")],
+                               "doc_id long, text string")
+    dedup_batch(b1, seen)
+    # simulate the swap crash: live dir renamed away, history in _old
+    path = os.path.join(seen, "keys.parquet")
+    os.rename(path, path + "_old")
+    # (a) next batch must still know b1's content
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "fresh text"), (11, "fresh text")],
+        "doc_id long, text string")
+    out = dedup_batch(b2, seen)
+    rows = sorted((r["doc_id"], r["text"]) for r in out.collect())
+    # (b) the id-11 twins collapsed; the redelivered content dropped
+    assert rows == [(11, "fresh text")]
+    assert os.path.isdir(path) and not os.path.isdir(path + "_old")
+
+
+def test_windowed_diff_null_attr_values(spark):
+    """r4 review: genuinely-NULL attribute values must not masquerade as
+    grouped-out NULLs — no phantom a=NULL explanations, no duplicate-keyed
+    rows from different grouping sets."""
+    import datetime
+
+    from macrobase_spark.streaming.windows import windowed_diff
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = ([(t0, "x", "p", 1.0)] * 5 + [(t0, "x", None, 1.0)] * 5
+            + [(t0, "y", "p", 0.0)] * 10)
+    df = spark.createDataFrame(rows, "ts timestamp, a string, b string, "
+                                     "_OUTLIER double")
+    out = windowed_diff(df, "ts", ["a", "b"], window_length="1 hour",
+                        min_support=0.0, min_ratio=0.0, max_order=2).collect()
+    keyed = {}
+    for r in out:
+        k = (r["a"], r["b"])
+        assert k not in keyed, f"duplicate-keyed explanation row {k}"
+        keyed[k] = r
+    # (a=x, b=NULL) can only be the order-1 context over ALL x rows (10)
+    assert keyed[("x", None)]["total_count"] == 10
+    # (a=NULL, b=p) is the legitimate order-1 "b=p" context (a grouped
+    # out): 5 x-rows + 10 y-rows with b='p' — NULL-b rows excluded
+    assert keyed[(None, "p")]["total_count"] == 15
+    # and the order-2 (x, p) context counts only the non-NULL pairs
+    assert keyed[("x", "p")]["total_count"] == 5
+    assert all(not (r["a"] is None and r["b"] is None) for r in out)
