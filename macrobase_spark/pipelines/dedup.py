@@ -106,7 +106,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         for pdf in it:
             out = []
             for hashes in pdf["_sh"]:
-                h = _mod_m61(np.asarray(hashes, dtype=np.int64).astype(np.uint64))
+                # NULL text arrives as None — treat as an empty shingle set
+                h = _mod_m61(np.asarray(
+                    hashes if hashes is not None else [],
+                    dtype=np.int64).astype(np.uint64))
                 if h.size == 0:
                     out.append(np.full(num_hashes, np.iinfo(np.int64).max).tolist())
                     continue
@@ -128,6 +131,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """Candidate near-dup pairs via banded LSH, verified by estimated Jaccard
     (signature agreement rate ≥ min_jaccard). Returns (id_a, id_b, est_jaccard)
     with id_a < id_b."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: "
+            "rows_per_band=0 would bucket EVERY doc together (all-pairs "
+            "join), and a non-divisor silently ignores the signature tail")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, seed)
     sigs = sigs.select(F.col(id_col).alias("_id"), "signature")
@@ -179,7 +187,9 @@ def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in it:
             fps = np.empty(len(pdf), dtype=np.int64)
             for i, hashes in enumerate(pdf["_th"]):
-                h = np.asarray(hashes, dtype=np.int64)
+                # NULL text arrives as None (tokenize of NULL propagates)
+                h = np.asarray(hashes if hashes is not None else [],
+                               dtype=np.int64)
                 if h.size == 0:
                     fps[i] = 0
                     continue
@@ -187,7 +197,11 @@ def simhash_64(df: DataFrame, text_col: str = "text") -> DataFrame:
                     h.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1,
                     bitorder="little",
                 )  # (n_tokens, 64)
-                votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 majority)
+                # SIGNED votes: unpackbits sums promote to uint64, and
+                # `sum*2 - size` underflowed for every MINORITY bit, setting
+                # it — all documents fingerprinted to ~all-ones and everything
+                # looked like a near-duplicate (r4 review, verified)
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - h.size
                 fp_bits = (votes > 0).astype(np.uint8)
                 fps[i] = np.packbits(fp_bits, bitorder="little").view(np.int64)[0]
             yield pdf.drop(columns=["_th"]).assign(simhash=fps)
@@ -494,6 +508,17 @@ def dedup_clusters(
     jobs. The distributed star rounds kick in only beyond the bound (the
     100 TB path); collect_threshold=0 forces them (used by tests).
     """
+    from pyspark.sql.types import IntegralType
+
+    for c in (id_a, id_b):
+        if not isinstance(pairs.schema[c].dataType, IntegralType):
+            # cast('long') would NULL non-numeric ids: the small path then
+            # crashes, but the DISTRIBUTED path would drop every edge and
+            # return a silent no-op dedup — refuse loudly instead
+            raise ValueError(
+                f"dedup_clusters needs integral ids; {c!r} is "
+                f"{pairs.schema[c].dataType.simpleString()} — map string "
+                "ids to longs first (e.g. xxhash64, or a dimension table)")
     # symmetric edge list, self-loops dropped, long ids
     e = pairs.select(F.col(id_a).cast("long").alias("u"),
                      F.col(id_b).cast("long").alias("v"))

@@ -226,7 +226,12 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                         f = _video_features(decode_rawv(b))
                     feats.append(f.tolist())
                     oks.append(True)
-                except NotImplementedError:
+                except Exception:
+                    # undecodable is a DATA condition, not a job failure:
+                    # malformed payloads raise struct.error / wave.Error /
+                    # ValueError (truncated headers, bad frame counts), not
+                    # just the codec-missing NotImplementedError — all of
+                    # them surface as ok=false per the module contract
                     feats.append([])
                     oks.append(False)
             yield pd.DataFrame(

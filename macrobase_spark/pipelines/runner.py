@@ -89,9 +89,18 @@ def run_pipeline(spark: SparkSession, conf, base_dir: str | None = None) -> Data
 
     c = load_config(conf)
     kind = c.get("pipeline", "BasicBatchPipeline").lower()
+    if kind not in ("basicbatchpipeline", "cubepipeline"):
+        raise ValueError(
+            f"unsupported pipeline: {c.get('pipeline')!r} (want "
+            "BasicBatchPipeline or CubePipeline)")
     df = _load_input(spark, c["inputURI"], base_dir, c)
     attrs = list(c["attributes"])
-    metric_name = _RATIO_MAP[c.get("ratioMetric", "globalratio").lower()]
+    ratio_key = c.get("ratioMetric", "globalratio").lower()
+    if ratio_key not in _RATIO_MAP:
+        raise ValueError(
+            f"unsupported ratioMetric: {c.get('ratioMetric')!r} "
+            f"(want one of {sorted(set(_RATIO_MAP.values()))})")
+    metric_name = _RATIO_MAP[ratio_key]
     min_support = float(c.get("minSupport", 0.01))
     min_ratio = float(c.get("minRatioMetric", 3.0))
     max_order = int(c.get("maxOrder", 3))

@@ -203,8 +203,7 @@ def ivf_build(
     meta = {"n_centroids": int(n_centroids), "id_col": id_col,
             "dim": int(centroids.shape[1]),
             "centroids": centroids.tolist()}
-    with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_json_write(os.path.join(out_dir, "ivf_meta.json"), meta)
     return {"n_centroids": int(n_centroids), "dim": int(centroids.shape[1])}
 
 
@@ -274,8 +273,7 @@ def lsh_build(
      .write.mode("overwrite").parquet(os.path.join(out_dir, "buckets.parquet")))
     meta = {"n_planes": int(n_planes), "dim": int(dim), "seed": int(seed),
             "id_col": id_col, "planes": planes.tolist()}
-    with open(os.path.join(out_dir, "lsh_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_json_write(os.path.join(out_dir, "lsh_meta.json"), meta)
     return {"n_planes": int(n_planes), "dim": int(dim)}
 
 
@@ -402,6 +400,10 @@ def ivf_add(
 
     with open(os.path.join(index_dir, "ivf_meta.json")) as f:
         meta = json.load(f)
+    # recover a crashed compaction FIRST: in its rename window the live dir
+    # is absent, and an append would recreate it with only the delta — the
+    # next recover_swap would then delete the _old full index for good
+    _recover_swap(os.path.join(index_dir, "cells.parquet"))
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
     id_col = id_col or meta["id_col"]
     v = _prep_vectors(vectors, id_col, vec_col).withColumn(
@@ -451,6 +453,7 @@ def lsh_add(
 
     with open(os.path.join(index_dir, "lsh_meta.json")) as f:
         meta = json.load(f)
+    _recover_swap(os.path.join(index_dir, "buckets.parquet"))  # see ivf_add
     planes = np.asarray(meta["planes"], dtype=np.float64)
     id_col = id_col or meta["id_col"]
     v = _prep_vectors(vectors, id_col, vec_col).withColumn(

@@ -832,3 +832,23 @@ def test_simhash_wide_combo_schemes(spark):
 
     with pytest.raises(ValueError, match="exceeds a signed long"):
         simhash_candidate_pairs(df, n_blocks=4, combo_blocks=4)
+
+
+def test_simhash_fingerprints_not_degenerate(spark):
+    """r4 review (verified uint64 underflow): minority-vote bits wrapped to
+    huge positives, so EVERY document fingerprinted to ~all-ones and
+    everything looked like a near-duplicate. Fingerprints must now have
+    ~balanced bits and unrelated docs must be far apart."""
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "totally different words entirely unrelated content"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from macrobase_spark.pipelines.dedup import simhash_64
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_64(df).collect()}
+    pc1 = bin(fp[1] & (2 ** 64 - 1)).count("1")
+    pc2 = bin(fp[2] & (2 ** 64 - 1)).count("1")
+    assert 10 <= pc1 <= 54 and 10 <= pc2 <= 54, (pc1, pc2)  # not all-ones
+    ham = bin((fp[1] ^ fp[2]) & (2 ** 64 - 1)).count("1")
+    assert ham > 10  # unrelated docs are far apart
+    assert fp[3] == 0  # NULL text: empty sentinel, no crash
