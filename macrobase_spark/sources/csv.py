@@ -37,9 +37,15 @@ def read_csv_macrobase(
     string. With reference_null_convention=True, replicate the "NULL"/NaN
     fill (for golden-CSV parity); default keeps real SQL NULLs.
     """
+    bad = {c: t for c, t in column_types.items() if t not in _TYPES}
+    if bad:
+        raise ValueError(
+            f"unsupported column types {bad} — the v0 ingest contract "
+            f"knows {sorted(_TYPES)} (a typo here would silently load the "
+            "column as string and fail far downstream)")
     header = spark.read.csv(path, header=True).schema.fieldNames()
     fields = [
-        T.StructField(c, _TYPES.get(column_types.get(c, "string"), T.StringType()), True)
+        T.StructField(c, _TYPES[column_types.get(c, "string")], True)
         for c in header
     ]
     df = spark.read.csv(path, header=True, schema=T.StructType(fields))

@@ -14,8 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # py4j attribute access on a MISSING class silently yields a JavaPackage
+    # (it never raises), so the old attribute probe always said True and the
+    # parquet fallback was dead code (r4 review) — Class.forName actually
+    # resolves the class
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
@@ -31,9 +36,19 @@ def read_table(spark: SparkSession, identifier: str) -> DataFrame:
 
 def write_table(df: DataFrame, identifier: str, mode: str = "append") -> None:
     """Write to Iceberg when available (fan-out write with distribution by
-    partition spec); parquet path otherwise."""
+    partition spec); parquet path otherwise. mode='append' appends to the
+    existing table (creating it if absent); 'overwrite' replaces it — the
+    old code createOrReplace'd unconditionally, silently dropping prior
+    rows on the DEFAULT append mode (r4 review)."""
     spark = df.sparkSession
     if "/" not in identifier and iceberg_available(spark):
-        df.writeTo(identifier).using("iceberg").createOrReplace()
+        writer = df.writeTo(identifier).using("iceberg")
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            try:
+                writer.append()
+            except Exception:
+                writer.create()  # first write: table does not exist yet
         return
     df.write.mode(mode).parquet(identifier)

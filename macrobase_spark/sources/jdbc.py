@@ -87,16 +87,25 @@ def read_jdbc_macrobase(
                   .option("numPartitions", str(num_partitions)))
     df = reader.load()
 
-    by_lower = {c.lower(): c for c in df.columns}
+    by_lower: dict[str, list[str]] = {}
+    for c in df.columns:
+        by_lower.setdefault(c.lower(), []).append(c)
 
     def _resolve(name: str) -> str:
         if name in df.columns:
             return name
         got = by_lower.get(name.lower())
-        if got is None:
+        if not got:
             raise ValueError(f"column {name!r} not in JDBC result "
                              f"({df.columns})")
-        return got
+        if len(got) > 1:
+            # quoted identifiers can make a result carry both "ID" and
+            # "id" — binding case-insensitively to either would silently
+            # read the wrong data
+            raise ValueError(
+                f"column {name!r} is ambiguous in the JDBC result: "
+                f"{got} differ only in case — use the exact name")
+        return got[0]
 
     # equality predicates — AND semantics like getRowsSql; expressed as
     # Catalyst filters so they push down into the remote query

@@ -93,6 +93,9 @@ def read_rest_partitioned(
     """Fetch many endpoints on the executors; union of all pages. All pages
     must share a schema (the first page of the first partition defines the
     column order)."""
+    if not urls:
+        raise ValueError("read_rest_partitioned: empty url list — nothing "
+                         "to fetch (compute at least one page URL)")
     import pandas as pd
 
     url_df = spark.createDataFrame([(u,) for u in urls], "url string")

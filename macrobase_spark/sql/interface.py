@@ -78,6 +78,53 @@ def _match_paren(s: str, open_idx: int) -> int:
     raise ValueError(f"unbalanced parentheses in: {s!r}")
 
 
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0 (quote-aware) — a regex lookahead
+    cannot pair nested calls like greatest(x, abs(y))."""
+    out, cur, depth, in_str = [], [], 0, False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    out.append("".join(cur))
+    return [x for x in out if x.strip()]
+
+
+def _is_top_level_diff(stmt: str) -> bool:
+    """True iff the first PAREN-DEPTH-0 `FROM` is immediately followed by
+    DIFF — `DIFF` inside a subquery must not hijack the outer statement."""
+    depth, in_str, i, n = 0, False, 0, len(stmt)
+    up = stmt.upper()
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith("FROM", i) and (
+                    i == 0 or not (stmt[i - 1].isalnum() or stmt[i - 1] == "_")
+            ) and (i + 4 >= n or not (stmt[i + 4].isalnum()
+                                      or stmt[i + 4] == "_")):
+                rest = stmt[i + 4:].lstrip()
+                return rest.upper().startswith("DIFF") and (
+                    len(rest) == 4 or not (rest[4:5].isalnum()
+                                           or rest[4:5] == "_"))
+        i += 1
+    return False
+
+
 _IMPORT_RE = re.compile(
     r"^\s*IMPORT\s+FROM\s+CSV\s+FILE\s+'(?P<path>[^']+)'\s+INTO\s+"
     r"(?P<table>\w+)\s*(?:\(\s*(?P<cols>[^)]*)\))?\s*$",
@@ -87,8 +134,12 @@ _OUTFILE_RE = re.compile(r"\s+INTO\s+OUTFILE\s+'(?P<path>[^']+)'\s*$",
                          re.IGNORECASE)
 _DIFF_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+DIFF\s+", re.IGNORECASE | re.DOTALL)
+# the reference-grammar quirk is a SINGLE bare identifier: require a clause
+# boundary right after it, so genuine ON expressions (function calls, NOT,
+# AND-chains) are delegated verbatim instead of being mangled into USING
 _BARE_ON_RE = re.compile(
-    r"(\bJOIN\s+\w+(?:\s+\w+)?)\s+ON\s+(\w+)(?!\s*(?:=|\.|<|>|!))",
+    r"(\bJOIN\s+\w+(?:\s+\w+)?)\s+ON\s+(\w+)"
+    r"(?=\s*$|\s*;|\s*\)|\s+(?:WHERE|GROUP|ORDER|LIMIT|JOIN|INTO)\b)",
     re.IGNORECASE)
 _PCT_RE = re.compile(r"percentile\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
 _SEARCH_RE = re.compile(
@@ -159,7 +210,7 @@ class MacroBaseSQL:
         if m:
             return self._import_csv(m)
         stmt, outfile = self._strip_outfile(stmt)
-        if _DIFF_RE.match(stmt):
+        if _DIFF_RE.match(stmt) and _is_top_level_diff(stmt):
             df = self._diff_query(stmt)
         else:
             df = self._plain_query(stmt)
@@ -298,7 +349,7 @@ class MacroBaseSQL:
         # SELECT items: replace percentile(c); bare (unaliased) occurrences
         # keep the reference's output column name `percentile(c)`.
         items = []
-        for item in re.split(r",(?![^()]*\))", sel):
+        for item in _split_top_level(sel):
             item = item.strip()
             if item == "*":  # expand against the BASE columns (the augmented
                 items.append(", ".join(base.columns))  # view adds __pct_*)
@@ -351,6 +402,11 @@ class MacroBaseSQL:
         else:
             first, rest = self._take_subquery(rest)
             am = re.match(r"^\s*(\w+)?\s*,\s*", rest)
+            if am is None:
+                raise ValueError(
+                    "DIFF expects two relations `(q1) [a], (q2) [b]` or a "
+                    f"SPLIT relation; could not parse after the first "
+                    f"relation: {rest[:80]!r}")
             rest = rest[am.end():].lstrip()
             second, rest = self._take_subquery(rest)
             rest = rest.lstrip()

@@ -235,3 +235,44 @@ def test_search_composes_with_diff(spark, tmp_path):
         "WITH MIN RATIO 0.0 MIN SUPPORT 0.0;").collect()
     assert out, "expected explanation rows"
     assert {"role", "support", "global_ratio"} <= set(out[0].asDict())
+
+
+def test_sql_parser_edge_cases(spark, tmp_path):
+    """r4 review batch: (a) real ON expressions pass through verbatim (the
+    bare-column USING quirk only fires at a clause boundary); (b) nested
+    calls after a percentile() item split correctly; (c) DIFF inside a
+    subquery does not hijack the outer statement; (d) a malformed DIFF
+    relation list raises a parse error, not AttributeError."""
+    from macrobase_spark.sql import MacroBaseSQL
+
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    spark.createDataFrame(
+        [("A", "a", 1.0), ("B", "b", 9.0)], "x string, y string, usage double"
+    ).createOrReplaceTempView("t_edge")
+    spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0)], "y string, v double"
+    ).createOrReplaceTempView("u_edge")
+
+    # (a) expression ON conditions are NOT rewritten to USING
+    got = mb.execute(
+        "SELECT t_edge.x, u_edge.v FROM t_edge JOIN u_edge "
+        "ON lower(t_edge.y) = lower(u_edge.y) ORDER BY x;").collect()
+    assert [(r["x"], r["v"]) for r in got] == [("A", 10.0), ("B", 20.0)]
+
+    # (b) nested call after a percentile item
+    got = mb.execute(
+        "SELECT percentile(usage) AS p, greatest(usage, abs(usage)) AS g "
+        "FROM t_edge ORDER BY g;").collect()
+    assert len(got) == 2 and got[-1]["g"] == 9.0
+
+    # (c) DIFF mentioned inside a subquery: outer statement is plain SQL
+    got = mb.execute(
+        "SELECT x FROM t_edge WHERE y IN (SELECT y FROM u_edge) ORDER BY x;"
+    ).collect()
+    assert [r["x"] for r in got] == ["A", "B"]
+
+    # (d) malformed DIFF relation list → parse error, not AttributeError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DIFF expects two relations"):
+        mb.execute("SELECT * FROM DIFF (SELECT * FROM t_edge) ON x;")
