@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
 import time
 
 import numpy as np
@@ -43,6 +45,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from macrobase_spark.index.codec import delta_varint_encode, delta_varint_decode
+
+# In-process mutation registry: update_index / compact_index register the
+# index dir they are mutating for the duration of the mutation. Crash
+# recovery (recover_update_inflight / restore_compact_backup) must NOT treat
+# a same-pid journal as a dead owner while the mutation is live on another
+# thread of this process (query-server usage) — rolling back a running
+# update deletes files it is still appending to. A same-pid journal with NO
+# live registration is a previous failed call in this process and recovers
+# normally.
+_ACTIVE_MUTATIONS: set[str] = set()
+_ACTIVE_MUTATIONS_LOCK = threading.Lock()
+
+
+def _mutation_begin(out_dir: str) -> str:
+    key = os.path.abspath(out_dir)
+    with _ACTIVE_MUTATIONS_LOCK:
+        if key in _ACTIVE_MUTATIONS:
+            raise RuntimeError(
+                f"concurrent in-process index mutation on {out_dir!r}: "
+                "another update/compact is live on this index in this "
+                "process — serialize mutations per index")
+        _ACTIVE_MUTATIONS.add(key)
+    return key
+
+
+def _mutation_end(key: str) -> None:
+    with _ACTIVE_MUTATIONS_LOCK:
+        _ACTIVE_MUTATIONS.discard(key)
+
+
+def _mutation_live_in_process(out_dir: str) -> bool:
+    with _ACTIVE_MUTATIONS_LOCK:
+        return os.path.abspath(out_dir) in _ACTIVE_MUTATIONS
 
 K1 = 1.2
 B = 0.75
@@ -601,8 +636,6 @@ def recover_update_inflight(out_dir: str) -> bool:
     segment rows queryable. A LIVE owner means an update is in progress in
     another process: leave it alone (reads during an update were always
     racy-by-design; the journal only has to make crashes safe)."""
-    import shutil as _shutil  # noqa: F401  (rollback uses shutil via module)
-
     path = os.path.join(out_dir, _UPDATE_INFLIGHT)
     if not os.path.exists(path):
         return False
@@ -617,6 +650,8 @@ def recover_update_inflight(out_dir: str) -> bool:
             pass
         except PermissionError:
             return False
+    elif pid is not None and _mutation_live_in_process(out_dir):
+        return False  # same pid, update live on another THREAD — not a crash
     rollback_index_snapshot(out_dir, rec["snapshot"])
     os.remove(path)
     invalidate_index_cache(out_dir)
@@ -666,123 +701,127 @@ def update_index(
     spark = df_new.sparkSession
     restore_compact_backup(out_dir)  # recover any crashed compaction first
     recover_update_inflight(out_dir)  # roll back a crashed previous update
-    if journal:
-        # update appends docs + postings BEFORE the stats/manifest commit;
-        # journal a pre-mutation snapshot so a crash in between cannot
-        # leave a queryable inconsistent index or let a retry duplicate
-        # rows. The streaming epoch protocol passes journal=False — its
-        # own inflight journal already covers the whole epoch.
-        snap = take_index_snapshot(out_dir)
-        with open(os.path.join(out_dir, _UPDATE_INFLIGHT + ".tmp"), "w") as f:
-            json.dump({"pid": os.getpid(), "snapshot": snap}, f)
-        os.replace(os.path.join(out_dir, _UPDATE_INFLIGHT + ".tmp"),
-                   os.path.join(out_dir, _UPDATE_INFLIGHT))
-    with open(os.path.join(out_dir, "stats.json")) as f:
-        stats = json.load(f)
-    num_buckets = stats["num_buckets"]
-    salt_partitions = stats.get("salt_partitions", 8)
-    version = stats.get("version", 1) + 1
-    t0 = time.time()
+    _key = _mutation_begin(out_dir)
+    try:
+        if journal:
+            # update appends docs + postings BEFORE the stats/manifest commit;
+            # journal a pre-mutation snapshot so a crash in between cannot
+            # leave a queryable inconsistent index or let a retry duplicate
+            # rows. The streaming epoch protocol passes journal=False — its
+            # own inflight journal already covers the whole epoch.
+            snap = take_index_snapshot(out_dir)
+            with open(os.path.join(out_dir, _UPDATE_INFLIGHT + ".tmp"), "w") as f:
+                json.dump({"pid": os.getpid(), "snapshot": snap}, f)
+            os.replace(os.path.join(out_dir, _UPDATE_INFLIGHT + ".tmp"),
+                       os.path.join(out_dir, _UPDATE_INFLIGHT))
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            stats = json.load(f)
+        num_buckets = stats["num_buckets"]
+        salt_partitions = stats.get("salt_partitions", 8)
+        version = stats.get("version", 1) + 1
+        t0 = time.time()
 
-    meta_cols = [c for c in ("conv_id", "turn_idx") if c in df_new.columns]
-    src = df_new.select(doc_id_col, *meta_cols, text_col)
-    docs_path = os.path.join(out_dir, "docs.parquet")
+        meta_cols = [c for c in ("conv_id", "turn_idx") if c in df_new.columns]
+        src = df_new.select(doc_id_col, *meta_cols, text_col)
+        docs_path = os.path.join(out_dir, "docs.parquet")
 
-    feats = (turn_features(src, text_col).drop(text_col)
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    # O(delta) global stats: the base corpus contributes via the EXACT
-    # integer doc-length sum persisted in stats.json (no re-scan of the old
-    # docs table) — avgdl = (sum_dl_old + sum_dl_delta) / n stays
-    # bit-identical to a full recompute because both sums are integers.
-    ll = "log1p(cast(doc_len as double))"
-    row = feats.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl"),
-        F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
-    ).collect()[0]
-    n_new, sum_new = int(row["n"]), int(row["sum_dl"])
-    if "sum_dl" in stats:
-        n_docs = stats["n_docs"] + n_new
-        sum_dl = stats["sum_dl"] + sum_new
-    else:  # legacy index without the integer sum: one-time rescan
-        old_row = spark.read.parquet(docs_path).agg(
-            F.count("*"), F.sum("doc_len")).collect()[0]
-        n_docs = int(old_row[0]) + n_new
-        sum_dl = int(old_row[1]) + sum_new
-    avgdl = sum_dl / n_docs
-    # anomaly normalization: reuse the base corpus's robust length stats
-    # (median / IQR drift slowly; they refresh on the next full build) —
-    # fall back to the delta's own quantiles for legacy indexes
-    med, mad = stats.get("len_med"), stats.get("len_mad")
-    if med is None or mad is None:
-        q25, med, q75 = [float(v) for v in row["qs"]]
-        mad = (q75 - q25) / 2.0 or 1e-9
-    z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
-        mad * 1.4826)
-    (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
-        .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
-        .write.mode("append").parquet(docs_path))
-    feats.unpersist()
+        feats = (turn_features(src, text_col).drop(text_col)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        # O(delta) global stats: the base corpus contributes via the EXACT
+        # integer doc-length sum persisted in stats.json (no re-scan of the old
+        # docs table) — avgdl = (sum_dl_old + sum_dl_delta) / n stays
+        # bit-identical to a full recompute because both sums are integers.
+        ll = "log1p(cast(doc_len as double))"
+        row = feats.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl"),
+            F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))").alias("qs"),
+        ).collect()[0]
+        n_new, sum_new = int(row["n"]), int(row["sum_dl"])
+        if "sum_dl" in stats:
+            n_docs = stats["n_docs"] + n_new
+            sum_dl = stats["sum_dl"] + sum_new
+        else:  # legacy index without the integer sum: one-time rescan
+            old_row = spark.read.parquet(docs_path).agg(
+                F.count("*"), F.sum("doc_len")).collect()[0]
+            n_docs = int(old_row[0]) + n_new
+            sum_dl = int(old_row[1]) + sum_new
+        avgdl = sum_dl / n_docs
+        # anomaly normalization: reuse the base corpus's robust length stats
+        # (median / IQR drift slowly; they refresh on the next full build) —
+        # fall back to the delta's own quantiles for legacy indexes
+        med, mad = stats.get("len_med"), stats.get("len_mad")
+        if med is None or mad is None:
+            q25, med, q75 = [float(v) for v in row["qs"]]
+            mad = (q75 - q25) / 2.0 or 1e-9
+        z = F.abs(F.log1p(F.col("doc_len").cast("double")) - F.lit(med)) / F.lit(
+            mad * 1.4826)
+        (feats.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+            .select(doc_id_col, *meta_cols, "doc_len", "rep_ratio", "anomaly")
+            .write.mode("append").parquet(docs_path))
+        feats.unpersist()
 
-    # hot set for the delta: persisted build-time hots ∪ sampled re-detection
-    # over the delta (a term can be hot in the delta without being hot in
-    # the base corpus)
-    hot_set = set(stats.get("hot_terms", []))
-    hot_set |= set(detect_hot_terms(src, 0.1, 50_000, doc_id_col, text_col))
+        # hot set for the delta: persisted build-time hots ∪ sampled re-detection
+        # over the delta (a term can be hot in the delta without being hot in
+        # the base corpus)
+        hot_set = set(stats.get("hot_terms", []))
+        hot_set |= set(detect_hot_terms(src, 0.1, 50_000, doc_id_col, text_col))
 
-    # persisted: the touched-buckets collect AND the encode+write below
-    # both consume this relation — without the pin every update would
-    # re-tokenize the whole delta, and a nondeterministic df_new could
-    # even write buckets the version gate never stamped stale (r4 review)
-    new_post = (exploded_postings(src, doc_id_col, text_col).withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    salted = new_post.withColumn(
-        "salt",
-        F.when(
-            F.col("term").isin(list(hot_set)) if hot_set else F.lit(False),
-            F.pmod(F.col("doc_id"), F.lit(salt_partitions)).cast("int"),
-        ).otherwise(F.lit(0)),
-    )
-    # encode per (term, salt) run; hot_terms=∅ → every run finalizes with
-    # real per-segment block-max metadata (a hot term's delta becomes up to
-    # `salt_partitions` segment rows — parallel encode, parallel read)
-    new_enc = (
-        salted.repartition(n_shuffle, "term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(_encode_sorted_runs(set(), avgdl), schema=_ENC_SCHEMA)
-        .drop("final")
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
-        .repartition("bucket")
-        .sortWithinPartitions("term")
-    )
-    postings_root = os.path.join(out_dir, "postings")
-    new_enc.write.mode("append").partitionBy("bucket").parquet(postings_root)
-    new_post.unpersist()
+        # persisted: the touched-buckets collect AND the encode+write below
+        # both consume this relation — without the pin every update would
+        # re-tokenize the whole delta, and a nondeterministic df_new could
+        # even write buckets the version gate never stamped stale (r4 review)
+        new_post = (exploded_postings(src, doc_id_col, text_col).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        salted = new_post.withColumn(
+            "salt",
+            F.when(
+                F.col("term").isin(list(hot_set)) if hot_set else F.lit(False),
+                F.pmod(F.col("doc_id"), F.lit(salt_partitions)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        # encode per (term, salt) run; hot_terms=∅ → every run finalizes with
+        # real per-segment block-max metadata (a hot term's delta becomes up to
+        # `salt_partitions` segment rows — parallel encode, parallel read)
+        new_enc = (
+            salted.repartition(n_shuffle, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_encode_sorted_runs(set(), avgdl), schema=_ENC_SCHEMA)
+            .drop("final")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+            .repartition("bucket")
+            .sortWithinPartitions("term")
+        )
+        postings_root = os.path.join(out_dir, "postings")
+        new_enc.write.mode("append").partitionBy("bucket").parquet(postings_root)
+        new_post.unpersist()
 
-    seg = sorted(set(stats.get("segmented_buckets", [])) | set(touched))
-    stats.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
-                  "version": version, "hot_terms": sorted(hot_set),
-                  "segmented_buckets": seg})
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
-    # touched buckets are re-stamped at their PRE-update version: they now
-    # hold mixed-era block-max metadata, so they must read as stale (block
-    # pruning off) until compaction rewrites them
-    bv = bucket_versions(out_dir)
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    with open(manifest_path, "a") as f:
-        for b in sorted(touched):
-            f.write(json.dumps({"bucket": int(b), "status": "done",
-                                "version": bv.get(b, 1), "op": "update",
-                                "ts": time.time()}) + "\n")
-    invalidate_index_cache(out_dir)
-    if journal:
-        os.remove(os.path.join(out_dir, _UPDATE_INFLIGHT))
-    return {"n_docs": n_docs, "avgdl": avgdl, "version": version,
-            "touched_buckets": sorted(touched),
-            "elapsed_sec": time.time() - t0}
+        seg = sorted(set(stats.get("segmented_buckets", [])) | set(touched))
+        stats.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+                      "version": version, "hot_terms": sorted(hot_set),
+                      "segmented_buckets": seg})
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        # touched buckets are re-stamped at their PRE-update version: they now
+        # hold mixed-era block-max metadata, so they must read as stale (block
+        # pruning off) until compaction rewrites them
+        bv = bucket_versions(out_dir)
+        manifest_path = os.path.join(out_dir, "manifest.jsonl")
+        with open(manifest_path, "a") as f:
+            for b in sorted(touched):
+                f.write(json.dumps({"bucket": int(b), "status": "done",
+                                    "version": bv.get(b, 1), "op": "update",
+                                    "ts": time.time()}) + "\n")
+        invalidate_index_cache(out_dir)
+        if journal:
+            os.remove(os.path.join(out_dir, _UPDATE_INFLIGHT))
+        return {"n_docs": n_docs, "avgdl": avgdl, "version": version,
+                "touched_buckets": sorted(touched),
+                "elapsed_sec": time.time() - t0}
+    finally:
+        _mutation_end(_key)
 
 
 def _compact_backup_dir(out_dir: str) -> str:
@@ -808,8 +847,6 @@ def restore_compact_backup(out_dir: str) -> bool:
     Called from every index entry point (read_index, update_index,
     compact_index, streaming ingest), so a crashed compaction can never be
     silently queried."""
-    import shutil
-
     backup = _compact_backup_dir(out_dir)
     if not os.path.isdir(backup):
         return False
@@ -832,6 +869,8 @@ def restore_compact_backup(out_dir: str) -> bool:
             pass  # owner dead → genuine crash, recover
         except PermissionError:
             return False  # alive but other-user (EPERM) → leave it alone
+    elif pid is not None and _mutation_live_in_process(out_dir):
+        return False  # same pid, compaction live on another THREAD
     postings_root = os.path.join(out_dir, "postings")
     for entry in os.listdir(backup):
         src = os.path.join(backup, entry)
@@ -875,70 +914,72 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     instead of data loss. The backup is bounded by the stale buckets'
     compressed size (the deltas since the last compaction plus their base
     rows), and is deleted on success."""
-    import shutil
-
     restore_compact_backup(out_dir)  # recover any earlier crashed attempt
     recover_update_inflight(out_dir)
-    with open(os.path.join(out_dir, "stats.json")) as f:
-        stats = json.load(f)
-    version = stats.get("version", 1)
-    avgdl = stats["avgdl"]
-    stale = [b for b, v in bucket_versions(out_dir).items() if v != version]
-    if not stale:
-        return {"version": version, "compacted_buckets": []}
+    _key = _mutation_begin(out_dir)
+    try:
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            stats = json.load(f)
+        version = stats.get("version", 1)
+        avgdl = stats["avgdl"]
+        stale = [b for b, v in bucket_versions(out_dir).items() if v != version]
+        if not stale:
+            return {"version": version, "compacted_buckets": []}
 
-    postings_root = os.path.join(out_dir, "postings")
-    backup = _compact_backup_dir(out_dir)
-    shutil.rmtree(backup, ignore_errors=True)
-    os.makedirs(backup)
-    manifest_path_ = os.path.join(out_dir, "manifest.jsonl")
-    with open(os.path.join(backup, "_meta.json"), "w") as f:
-        json.dump({
-            "stats": json.dumps(stats),
-            "manifest_len": (os.path.getsize(manifest_path_)
-                             if os.path.exists(manifest_path_) else 0),
-            "pid": os.getpid(),
-        }, f)
-    for b in stale:
-        src = os.path.join(postings_root, f"bucket={b}")
-        if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(backup, f"bucket={b}"))
-    with open(os.path.join(backup, "_complete"), "w") as f:
-        f.write("1")
-    merged = (
-        spark.read.parquet(postings_root)
-        .filter(F.col("bucket").isin(stale))
-        .drop("bucket")
-        .groupBy("term")
-        .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
-        .withColumn("bucket", F.pmod(F.xxhash64("term"),
-                                     F.lit(stats["num_buckets"])).cast("int"))
-        .repartition("bucket")
-        .sortWithinPartitions("term")
-    )
-    merged.write.mode("overwrite").partitionBy("bucket").option(
-        "partitionOverwriteMode", "dynamic"
-    ).parquet(postings_root)
-    stats["segmented_buckets"] = sorted(
-        set(stats.get("segmented_buckets", [])) - set(stale))
-    # compaction is the background maintenance pass — also refresh the
-    # robust length-normalization stats that incremental updates let drift
-    ll = "log1p(cast(doc_len as double))"
-    qs = spark.read.parquet(os.path.join(out_dir, "docs.parquet")).agg(
-        F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))")
-    ).collect()[0][0]
-    stats["len_med"] = float(qs[1])
-    stats["len_mad"] = (float(qs[2]) - float(qs[0])) / 2.0 or 1e-9
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
-    with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
-        for b in sorted(stale):
-            f.write(json.dumps({"bucket": int(b), "status": "done",
-                                "version": version, "op": "compact",
-                                "ts": time.time()}) + "\n")
-    shutil.rmtree(backup)  # compaction fully committed — drop the backup
-    invalidate_index_cache(out_dir)
-    return {"version": version, "compacted_buckets": sorted(stale)}
+        postings_root = os.path.join(out_dir, "postings")
+        backup = _compact_backup_dir(out_dir)
+        shutil.rmtree(backup, ignore_errors=True)
+        os.makedirs(backup)
+        manifest_path_ = os.path.join(out_dir, "manifest.jsonl")
+        with open(os.path.join(backup, "_meta.json"), "w") as f:
+            json.dump({
+                "stats": json.dumps(stats),
+                "manifest_len": (os.path.getsize(manifest_path_)
+                                 if os.path.exists(manifest_path_) else 0),
+                "pid": os.getpid(),
+            }, f)
+        for b in stale:
+            src = os.path.join(postings_root, f"bucket={b}")
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(backup, f"bucket={b}"))
+        with open(os.path.join(backup, "_complete"), "w") as f:
+            f.write("1")
+        merged = (
+            spark.read.parquet(postings_root)
+            .filter(F.col("bucket").isin(stale))
+            .drop("bucket")
+            .groupBy("term")
+            .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
+            .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                         F.lit(stats["num_buckets"])).cast("int"))
+            .repartition("bucket")
+            .sortWithinPartitions("term")
+        )
+        merged.write.mode("overwrite").partitionBy("bucket").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(postings_root)
+        stats["segmented_buckets"] = sorted(
+            set(stats.get("segmented_buckets", [])) - set(stale))
+        # compaction is the background maintenance pass — also refresh the
+        # robust length-normalization stats that incremental updates let drift
+        ll = "log1p(cast(doc_len as double))"
+        qs = spark.read.parquet(os.path.join(out_dir, "docs.parquet")).agg(
+            F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))")
+        ).collect()[0][0]
+        stats["len_med"] = float(qs[1])
+        stats["len_mad"] = (float(qs[2]) - float(qs[0])) / 2.0 or 1e-9
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
+            for b in sorted(stale):
+                f.write(json.dumps({"bucket": int(b), "status": "done",
+                                    "version": version, "op": "compact",
+                                    "ts": time.time()}) + "\n")
+        shutil.rmtree(backup)  # compaction fully committed — drop the backup
+        invalidate_index_cache(out_dir)
+        return {"version": version, "compacted_buckets": sorted(stale)}
+    finally:
+        _mutation_end(_key)
 
 
 def bucket_versions(out_dir: str) -> dict[int, int]:

@@ -45,10 +45,12 @@ def write_table(df: DataFrame, identifier: str, mode: str = "append") -> None:
         writer = df.writeTo(identifier).using("iceberg")
         if mode == "overwrite":
             writer.createOrReplace()
+        elif spark.catalog.tableExists(identifier):
+            # existence probed explicitly: the old try/append-except/create
+            # masked REAL append failures (network, permissions, schema
+            # mismatch) as a confusing "table already exists" from create()
+            writer.append()
         else:
-            try:
-                writer.append()
-            except Exception:
-                writer.create()  # first write: table does not exist yet
+            writer.create()  # first write: table does not exist yet
         return
     df.write.mode(mode).parquet(identifier)

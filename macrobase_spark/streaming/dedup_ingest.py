@@ -60,16 +60,20 @@ def _store_meta(seen_dir: str, normalize: bool) -> dict:
     return meta
 
 
+def _key_expr(text_col: str, normalize: bool):
+    """Content-key expression: NULL text keys as empty content (a NULL
+    _key would never equi-join and the row would be re-ingested on every
+    redelivery)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return fingerprint(text) if normalize else F.md5(text)
+
+
 def _keyed_ids(df: DataFrame, id_col: str, text_col: str, normalize: bool,
                n_buckets: int) -> DataFrame:
     """(id, _key, _kb) projection — text is consumed to COMPUTE the key and
-    never survives into the relation, so no dedup stage shuffles it. NULL
-    text keys as empty content (a NULL _key would never equi-join and the
-    row would be re-ingested on every redelivery)."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    key = fingerprint(text) if normalize else F.md5(text)
+    never survives into the relation, so no dedup stage shuffles it."""
     return df.select(
-        F.col(id_col), key.alias("_key"),
+        F.col(id_col), _key_expr(text_col, normalize).alias("_key"),
     ).withColumn("_kb", F.pmod(F.xxhash64("_key"), F.lit(n_buckets))
                  .cast("int"))
 
@@ -101,12 +105,20 @@ def dedup_filter(
     # (metadata-sized) so the fingerprint pass over text runs exactly once
     ids = _keyed_ids(batch_df, id_col, text_col, normalize,
                      meta["n_buckets"]).localCheckpoint(eager=True)
-    keep_ids = (ids.withColumn(
-        "_min", F.min(id_col).over(W.partitionBy("_key")))
-        .filter(F.col(id_col) == F.col("_min")).drop("_min")
+    # deterministic same-id collapse FIRST: per id keep the MIN key, so the
+    # key recorded in the store always describes the content this batch
+    # elects for that id — two independent dropDuplicates picks could
+    # otherwise record key A while ingesting content B when one batch
+    # carries the same id with DIFFERENT content (r5 advice); a later
+    # redelivery of B would then pass the filter as fresh
+    per_id = (ids.withColumn(
+        "_kmin", F.min("_key").over(W.partitionBy(id_col)))
+        .filter(F.col("_key") == F.col("_kmin")).drop("_kmin")
         .dropDuplicates([id_col]))  # at-least-once sources can redeliver
-    # the SAME (id, content) twice within one batch: min-id keeps both
-    # twins, and an id anti-join cannot separate them — collapse here
+    # the SAME (id, content) twice within one batch — collapse exact twins
+    keep_ids = (per_id.withColumn(
+        "_min", F.min(id_col).over(W.partitionBy("_key")))
+        .filter(F.col(id_col) == F.col("_min")).drop("_min"))
 
     path = os.path.join(seen_dir, "keys.parquet")
     if os.path.exists(path):
@@ -131,8 +143,26 @@ def dedup_filter(
     # otherwise survive in the drop set and anti-join away its own keeper
     drop_ids = (ids.select(id_col).distinct()
                 .exceptAll(fresh_keys.select(id_col)))
-    fresh_rows = (batch_df.join(drop_ids, id_col, "left_anti")
-                  .dropDuplicates([id_col]))  # same-id twins: one survives
+    fresh_candidates = batch_df.join(drop_ids, id_col, "left_anti")
+    # same-id twins with IDENTICAL keys: any row satisfies the recorded
+    # key, dropDuplicates is fine. Same-id rows with DIFFERENT keys (rare
+    # contract violation) must ingest exactly the row whose key was
+    # elected above — detected on the metadata projection, and only then
+    # is the key recomputed on the candidate rows (second fingerprint
+    # pass confined to the anomalous batch)
+    has_conflicts = bool(
+        ids.groupBy(id_col).agg(F.count_distinct("_key").alias("_nk"))
+        .filter(F.col("_nk") > 1).limit(1).count())
+    if has_conflicts:
+        elected = fresh_keys.select(
+            F.col(id_col), F.col("_key").alias("_rowkey"))
+        fresh_rows = (fresh_candidates
+                      .withColumn("_rowkey", _key_expr(text_col, normalize))
+                      .join(F.broadcast(elected), [id_col, "_rowkey"],
+                            "left_semi")
+                      .drop("_rowkey").dropDuplicates([id_col]))
+    else:
+        fresh_rows = fresh_candidates.dropDuplicates([id_col])
     return fresh_rows, fresh_keys
 
 

@@ -476,3 +476,149 @@ def test_windowed_diff_null_attr_values(spark):
     # and the order-2 (x, p) context counts only the non-NULL pairs
     assert keyed[("x", "p")]["total_count"] == 5
     assert all(not (r["a"] is None and r["b"] is None) for r in out)
+
+
+def test_fresh_build_rollback_deletes_dirs(spark, tmp_path):
+    """r5 advice (high): rollback of a FRESH build (snapshot of an empty
+    dir) takes the directory-level rmtree paths that previously raised
+    NameError (build.py had no module-level shutil import). A crashed
+    first epoch must roll back to an empty dir, not wedge the index."""
+    import os
+
+    from macrobase_spark.index.build import (build_index,
+                                             rollback_index_snapshot,
+                                             take_index_snapshot)
+
+    out = str(tmp_path / "fresh_rb")
+    os.makedirs(out)
+    snap = take_index_snapshot(out)  # stats None, docs None, no postings
+    df = with_doc_id(synth_transcripts(spark, n_convs=15, seed=7))
+    build_index(df, out, num_buckets=4, hot_df_threshold=120,
+                hot_sample_frac=0.5)
+    rollback_index_snapshot(out, snap)
+    assert not os.path.isdir(os.path.join(out, "docs.parquet"))
+    assert not os.path.isdir(os.path.join(out, "postings"))
+    assert not os.path.exists(os.path.join(out, "stats.json"))
+    assert not os.path.exists(os.path.join(out, "manifest.jsonl"))
+    # the dir is clean — a fresh build lands as if the crash never happened
+    build_index(df, out, num_buckets=4, hot_df_threshold=120,
+                hot_sample_frac=0.5)
+    assert bm25_topk(spark, out, "the", k=5).count() == 5
+
+
+def test_rollback_removes_new_bucket_dirs(spark, tmp_path):
+    """r5 advice (high): rollback must rmtree bucket dirs the failed
+    attempt CREATED (the other previously-NameError path) and drop new
+    files inside existing buckets, leaving queries rank-identical."""
+    import os
+
+    from macrobase_spark.index.build import (build_index,
+                                             rollback_index_snapshot,
+                                             take_index_snapshot)
+
+    out = str(tmp_path / "bdir_rb")
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=3))
+    build_index(df, out, num_buckets=4, hot_df_threshold=120,
+                hot_sample_frac=0.5)
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            bm25_topk(spark, out, "the", k=10).collect()]
+    snap = take_index_snapshot(out)
+    # simulate a crashed update that created a brand-new bucket dir plus a
+    # stray file inside an existing bucket
+    newdir = os.path.join(out, "postings", "bucket=999")
+    os.makedirs(newdir)
+    with open(os.path.join(newdir, "part-zzz.parquet"), "w") as f:
+        f.write("junk")
+    existing = next(d for d in sorted(os.listdir(os.path.join(out, "postings")))
+                    if d.startswith("bucket=") and d != "bucket=999")
+    stray = os.path.join(out, "postings", existing, "part-stray.parquet")
+    with open(stray, "w") as f:
+        f.write("junk")
+    rollback_index_snapshot(out, snap)
+    assert not os.path.isdir(newdir)
+    assert not os.path.exists(stray)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           bm25_topk(spark, out, "the", k=10).collect()]
+    assert got == want
+
+
+def test_same_pid_live_mutation_not_recovered(spark, tmp_path):
+    """r5 advice (medium): a journal/backup owned by THIS pid must not be
+    rolled back while the mutation is live on another thread of this
+    process (query-server usage) — only once no in-process registration
+    exists (a previous failed call) may same-pid recovery proceed."""
+    import json as _json
+    import os
+
+    from macrobase_spark.index import build as B
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=40, seed=11)).cache()
+    out = str(tmp_path / "live_mut")
+    B.build_index(_slice(all_df, 0, 25), out, num_buckets=4,
+                  hot_df_threshold=120, hot_sample_frac=0.5)
+    pre = B.take_index_snapshot(out)
+    B.update_index(_slice(all_df, 25, 40), out)
+    post = [(r["doc_id"], round(r["score"], 9)) for r in
+            bm25_topk(spark, out, "the", k=10).collect()]
+
+    # fabricate the exact state a LIVE same-process update presents:
+    # journal with our pid + an active in-process registration
+    inflight = os.path.join(out, B._UPDATE_INFLIGHT)
+    with open(inflight, "w") as f:
+        _json.dump({"pid": os.getpid(), "snapshot": pre}, f)
+    key = B._mutation_begin(out)
+    try:
+        assert B.recover_update_inflight(out) is False  # live → untouched
+        assert os.path.exists(inflight)
+        # a second in-process mutation on the same index must refuse loudly
+        # rather than interleave
+        with pytest.raises(RuntimeError, match="concurrent"):
+            B._mutation_begin(out)
+    finally:
+        B._mutation_end(key)
+    # registration gone → same-pid journal is a previous failed call: recover
+    assert B.recover_update_inflight(out) is True
+    assert not os.path.exists(inflight)
+    # recovery rolled back to pre-update; re-apply and verify identity
+    B.update_index(_slice(all_df, 25, 40), out)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           bm25_topk(spark, out, "the", k=10).collect()]
+    assert got == post
+
+    # same contract for the compaction backup
+    backup = B._compact_backup_dir(out)
+    os.makedirs(backup, exist_ok=True)
+    with open(os.path.join(backup, "_meta.json"), "w") as f:
+        _json.dump({"stats": _json.dumps({"n_docs": 0}), "manifest_len": 0,
+                    "pid": os.getpid()}, f)
+    with open(os.path.join(backup, "_complete"), "w") as f:
+        f.write("1")
+    key = B._mutation_begin(out)
+    try:
+        assert B.restore_compact_backup(out) is False  # live → untouched
+        assert os.path.isdir(backup)
+    finally:
+        B._mutation_end(key)
+
+
+def test_dedup_ingest_same_id_conflicting_content(spark, tmp_path):
+    """r5 advice: one batch carrying the same id with DIFFERENT content
+    must ingest exactly the row whose key is recorded in the seen store —
+    redelivering the ingested content later is a duplicate, while the
+    never-ingested content (under a new id) must pass as fresh."""
+    from macrobase_spark.streaming.dedup_ingest import dedup_batch
+
+    seen = str(tmp_path / "seen_conflict")
+    b1 = spark.createDataFrame(
+        [(7, "content xx"), (7, "content yy"), (8, "other doc")],
+        "doc_id long, text string")
+    out1 = {r["doc_id"]: r["text"] for r in dedup_batch(b1, seen).collect()}
+    assert set(out1) == {7, 8}
+    ingested = out1[7]
+    other = "content yy" if ingested == "content xx" else "content xx"
+    # batch 2: redeliver BOTH contents under fresh ids
+    b2 = spark.createDataFrame([(20, ingested), (21, other)],
+                               "doc_id long, text string")
+    out2 = {r["doc_id"]: r["text"] for r in dedup_batch(b2, seen).collect()}
+    # the ingested content is seen → dropped; the non-ingested one is fresh
+    assert out2 == {21: other}
