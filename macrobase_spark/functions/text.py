@@ -89,12 +89,32 @@ def ngrams(col: str | Column, n: int = 3) -> Column:
 # PII patterns: RE2-compatible (no lookaround/backrefs) so the same pattern
 # text runs identically under Spark's Java regex and DuckDB's RE2 — keeps
 # the scrubbing oracle-checkable. Ordering matters: emails/IPs/SSNs before
-# the greedy phone pattern (which would otherwise half-eat their digits).
+# the phone pattern (which would otherwise half-eat their digits).
+#
+# Phone precision (r5): the old pattern counted SEPARATORS toward its
+# length ('\+?[0-9][0-9()\-. ]{7,14}[0-9]'), so every ISO date, long
+# decimal, and version string was redacted — corpus corruption at scale.
+# The rewrite anchors on DIGIT counts per shape, alternation order
+# most-specific first (leftmost-first semantics agree between Java regex
+# and RE2 for lookaround-free patterns):
+#   1. E.164 compact: '+' then 7-15 contiguous digits
+#   2. intl with groups: '+' cc, then a 2-4 digit group and 2-4 more
+#      separator-led groups (min 7 digits total; dates never carry '+')
+#   3. parenthesized NANP: (3) [sep] 3 sep 4
+#   4. bare NANP: 3 sep 3 sep 4 — a date's middle group is 2 digits, a
+#      decimal has no interior separators, so neither shape can match
+# Bare unseparated 10-digit runs are deliberately NOT redacted (a decimal's
+# fraction is indistinguishable without lookbehind) — precision over
+# recall, as a pre-training scrub must not destroy numerics.
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
-    ("phone", r"\+?[0-9][0-9()\-\. ]{7,14}[0-9]"),
+    ("phone",
+     r"\+[0-9]{7,15}\b"
+     r"|\+[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?([-. ][0-9]{2,4}){2,4}\b"
+     r"|\([0-9]{3}\)[-. ]?[0-9]{3}[-. ][0-9]{4}\b"
+     r"|\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"),
 ]
 
 

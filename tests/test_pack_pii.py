@@ -124,3 +124,42 @@ def test_greedy_pack_invariants_property():
             assert total_k + first_next > budget
 
     run()
+
+
+def test_scrub_pii_phone_precision(spark):
+    """r5: the phone pattern must be digit-count anchored — ISO dates,
+    timestamps, long decimals, version strings, epoch ints, and money pass
+    through UNCHANGED while NANP/E.164-style phone formats are redacted.
+    (The r4 pattern counted separators toward its length and destroyed
+    every date and decimal in the corpus.)"""
+    keep = [
+        "2026-08-17", "logged 2026-08-17 08:58:32 UTC",
+        "pi = 3.14159265358979", "release 1.2.3.4500", "v1.2.3",
+        "years 1999-2026", "08-17-2026", "17.08.2026",
+        "order 1234567 shipped", "epoch 1723881600",
+        "x = 0.123456789", "version 10.15.7 beta",
+        "1,234,567.89 dollars", "sum +1 23", "+12 34",
+        "ticket id 123-4567", "123.4567 and 999.8888 are floats",
+    ]
+    redact = [
+        "+15551234567", "call +1 (555) 123-4567", "(555) 123-4567",
+        "555-123-4567", "dial 555.123.4567 now", "+44 20 7946 0958",
+        "+1-555-123-4567", "(415)555-0199",
+    ]
+    rows = [(i, s) for i, s in enumerate(keep + redact)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", scrub_pii("text").alias("s")).collect()}
+    for i, s in enumerate(keep):
+        assert got[i] == s, f"false positive: {s!r} -> {got[i]!r}"
+    for j, s in enumerate(redact):
+        assert "[phone]" in got[len(keep) + j], f"missed phone: {s!r}"
+    # and the three engines agree (Java regex above; RE2 here)
+    import duckdb as _dk
+    for i, s in enumerate(keep + redact):
+        expr = f"'{s}'"
+        for kind, pat in PII_PATTERNS:
+            lit = pat.replace("'", "''")
+            expr = f"regexp_replace({expr}, '{lit}', '[{kind}]', 'g')"
+        want = _dk.sql(f"SELECT {expr}").fetchone()[0]
+        assert got[i] == want, (s, got[i], want)
