@@ -452,15 +452,18 @@ def q14_diff_join(spark, sf):
 def q15_text_features(spark, sf):
     """Composite text-analysis gate (§ text analysis): token counting,
     token-set fingerprint, quality heuristic, stopword-overlap language ID,
-    and (r4) PII scrubbing — all parallel Catalyst expressions over
-    `documents`; the scrub leg is hash-compared as md5 of the scrubbed
-    text (patterns are RE2-safe by design, so DuckDB reproduces the chain
-    bit-for-bit)."""
+    (r4) PII scrubbing, and (r5) sequence packing — the scrub leg is
+    hash-compared as md5 of the scrubbed text (patterns are RE2-safe by
+    design, so DuckDB reproduces the chain bit-for-bit); the pack leg runs
+    pipelines.pack.pack_sequences (sharded greedy, budget 64) with an
+    explicit doc_id%4 shard so DuckDB can replay the greedy fold as a
+    recursive CTE per shard."""
     from macrobase_spark.functions import fingerprint, lang_id, quality_score, token_count
     from macrobase_spark.functions.text import scrub_pii
+    from macrobase_spark.pipelines.pack import pack_sequences
 
     d = _t(spark, sf, "documents")
-    return (
+    feats = (
         d.select(
             "doc_id",
             token_count("text").cast("long").alias("n_tokens"),
@@ -476,6 +479,14 @@ def q15_text_features(spark, sf):
                 (F.col("doc_id") % 256).cast("string"),
                 F.lit(".7")))).alias("scrub_fp"),
         )
+    )
+    packed = pack_sequences(
+        feats.select("doc_id", "n_tokens",
+                     (F.col("doc_id") % 4).cast("int").alias("shard")),
+        "n_tokens", max_tokens=64, shard_col="shard",
+    ).select("doc_id", "pack_id", "pack_pos", "oversize")
+    return (
+        feats.join(packed, "doc_id")
         .orderBy("doc_id")
         .limit(500)
     )

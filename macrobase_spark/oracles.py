@@ -333,8 +333,14 @@ _PII_PLANT = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
               "|| '.7'")
 _scrub_fp_sql = "md5(" + _pii_scrub_sql(_PII_PLANT) + ")"
 
+# pack leg (r5): replay pack_sequences' sharded greedy fold — shard =
+# doc_id % 4 (passed explicitly via shard_col so it is SQL-expressible),
+# order = doc_id, budget 64 — as a recursive CTE advancing every shard's
+# rows in lockstep. Transition: overflow starts a new pack; the first row
+# of a shard always opens pack 0 (oversize docs are singleton packs).
 ORACLES["q15_text_features"] = f"""
-WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+WITH RECURSIVE
+t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
 s AS (
   SELECT doc_id, text,
          CAST(len(toks) AS DOUBLE) AS n,
@@ -345,8 +351,24 @@ s AS (
          md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
 {_lang_scores}
   FROM t
-)
-SELECT doc_id,
+),
+pk AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS ntok, CAST(doc_id % 4 AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM s),
+g AS (
+  SELECT shard, rn, doc_id, ntok, CAST(0 AS BIGINT) AS pidx,
+         CAST(0 AS BIGINT) AS ppos, ntok AS used
+  FROM pk WHERE rn = 1
+  UNION ALL
+  SELECT p.shard, p.rn, p.doc_id, p.ntok,
+         CASE WHEN g.used + p.ntok > 64 THEN g.pidx + 1 ELSE g.pidx END,
+         CASE WHEN g.used + p.ntok > 64 THEN CAST(0 AS BIGINT)
+              ELSE g.ppos + 1 END,
+         CASE WHEN g.used + p.ntok > 64 THEN p.ntok ELSE g.used + p.ntok END
+  FROM g JOIN pk p ON p.shard = g.shard AND p.rn = g.rn + 1)
+SELECT s.doc_id,
        {_scrub_fp_sql} AS scrub_fp,
        CAST(n AS BIGINT) AS n_tokens,
        ROUND(GREATEST(0.0, LEAST(1.0,
@@ -358,8 +380,14 @@ SELECT doc_id,
             WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
             WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
             ELSE 'de' END AS lang_pred,
-       fp
-FROM s ORDER BY doc_id LIMIT 500
+       fp,
+       CONCAT(CAST(g.shard AS VARCHAR), ':', CAST(g.pidx AS VARCHAR))
+         AS pack_id,
+       g.ppos AS pack_pos,
+       g.ntok > 64 AS oversize
+FROM s JOIN (SELECT doc_id AS g_doc, shard, pidx, ppos, ntok FROM g) g
+  ON g.g_doc = s.doc_id
+ORDER BY s.doc_id LIMIT 500
 """
 
 ORACLES["q16_dedup_exact"] = f"""

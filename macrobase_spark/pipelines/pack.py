@@ -54,6 +54,7 @@ def pack_sequences(
     order_col: str | None = None,
     n_groups: int | None = None,
     rows_per_shard: int = 2_000_000,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign each document a `pack_id` (string "shard:index") and
     `pack_pos` (0-based position within its pack) such that every pack's
@@ -76,17 +77,27 @@ def pack_sequences(
     (~24 B/row) stays task-sized (`rows_per_shard`, default 2M rows ≈
     50 MB per pandas group) — a fixed shard count would make each shard a
     single applyInPandas group and stop fitting one task at corpus scale.
+
+    shard_col: use an EXISTING integer column as the shard assignment
+    instead of hashing the id — lets callers co-locate packing with the
+    corpus's own bucketing (no extra shuffle when df is already
+    partitioned by it) and makes the assignment reproducible by external
+    systems. Each distinct value is one greedy group; the caller owns the
+    balance of the split.
     """
     order = order_col or id_col
-    if n_groups is None:
-        n = df.select(id_col).count()
-        n_groups = max(8, -(-n // rows_per_shard))
+    if shard_col is not None:
+        shard = F.col(shard_col).cast("int")
+    else:
+        if n_groups is None:
+            n = df.select(id_col).count()
+            n_groups = max(8, -(-n // rows_per_shard))
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
     src = df.select(
         F.col(id_col).alias("_id"),
         F.col(order).alias("_ord"),
         F.col(token_col).cast("long").alias("_tok"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
-        .alias("_shard"),
+        shard.alias("_shard"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -163,3 +163,32 @@ def test_scrub_pii_phone_precision(spark):
             expr = f"regexp_replace({expr}, '{lit}', '[{kind}]', 'g')"
         want = _dk.sql(f"SELECT {expr}").fetchone()[0]
         assert got[i] == want, (s, got[i], want)
+
+
+def test_pack_sequences_shard_col(spark):
+    """r5: an explicit shard_col must drive the grouping (one greedy fold
+    per distinct value) with all invariants intact, and must equal the
+    hash path when it carries the same assignment."""
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 13, F.lit(400)) + 1).alias("n_tok"),
+        F.pmod(F.col("id"), F.lit(3)).cast("int").alias("shard"))
+    p = pack_sequences(df, "n_tok", max_tokens=1024, shard_col="shard")
+    assert p.count() == 300
+    # pack ids are namespaced by the provided shard values
+    shards = {r["pack_id"].split(":")[0] for r in p.collect()}
+    assert shards == {"0", "1", "2"}
+    stats = pack_stats(p, "n_tok", 1024)
+    assert stats.filter(F.col("pack_tokens") > 1024).count() == 0
+    # parity: shard_col replicating pmod(xxhash64(id), g) == hash path
+    g = 4
+    df2 = df.withColumn(
+        "hshard", F.pmod(F.xxhash64("doc_id"), F.lit(g)).cast("int"))
+    via_col = pack_sequences(df2, "n_tok", max_tokens=1024,
+                             shard_col="hshard")
+    via_hash = pack_sequences(df, "n_tok", max_tokens=1024, n_groups=g)
+    a = {(r["doc_id"], r["pack_id"], r["pack_pos"])
+         for r in via_col.collect()}
+    b = {(r["doc_id"], r["pack_id"], r["pack_pos"])
+         for r in via_hash.collect()}
+    assert a == b
