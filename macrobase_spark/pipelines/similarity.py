@@ -311,7 +311,50 @@ def _lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+# Above this many plane literals (n_planes × dim), the Catalyst expression
+# would carry one F.lit node per plane coefficient — 15k–80k nodes at real
+# embedding dims (768–4096) with auto_n_planes at 10⁹-vector scale, the
+# same plan-size explosion _nearest_cells_udf avoids for IVF centroids.
+# Past the threshold the bucket is computed in an Arrow UDF with the plane
+# matrix in the closure; both paths are bit-identical (test-pinned).
+_LSH_EXPR_MAX_TERMS = 4096
+
+
+def _lsh_bucket_udf(planes: np.ndarray):
+    """Arrow-batched SRP bucket id with `planes` in the UDF closure.
+
+    Bit-identity with the expression path: Catalyst's aggregate() folds the
+    products strictly left-to-right from 0.0, so the projection here is a
+    cumsum over the elementwise products (sequential accumulation), NOT a
+    BLAS matmul — a dot product's pairwise/blocked summation could flip the
+    sign of a near-zero projection and bucket the vector differently."""
+    from pyspark.sql.functions import pandas_udf
+
+    pl = np.ascontiguousarray(planes, dtype=np.float64)
+
+    @pandas_udf("long")
+    def f(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.zeros(len(x), dtype=np.int64)
+        # row-chunked: x*plane materializes a (chunk, dim) temp per plane
+        chunk = max(1, int(4_000_000 // max(x.shape[1], 1)))
+        for lo in range(0, len(x), chunk):
+            xs = x[lo:lo + chunk]
+            acc = np.zeros(len(xs), dtype=np.int64)
+            for i in range(len(pl)):
+                proj = np.cumsum(xs * pl[i][None, :], axis=1)[:, -1]
+                acc += (proj > 0).astype(np.int64) << i
+            out[lo:lo + chunk] = acc
+        return pd.Series(out)
+
+    return f
+
+
 def _lsh_bucket_expr(col, planes: np.ndarray):
+    if planes.size > _LSH_EXPR_MAX_TERMS:
+        return _lsh_bucket_udf(planes)(col)
     bit_terms = []
     for i in range(len(planes)):
         proj = F.aggregate(

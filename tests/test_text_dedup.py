@@ -852,3 +852,66 @@ def test_simhash_fingerprints_not_degenerate(spark):
     ham = bin((fp[1] ^ fp[2]) & (2 ** 64 - 1)).count("1")
     assert ham > 10  # unrelated docs are far apart
     assert fp[3] == 0  # NULL text: empty sentinel, no crash
+
+
+def test_lsh_bucket_udf_parity_bit_identical(spark):
+    """r5: above _LSH_EXPR_MAX_TERMS the SRP bucket moves from per-literal
+    Catalyst expressions to an Arrow UDF with the plane matrix in its
+    closure. The two paths must be BIT-identical — including near-zero
+    projections where a different summation order would flip the sign —
+    so an index built on one path is queryable on the other."""
+    import numpy as np
+
+    from macrobase_spark.pipelines import similarity as S
+
+    rng = np.random.default_rng(0)
+    dim, n_planes, n = 16, 6, 1500
+    planes = S._lsh_planes(n_planes, dim, seed=1)
+    vecs = rng.standard_normal((n, dim))
+    # adversarial rows: (nearly) orthogonal to a plane → projection at
+    # rounding scale, where pairwise/BLAS summation could disagree with
+    # the sequential fold
+    for j in range(300):
+        p = planes[j % n_planes]
+        v = vecs[j]
+        vecs[j] = v - (np.dot(v, p) / np.dot(p, p)) * p
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    assert planes.size < S._LSH_EXPR_MAX_TERMS  # expression path active
+    a = {(r["id"], int(r["b"])) for r in df.select(
+        "id", S._lsh_bucket_expr(F.col("v"), planes).alias("b")).collect()}
+    b = {(r["id"], int(r["b"])) for r in df.select(
+        "id", S._lsh_bucket_udf(planes)(F.col("v")).alias("b")).collect()}
+    assert a == b
+
+
+def test_lsh_highdim_uses_udf_and_plans_fast(spark, tmp_path):
+    """r5: d=1024 × 20 planes (20480 literals under the old path) must
+    route through the UDF, plan in bounded time, and round-trip through
+    the persisted index (build → query) with self-hits at rank 1."""
+    import time
+
+    import numpy as np
+
+    from macrobase_spark.pipelines import similarity as S
+    from macrobase_spark.pipelines.similarity import lsh_build, lsh_query
+
+    dim, n_planes = 1024, 20
+    planes = S._lsh_planes(n_planes, dim, seed=2)
+    assert planes.size > S._LSH_EXPR_MAX_TERMS
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    vdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "lsh_hd")
+    t0 = time.time()
+    lsh_build(vdf, out, n_planes=n_planes, seed=2)
+    qdf = spark.createDataFrame(rows[:5],
+                                "q_id long, q_vec array<double>")
+    got = lsh_query(spark, out, qdf, k=1).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"high-dim LSH took {elapsed:.0f}s"
+    # SRP buckets guarantee the identical vector shares its own bucket:
+    # every query's top-1 is itself
+    top = {r["q_id"]: r["vec_id"] for r in got}
+    assert top == {i: i for i in range(5)}
