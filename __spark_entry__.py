@@ -730,22 +730,82 @@ def q26_bm25_index_path(spark, sf):
         "doc_id", F.round("score", 6).alias("score"))
 
 
+# Self-checking rows-only gates (r5): the six no-oracle gates each plant a
+# known signal and emit `invariant:*` rows ONLY while the computed VALUES
+# are healthy — so the class of silent value corruption that shipped green
+# through two rounds of rows-only grading (the SimHash vote underflow)
+# now changes the driver-recorded row count. Fault-injection tests in
+# tests/test_gate_invariants.py prove each gate's count moves under a
+# one-line corruption of its kernel.
+
+_PLANT_TEXT = ("the quick brown fox jumps over the lazy dog and then runs "
+               "far away into the quiet green forest before dawn breaks "
+               "over the distant hills while birds sing softly in the cold "
+               "morning air")
+
+
+def _inv_row(spark, df_cond, name: str):
+    """One (metric, id_a, id_b) row iff `df_cond` is non-empty."""
+    return df_cond.limit(1).select(
+        F.lit(f"invariant:{name}").alias("metric"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"))
+
+
 def q27_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidate pairs (engine-specific hashes →
-    rows-only; estimator accuracy pytest-verified)."""
+    """MinHash+LSH near-dup candidate pairs (engine-specific hashes → no
+    SQL oracle). Self-checking: a planted near-dup pair (shared shingle
+    set, one token appended) must be recovered with a high Jaccard
+    estimate; its invariant rows vanish if the signature or banding values
+    corrupt."""
     from macrobase_spark.pipelines import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return minhash_lsh_pairs(d, num_hashes=32, bands=8, min_jaccard=0.5).orderBy(
-        "id_a", "id_b")
+    planted = spark.createDataFrame(
+        [(9001, _PLANT_TEXT), (9002, _PLANT_TEXT + " tonight")],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        d.select("doc_id", "text").unionByName(planted),
+        num_hashes=32, bands=8, min_jaccard=0.5)
+    pair_rows = pairs.select(F.lit("pair").alias("metric"), "id_a", "id_b")
+    pp = pairs.filter((F.col("id_a") == 9001) & (F.col("id_b") == 9002))
+    inv1 = _inv_row(spark, pp, "planted_pair_found")
+    inv2 = _inv_row(spark, pp.filter(F.col("est_jaccard") >= 0.8),
+                    "planted_est_jaccard_high")
+    return (pair_rows.unionByName(inv1).unionByName(inv2)
+            .orderBy("metric", "id_a", "id_b"))
 
 
 def q28_simhash(spark, sf):
-    """SimHash fingerprints + near-pairs (xxhash64-specific → rows-only)."""
+    """SimHash fingerprints + near-pairs (xxhash64-specific → no SQL
+    oracle). Self-checking: (a) a planted near-dup pair at hamming 2
+    (inside the pigeonhole guarantee) must be recovered; (b) mean
+    fingerprint popcount must stay balanced (the r2 vote underflow set
+    every minority bit → popcount ≈ 64); (c) fingerprints must be
+    non-degenerate (distinct count). Each failing invariant drops a row."""
     from macrobase_spark.pipelines.dedup import simhash_64, simhash_near_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return simhash_near_pairs(simhash_64(d), max_hamming=6).orderBy("id_a", "id_b")
+    planted = spark.createDataFrame(
+        [(9001, _PLANT_TEXT), (9002, _PLANT_TEXT + " the")],
+        "doc_id long, text string")
+    fps = simhash_64(d.select("doc_id", "text").unionByName(planted))
+    pairs = simhash_near_pairs(fps, max_hamming=6)
+    pair_rows = pairs.select(F.lit("pair").alias("metric"), "id_a", "id_b")
+    inv1 = _inv_row(
+        spark, pairs.filter((F.col("id_a") == 9001)
+                            & (F.col("id_b") == 9002)
+                            & (F.col("hamming") <= 3)),
+        "planted_pair_found")
+    stats = fps.agg(F.avg(F.bit_count("simhash")).alias("mpc"),
+                    F.count_distinct("simhash").alias("nfp"))
+    inv2 = _inv_row(spark,
+                    stats.filter((F.col("mpc") >= 20) & (F.col("mpc") <= 44)),
+                    "popcount_balanced")
+    inv3 = _inv_row(spark, stats.filter(F.col("nfp") >= 150),
+                    "fingerprints_nondegenerate")
+    return (pair_rows.unionByName(inv1).unionByName(inv2).unionByName(inv3)
+            .orderBy("metric", "id_a", "id_b"))
 
 
 def q29_windowed_diff(spark, sf):
@@ -858,13 +918,33 @@ def q33_cubed_classifiers(spark, sf):
 
 
 def q34_weighted_sample(spark, sf):
-    """Weighted reservoir sampling (AChao §2.8) — stochastic → rows-only."""
+    """Weighted reservoir sampling (AChao §2.8) — stochastic → no SQL
+    oracle. Self-checking: sample size must land inside binomial bounds
+    around frac·N, and the value-weighted sample mean must sit strictly
+    above the population mean (weight = value ⇒ upward selection bias);
+    either invariant failing drops a row."""
     from macrobase_spark.operators.transform import weighted_reservoir_sample
 
     e = _t(spark, sf, "events")
     s = weighted_reservoir_sample(e, frac=0.05, weight_col="value", seed=1)
-    return s.agg(F.count("*").alias("n_sampled"),
-                 F.round(F.avg("value"), 2).alias("avg_value"))
+    stats = (s.agg(F.count("*").alias("n"), F.avg("value").alias("m"))
+             .crossJoin(e.agg(F.count("*").alias("pop_n"),
+                              F.avg("value").alias("pop_m"))))
+    ran = stats.select(F.lit("ran").alias("metric"),
+                       F.lit(None).cast("long").alias("id_a"),
+                       F.lit(None).cast("long").alias("id_b"))
+    inv1 = _inv_row(
+        spark,
+        stats.filter(F.abs(F.col("n") - 0.05 * F.col("pop_n"))
+                     <= 6.0 * F.sqrt(0.05 * F.col("pop_n"))),
+        "sample_size_in_bounds")
+    # margin 1.3×: E[weighted mean] = E[v²]/E[v] ≈ 2× the population
+    # mean here, while an (incorrectly) unweighted sample mean stays within
+    # a few percent of it — the invariant separates both failure modes
+    inv2 = _inv_row(spark,
+                    stats.filter(F.col("m") > 1.3 * F.col("pop_m")),
+                    "weighted_mean_shifted_up")
+    return ran.unionByName(inv1).unionByName(inv2).orderBy("metric")
 
 
 def q35_contextual_mad(spark, sf):
@@ -971,15 +1051,35 @@ def q39_mcd_mahalanobis(spark, sf):
     tests/test_mcd.py."""
     from macrobase_spark.operators.mcd import mcd_score
 
-    li = _t(spark, sf, "lineitem")
-    scored = mcd_score(li, ["l_quantity", "l_extendedprice"], seed=11)
-    return (
-        scored.groupBy("l_returnflag")
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"))
+    # self-checking (r5): a planted extreme point must carry the GLOBAL
+    # max robust distance — a corrupted covariance/score kernel loses the
+    # invariant row and the driver-recorded count changes
+    planted = spark.createDataFrame(
+        [("__PLANT", 1.0e6, 1.0e9)],
+        "l_returnflag string, l_quantity double, l_extendedprice double")
+    scored = mcd_score(li.unionByName(planted),
+                       ["l_quantity", "l_extendedprice"], seed=11)
+    agg = (
+        scored.filter(F.col("l_returnflag") != "__PLANT")
+        .groupBy("l_returnflag")
         .agg(F.sum(F.when(F.col("_SCORE") > 3.0, 1).otherwise(0))
              .cast("long").alias("n_md3"),
              F.count("*").alias("n"))
-        .orderBy("l_returnflag")
     )
+    gmax = scored.agg(F.max("_SCORE").alias("gmax"))
+    # `gmax > 3` kills the constant-score corruption class (ties would
+    # otherwise satisfy >=); the planted point's robust distance is huge
+    inv = (scored.filter(F.col("l_returnflag") == "__PLANT").crossJoin(gmax)
+           .filter((F.col("_SCORE") >= F.col("gmax"))
+                   & (F.col("gmax") > 3.0))
+           .select(F.lit("invariant:planted_top1").alias("l_returnflag"),
+                   F.lit(1).cast("long").alias("n_md3"),
+                   F.lit(1).cast("long").alias("n")))
+    return agg.unionByName(inv).orderBy("l_returnflag")
 
 
 def q40_sql_diff_surface(spark, sf):
@@ -1163,19 +1263,49 @@ def q48_kalman_ar(spark, sf):
     from macrobase_spark.operators.timeseries import (
         ar_scores, arima_scores, kalman_smooth)
 
-    e = _t(spark, sf, "events").filter(F.col("user_id") < 20)
-    sm = kalman_smooth(e, ["user_id"], "event_id", "value", q_scale=1e-3)
+    e = _t(spark, sf, "events").filter(F.col("user_id") < 20).select(
+        "user_id", "event_id", "value")
+    # self-checking (r5): a planted smooth series with ONE spike — the
+    # spike row must carry its series' max AR and ARIMA one-step scores;
+    # a corrupted recursion loses the invariant rows
+    spike_id = 30
+    planted = spark.range(60).select(
+        F.lit(9999).cast("long").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") == spike_id, F.lit(500.0))
+        .otherwise(10.0 + F.sin(F.col("id").cast("double"))).alias("value"))
+    sm = kalman_smooth(e.unionByName(planted), ["user_id"], "event_id",
+                       "value", q_scale=1e-3)
     sc = ar_scores(sm, ["user_id"], "event_id", "_SMOOTHED", p=2,
                    output_col="_AR")
     sc = arima_scores(sc, ["user_id"], "event_id", "value", p=1, d=1, q=1,
                       output_col="_ARIMA")
-    return (
-        sc.groupBy("user_id")
+    agg = (
+        sc.filter(F.col("user_id") != 9999)
+        .groupBy("user_id")
         .agg(F.round(F.avg("_SMOOTHED"), 6).alias("avg_smoothed"),
              F.round(F.max("_AR"), 6).alias("max_ar_score"),
              F.round(F.max("_ARIMA"), 6).alias("max_arima_score"))
-        .orderBy("user_id")
     )
+    w = sc.filter(F.col("user_id") == 9999)
+
+    def top1_is_spike(col, floor):
+        # floor kills constant-score corruption (arbitrary limit(1) rows
+        # would sometimes be the spike); the real spike scores ≫ floor
+        return (w.orderBy(F.col(col).desc_nulls_last()).limit(1)
+                .filter((F.col("event_id") == spike_id)
+                        & (F.col(col) > floor)))
+
+    def inv(df_cond, name):
+        return df_cond.select(
+            F.lit(name).cast("long").alias("user_id"),
+            F.lit(None).cast("double").alias("avg_smoothed"),
+            F.lit(None).cast("double").alias("max_ar_score"),
+            F.lit(None).cast("double").alias("max_arima_score"))
+
+    inv1 = inv(top1_is_spike("_AR", 3.0), -1)
+    inv2 = inv(top1_is_spike("_ARIMA", 5.0), -2)
+    return agg.unionByName(inv1).unionByName(inv2).orderBy("user_id")
 
 
 def q49_kde_gmm(spark, sf):
@@ -1184,20 +1314,58 @@ def q49_kde_gmm(spark, sf):
     planted-outlier pytest."""
     from macrobase_spark.operators.density import gmm_score, kde_score
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber",
-                                          "l_quantity", "l_extendedprice")
-    kde = kde_score(li, ["l_quantity", "l_extendedprice"], output_col="_KDE",
-                    sample_limit=1024)
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"))
+    # self-checking (r5): a planted far-out point must be the most
+    # isolated under KDE (max negative-density score ⇒ density ≈ 0) and
+    # carry the max GMM negative log-likelihood; a corrupted kernel/EM
+    # loses the invariant rows
+    planted = spark.createDataFrame(
+        [(-424242, 0, 9.0e5, 9.0e9)],
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_extendedprice double")
+    src = li.unionByName(planted)
+    # fit on the REAL rows only (fit_df): if the planted extreme lands in
+    # the fit sample, KDE gives it a self-kernel and EM dedicates a
+    # component to it — the isolation invariants would depend on sampling
+    # luck instead of the scorer's correctness
+    kde = kde_score(src, ["l_quantity", "l_extendedprice"], output_col="_KDE",
+                    sample_limit=1024, fit_df=li)
     both = gmm_score(kde, ["l_quantity", "l_extendedprice"], k=3,
-                     output_col="_GMM", fit_sample_limit=5000, max_iter=25)
-    return (
-        both.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("_KDE") > F.lit(-1e-12), 1).otherwise(0))
-            .cast("long").alias("n_kde_isolated"),
-            F.round(F.min("_GMM"), 4).alias("min_gmm_nll"),
-        )
-    )
+                     output_col="_GMM", fit_sample_limit=5000, max_iter=25,
+                     fit_df=li)
+    real = both.filter(F.col("l_orderkey") != -424242)
+    agg = real.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_KDE") > F.lit(-1e-12), 1).otherwise(0))
+        .cast("long").alias("n_kde_isolated"),
+        F.round(F.min("_GMM"), 4).alias("min_gmm_nll"),
+    ).select(F.lit("agg").alias("metric"), "n", "n_kde_isolated",
+             "min_gmm_nll")
+    plant_row = both.filter(F.col("l_orderkey") == -424242)
+    maxes = both.agg(F.max("_KDE").alias("kmax"), F.max("_GMM").alias("gmax"))
+
+    def inv(cond_df, name):
+        return cond_df.limit(1).select(
+            F.lit(f"invariant:{name}").alias("metric"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("n_kde_isolated"),
+            F.lit(None).cast("double").alias("min_gmm_nll"))
+
+    j = plant_row.crossJoin(maxes)
+    # the kmax/gmax floors kill constant-score corruption (ties would
+    # satisfy >=): an isolated point's -density is ≈ -0.0 and its mixture
+    # NLL is quadratic in distance — both far beyond any real row's value
+    inv1 = inv(j.filter((F.col("_KDE") >= F.col("kmax"))
+                        & (F.col("kmax") > -1e-12)),
+               "planted_kde_most_isolated")
+    inv2 = inv(j.filter((F.col("_GMM") >= F.col("gmax"))
+                        & (F.col("gmax") > 1000.0)),
+               "planted_gmm_max_nll")
+    return agg.unionByName(inv1).unionByName(inv2).orderBy("metric")
 
 
 def q50_bm25_batch(spark, sf):

@@ -48,10 +48,16 @@ def kde_fit(df: DataFrame, cols: list[str], sample_limit: int = 2048,
 
 def kde_score(df: DataFrame, cols: list[str], output_col: str = "_SCORE",
               sample_limit: int = 2048,
-              bandwidth_multiplier: float = 1.0) -> DataFrame:
+              bandwidth_multiplier: float = 1.0,
+              fit_df: DataFrame | None = None) -> DataFrame:
     """Adds the negative-KDE-density score column (higher = more
-    anomalous). Product Gaussian kernel with per-dimension bandwidth."""
-    centers, h = kde_fit(df, cols, sample_limit, bandwidth_multiplier)
+    anomalous). Product Gaussian kernel with per-dimension bandwidth.
+    `fit_df`: fit the kernel centers/bandwidth on a separate (clean)
+    relation and score `df` against it — train-on-reference,
+    score-everything, same split the reference's train-then-score
+    classifiers use."""
+    centers, h = kde_fit(fit_df if fit_df is not None else df,
+                         cols, sample_limit, bandwidth_multiplier)
     c, d = centers.shape
     norm = 1.0 / (c * np.prod(h) * (2.0 * np.pi) ** (d / 2.0))
     scaled_centers = centers / h  # pre-scale once
@@ -131,7 +137,8 @@ def gmm_score(df: DataFrame, cols: list[str], k: int = 3, seed: int = 11,
               output_col: str = "_SCORE",
               fit_sample_limit: int = 10_000,
               max_iter: int = 100,
-              distributed_fit: bool = False) -> DataFrame:
+              distributed_fit: bool = False,
+              fit_df: DataFrame | None = None) -> DataFrame:
     """Gaussian-mixture anomaly score: score = −log Σ_j w_j · N(x; μ_j, Σ_j)
     — the mixture's negative log-likelihood (a posterior would stay ≈1 for
     far points and hide anomalies). The k fitted components travel inside
@@ -142,10 +149,13 @@ def gmm_score(df: DataFrame, cols: list[str], k: int = 3, seed: int = 11,
     ~25 distributed EM jobs to fit ≤10k rows was the most expensive query in
     the suite for no accuracy gain. Set distributed_fit=True to fit with
     pyspark.ml GaussianMixture when the train set genuinely exceeds driver
-    memory (raise fit_sample_limit accordingly)."""
+    memory (raise fit_sample_limit accordingly). `fit_df`: fit the
+    mixture on a separate (clean) relation and score `df` against it."""
     from pyspark.sql.functions import pandas_udf
 
-    dbl = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop()
+    dbl = ((fit_df if fit_df is not None else df)
+           .select(*[F.col(c).cast("double").alias(c) for c in cols])
+           .na.drop())
     n = dbl.count()
     if n > fit_sample_limit:
         kk = int(np.ceil(n / fit_sample_limit))
