@@ -481,6 +481,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iter: int = 50,
     collect_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate PAIR relation → one row
     per node: (id, cluster_id), cluster_id = the component's minimum id.
@@ -496,9 +497,11 @@ def dedup_clusters(
     relational algebra: a groupBy(u).min(v) for the per-node minimum
     neighbor and an equi-join to re-point edges — no collect_list, so a hub
     node never materializes its whole neighborhood in one task; AQE's skew
-    join handles hot hubs. Lineage is truncated per round with
-    localCheckpoint (at cluster scale, set a checkpoint dir and swap in
-    checkpoint() for executor-loss resilience).
+    join handles hot hubs. Lineage is truncated per round: with
+    `checkpoint_dir` set, via reliable checkpoint() files under it
+    (executor-loss resilience — the cluster-scale setting, since a lost
+    executor mid-round would otherwise recompute the whole round chain);
+    otherwise via localCheckpoint (executor-local, fine on local mode).
 
     Determinism: min() aggregations only — the fixpoint is unique.
 
@@ -545,10 +548,19 @@ def dedup_clusters(
             out = [(x, find(x)) for x in sorted(nodes)]
             return pairs.sparkSession.createDataFrame(
                 out, "id long, cluster_id long")
-    edges = (e.unionByName(e.select(F.col("v").alias("u"),
-                                    F.col("u").alias("v")))
-             .filter(F.col("u") != F.col("v")).distinct()
-             .localCheckpoint(eager=True))
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            out = df.checkpoint(eager=True)
+        else:
+            out = df.localCheckpoint(eager=True)
+        return out
+
+    edges = _truncate(e.unionByName(e.select(F.col("v").alias("u"),
+                                             F.col("u").alias("v")))
+                      .filter(F.col("u") != F.col("v")).distinct())
 
     def _star(edges: DataFrame, large: bool) -> DataFrame:
         # m(u) = min over Γ(u) ∪ {u}
@@ -572,7 +584,7 @@ def dedup_clusters(
     converged = False
     for _ in range(max_iter):
         edges = _star(_star(edges, large=True), large=False)
-        edges = edges.localCheckpoint(eager=True)
+        edges = _truncate(edges)
         # order-independent set fingerprint: XOR of xxhash64(u, v) over the
         # (distinct) edge set + count. A weak u+v-style checksum could
         # collide across different edge sets and stop the loop pre-fixpoint

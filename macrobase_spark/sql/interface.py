@@ -144,8 +144,11 @@ _BARE_ON_RE = re.compile(
 _PCT_RE = re.compile(r"percentile\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
 _SEARCH_RE = re.compile(
     r"SEARCH\s*\(\s*(?P<idx>\w+)\s*,\s*'(?P<q>[^']*)'\s*"
-    r"(?:,\s*(?P<k>\d+)\s*)?\)",
+    r"(?:,\s*(?P<k>\d+)\s*)?"
+    r"(?P<opts>(?:,\s*ANOMALY_(?:MAX|WEIGHT)\s*=\s*[0-9.eE+-]+\s*)*)\)",
     re.IGNORECASE)
+_SEARCH_OPT_RE = re.compile(
+    r"ANOMALY_(?P<key>MAX|WEIGHT)\s*=\s*(?P<val>[0-9.eE+-]+)", re.IGNORECASE)
 
 
 class MacroBaseSQL:
@@ -271,8 +274,13 @@ class MacroBaseSQL:
         return self.spark.sql(stmt)
 
     def _rewrite_search(self, stmt: str) -> str:
-        """Replace SEARCH(index, 'terms'[, k]) with a temp view holding the
-        BM25 top-k relation for that query (see attach_index)."""
+        """Replace SEARCH(index, 'terms'[, k][, ANOMALY_MAX=x]
+        [, ANOMALY_WEIGHT=y]) with a temp view holding the BM25 top-k
+        relation for that query (see attach_index). The anomaly options
+        surface bm25_topk's score modifier — the north-rule MacroBase
+        row-score heritage — through the SQL front-end: ANOMALY_MAX filters
+        docs with anomaly > x; ANOMALY_WEIGHT down-weights scores by
+        (1 − y·anomaly)."""
 
         def sub(m: re.Match) -> str:
             name = m.group("idx")
@@ -283,9 +291,16 @@ class MacroBaseSQL:
             from macrobase_spark.index.bm25 import bm25_topk
 
             k = int(m.group("k") or 10)
+            anomaly_max, anomaly_weight = None, 0.0
+            for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
+                if om.group("key").upper() == "MAX":
+                    anomaly_max = float(om.group("val"))
+                else:
+                    anomaly_weight = float(om.group("val"))
             view = self._fresh_view("search")
-            bm25_topk(self.spark, self._indexes[name], m.group("q"),
-                      k=k).createOrReplaceTempView(view)
+            bm25_topk(self.spark, self._indexes[name], m.group("q"), k=k,
+                      anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
+                      ).createOrReplaceTempView(view)
             return view
 
         return _SEARCH_RE.sub(sub, stmt)

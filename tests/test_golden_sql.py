@@ -276,3 +276,43 @@ def test_sql_parser_edge_cases(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="DIFF expects two relations"):
         mb.execute("SELECT * FROM DIFF (SELECT * FROM t_edge) ON x;")
+
+
+def test_search_anomaly_modifier(spark, tmp_path):
+    """r5: SEARCH(..., ANOMALY_MAX=x, ANOMALY_WEIGHT=y) must equal
+    bm25_topk with the same modifier args — the north-rule anomaly score
+    modifier reachable from the SQL surface — and compose inside DIFF."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "anom_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5)
+    t.select("doc_id", "role").createOrReplaceTempView("turns3")
+
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+    got = mb.execute(
+        "SELECT doc_id, score FROM "
+        "SEARCH(tr, 'rare7 the', 8, ANOMALY_MAX=0.8, ANOMALY_WEIGHT=0.5) "
+        "ORDER BY score DESC;").collect()
+    want = bm25_topk(spark, idx, "rare7 the", k=8,
+                     anomaly_max=0.8, anomaly_weight=0.5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want]
+    # the modifier actually changes the ranking vs the unmodified query
+    plain = bm25_topk(spark, idx, "rare7 the", k=8).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] != \
+           [(r["doc_id"], round(r["score"], 9)) for r in plain]
+    # weight-only spelling, composed inside a DIFF SPLIT subrelation
+    out = mb.execute(
+        "SELECT * FROM DIFF (SPLIT ("
+        "  SELECT t.role, s.score "
+        "  FROM SEARCH(tr, 'the', 300, ANOMALY_WEIGHT=0.3) s"
+        "  JOIN turns3 t USING (doc_id)"
+        ") WHERE score > 1.0) ON role "
+        "WITH MIN RATIO 0.0 MIN SUPPORT 0.0;").collect()
+    assert out, "expected explanation rows"

@@ -915,3 +915,23 @@ def test_lsh_highdim_uses_udf_and_plans_fast(spark, tmp_path):
     # every query's top-1 is itself
     top = {r["q_id"]: r["vec_id"] for r in got}
     assert top == {i: i for i in range(5)}
+
+
+def test_dedup_clusters_checkpoint_dir(spark, tmp_path):
+    """r5: checkpoint_dir switches round-lineage truncation to reliable
+    checkpoint() files (executor-loss resilience at cluster scale) —
+    same unique fixpoint as localCheckpoint on the 300-node chain, and
+    checkpoint files actually land under the directory."""
+    import os
+
+    from macrobase_spark.pipelines.dedup import dedup_clusters
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(299)],
+                                "id_a long, id_b long")
+    got = dedup_clusters(pdf, collect_threshold=0,
+                         checkpoint_dir=ckpt).collect()
+    assert len(got) == 300
+    assert {r["cluster_id"] for r in got} == {0}
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written under checkpoint_dir"
