@@ -330,14 +330,25 @@ def bm25_topk_batch(
     local mode; on a cluster it turns q queries × t terms into one shuffle
     instead of q. wand=True adds batch-safe block-max pruning (see
     _batch_wand_lambdas) — exact, two extra small jobs; worth it when hot
-    multi-term queries dominate the batch."""
+    multi-term queries dominate the batch.
+
+    Single-term queries bypass the contribution shuffle entirely (r5): a
+    single-term score IS the term's contribution, so those queries are
+    answered by a separate tiny scan with per-term block-max pruning (the
+    same exact prune bm25_topk's fast path uses) and a per-term top-k —
+    a hot single-term query ("the") no longer pushes its whole posting
+    list through the (query, doc) aggregate. Bit-identical to the
+    aggregate path (0.0 + x == x for doubles), pytest-pinned against
+    bm25_topk per query."""
+    from pyspark.sql import Window as W
+
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
     q_terms = {qid: _tokenize_query(q) for qid, q in queries.items()}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    out_schema = "query_id string, doc_id long, score double, rank int"
     if not all_terms:
-        return spark.createDataFrame(
-            [], "query_id string, doc_id long, score double, rank int")
+        return spark.createDataFrame([], out_schema)
     postings, _, stats = read_index(spark, index_dir)
     n, avgdl = stats["n_docs"], stats["avgdl"]
     allow_prune = True
@@ -353,44 +364,85 @@ def bm25_topk_batch(
         sv = stats.get("version", 1)
         bv = bucket_versions(index_dir)
         allow_prune = all(bv.get(b, 1) == sv for b in buckets)
-    cand = postings.filter(F.col("term").isin(all_terms)).select(
-        "term", "df", "max_impact", "blob", "block_max")
-    idfs: dict[str, float] | None = None
-    if stats.get("segmented_buckets"):
-        df_rows = cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
-        idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
-                for r in df_rows}
-    lambdas = (_batch_wand_lambdas(cand, q_terms, n, avgdl, k)
-               if wand and allow_prune else None)
-    contrib = cand.mapInPandas(
-        _score_partition(n, avgdl, k, single_term=False, idfs=idfs,
-                         lambdas=lambdas),
-        schema="doc_id long, term string, contrib double",
-    )
-    qmap = spark.createDataFrame(
-        [(qid, t) for qid, ts in q_terms.items() for t in ts],
-        "query_id string, term string",
-    )
-    joined = contrib.join(F.broadcast(qmap), "term")
-    scored = (
-        joined.groupBy("query_id", "doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
-            ).alias("score")
-        )
-    )
-    from pyspark.sql import Window as W
+    segmented = bool(stats.get("segmented_buckets"))
+    # single-term queries split off the aggregate path when their score is
+    # provably one row's contribution: compacted index (one row per term)
+    # and trustworthy block-max bounds
+    singles: dict[str, str] = {}
+    multis: dict[str, list[str]] = {}
+    if allow_prune and not segmented:
+        for qid, ts in q_terms.items():
+            if len(ts) == 1:
+                singles[qid] = ts[0]
+            else:
+                multis[qid] = ts
+    else:
+        multis = {qid: ts for qid, ts in q_terms.items() if ts}
 
-    w = W.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    parts = []
+    if singles:
+        s_terms = sorted(set(singles.values()))
+        s_cand = postings.filter(F.col("term").isin(s_terms)).select(
+            "term", "df", "max_impact", "blob", "block_max")
+        s_contrib = s_cand.mapInPandas(
+            _score_partition(n, avgdl, k, single_term=True),
+            schema="doc_id long, term string, contrib double")
+        sw = W.partitionBy("term").orderBy(
+            F.col("contrib").desc(), F.col("doc_id").asc())
+        s_top = (s_contrib.withColumn("rank", F.row_number().over(sw))
+                 .filter(F.col("rank") <= k))
+        s_qmap = spark.createDataFrame(
+            [(qid, t) for qid, t in singles.items()],
+            "query_id string, term string")
+        parts.append(
+            s_top.join(F.broadcast(s_qmap), "term")
+            .select("query_id", "doc_id", F.col("contrib").alias("score"),
+                    "rank"))
+    if multis:
+        m_terms = sorted({t for ts in multis.values() for t in ts})
+        cand = postings.filter(F.col("term").isin(m_terms)).select(
+            "term", "df", "max_impact", "blob", "block_max")
+        idfs: dict[str, float] | None = None
+        if segmented:
+            df_rows = cand.groupBy("term").agg(
+                F.sum("df").alias("df")).collect()
+            idfs = {r["term"]:
+                    math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+                    for r in df_rows}
+        lambdas = (_batch_wand_lambdas(cand, multis, n, avgdl, k)
+                   if wand and allow_prune else None)
+        contrib = cand.mapInPandas(
+            _score_partition(n, avgdl, k, single_term=False, idfs=idfs,
+                             lambdas=lambdas),
+            schema="doc_id long, term string, contrib double",
+        )
+        qmap = spark.createDataFrame(
+            [(qid, t) for qid, ts in multis.items() for t in ts],
+            "query_id string, term string",
+        )
+        joined = contrib.join(F.broadcast(qmap), "term")
+        scored = (
+            joined.groupBy("query_id", "doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        parts.append(
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def bm25_oracle(

@@ -982,16 +982,31 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         _mutation_end(_key)
 
 
+_BV_CACHE: dict[str, tuple[tuple[int, int], dict[int, int]]] = {}
+
+
 def bucket_versions(out_dir: str) -> dict[int, int]:
-    """Latest manifest version per bucket (for version-gated pruning)."""
-    versions: dict[int, int] = {}
+    """Latest manifest version per bucket (for version-gated pruning).
+    Memoized per (path, manifest mtime+size) — the query path consults
+    this on EVERY bm25 call, and on a long-lived serving index the
+    manifest grows one line per bucket per epoch; any update/compact
+    rewrites or appends to the file, changing the signature."""
     path = os.path.join(out_dir, "manifest.jsonl")
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("status") == "done":
-                    versions[rec["bucket"]] = rec.get("version", 1)
+    if not os.path.exists(path):
+        return {}
+    st = os.stat(path)
+    sig = (st.st_mtime_ns, st.st_size)
+    key = os.path.abspath(out_dir)
+    hit = _BV_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    versions: dict[int, int] = {}
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("status") == "done":
+                versions[rec["bucket"]] = rec.get("version", 1)
+    _BV_CACHE[key] = (sig, versions)
     return versions
 
 
