@@ -165,24 +165,14 @@ def main():
     # can no longer sink the headline. Per-rep detail is emitted for audit.
     pair_low, pair_mid, pair_effs = [], [], []
     pair_hw, pair_effs_vs_hw = [], []
-    probe_only_hw = []
-    # Unthrottled-window hunt (r3 verdict Next-round #4): after the
-    # mandatory PAIR_REPS pairs, keep probing (cheap, ~10 s) for a window
-    # whose hardware ceiling is >= 0.85 and run ONE more pair there, so the
-    # recorded JSON carries either a raw-efficiency sample from a clean
-    # window or the probe evidence that no clean window existed in the
-    # whole bench hour. Bounded by MAX_PAIR_ATTEMPTS total attempts.
-    MAX_PAIR_ATTEMPTS = int(os.environ.get("BENCH_PAIR_REPS_MAX", "6"))
-    attempts = 0
-    while attempts < MAX_PAIR_ATTEMPTS:
-        attempts += 1
+    probe_only_hw: list[float] = []  # kept in the JSON for continuity
+    # The clean-window HUNT is retired (r4 verdict / BASELINE.md r5
+    # conclusion row): across 4 rounds and 9+ probed windows the sandbox's
+    # pure-CPU ceiling never reached the 0.85 "clean" bar, so extra probing
+    # bought evidence, not a measurement. Each pair still runs back-to-back
+    # with its own same-window ceiling probe — the throttle-robust design.
+    for _ in range(PAIR_REPS):
         hw = _hw_probe(low, mid)  # this window's weak-scaling ceiling
-        if len(pair_effs) >= PAIR_REPS:
-            if max(pair_hw) >= 0.85:
-                break  # already measured a pair in a clean window
-            if hw < 0.85:
-                probe_only_hw.append(round(hw, 3))
-                continue  # throttled window: don't burn a build pair here
         tl = _build_in_subprocess(low, src, os.path.join(TMP, "idx_low"),
                                   reps=1, warmup=True)
         tm = _build_in_subprocess(mid, src, os.path.join(TMP, "idx_mid"),
@@ -195,8 +185,6 @@ def main():
         # build — the faithful estimator of multi-node scaling, where each
         # executor owns its node's memory bandwidth (see BENCH.md)
         pair_effs_vs_hw.append(round(min(1.0, pair_effs[-1] / hw), 3))
-        if len(pair_effs) >= PAIR_REPS and max(pair_hw) >= 0.85:
-            break
     best_i = max(range(len(pair_hw)), key=lambda j: pair_hw[j])
     t_low, t_mid = min(pair_low), min(pair_mid)
     # the (4N, 16N) step measured as its OWN back-to-back pair in one
