@@ -713,21 +713,38 @@ def _cache_key(sf: str, table: str) -> str:
 
 
 def q26_bm25_index_path(spark, sf):
-    """BM25 through the real inverted index (build → query). Rank-identity
-    vs the exact oracle is asserted in tests/test_index_bm25.py; here the
-    driver checks stable schema/rows."""
+    """BM25 through the real inverted index (build → query), hash-gated
+    against a full relational BM25 in DuckDB, PLUS (r5) the positional
+    layer: exact phrase top-k legs whose oracle restricts the same
+    relational BM25 to docs where the phrase tokens appear CONSECUTIVELY
+    (token-array LIKE) — on this corpus 'merge scan' co-occurs in ~326
+    docs but is adjacent in only ~28, so the gate genuinely verifies
+    position decoding, not co-occurrence."""
     import tempfile
 
     from macrobase_spark.index import bm25_topk, build_index
+    from macrobase_spark.index.bm25 import bm25_phrase_topk
 
     d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
         "turn_idx", F.col("doc_id").cast("int"))
     cache = os.path.join(tempfile.gettempdir(),
-                         f"mb_idx_{_cache_key(sf, 'documents')}")
+                         f"mb_idxp_{_cache_key(sf, 'documents')}")
     if not os.path.exists(os.path.join(cache, "stats.json")):
-        build_index(d, cache, num_buckets=4, hot_df_threshold=10**9)
-    return bm25_topk(spark, cache, "merge scan row", k=10).select(
+        build_index(d, cache, num_buckets=4, hot_df_threshold=10**9,
+                    positions=True)
+    topk = bm25_topk(spark, cache, "merge scan row", k=10).select(
+        F.lit("topk").alias("part"),
         "doc_id", F.round("score", 6).alias("score"))
+    legs = [topk]
+    for phrase in ["merge scan", "table table"]:
+        legs.append(
+            bm25_phrase_topk(spark, cache, phrase, k=10).select(
+                F.lit(f"phrase:{phrase}").alias("part"),
+                "doc_id", F.round("score", 6).alias("score")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("part", F.col("score").desc(), "doc_id")
 
 
 # Self-checking rows-only gates (r5): the six no-oracle gates each plant a
@@ -1380,9 +1397,10 @@ def q50_bm25_batch(spark, sf):
     d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
         "turn_idx", F.col("doc_id").cast("int"))
     cache = os.path.join(tempfile.gettempdir(),
-                         f"mb_idx_{_cache_key(sf, 'documents')}")
+                         f"mb_idxp_{_cache_key(sf, 'documents')}")
     if not os.path.exists(os.path.join(cache, "stats.json")):
-        build_index(d, cache, num_buckets=4, hot_df_threshold=10**9)
+        build_index(d, cache, num_buckets=4, hot_df_threshold=10**9,
+                    positions=True)
     res = bm25_topk_batch(
         spark, cache,
         {"q1": "merge scan row", "q2": "index", "q3": "table join"}, k=5)

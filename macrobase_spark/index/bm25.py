@@ -486,3 +486,170 @@ def bm25_oracle(
             scores[d] = s
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+def bm25_phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    candidate_collect_limit: int = 200_000,
+) -> DataFrame:
+    """Exact phrase top-k over the positional layer
+    (build_index(positions=True)): returns (doc_id, score) for documents
+    containing the phrase's tokens CONSECUTIVELY in order, ranked by the
+    BM25 sum of the phrase's distinct terms (ascending-term float order —
+    the engine-wide reproducibility convention).
+
+    Plan: bucket/row-group-pruned scan of the phrase terms' positional
+    blobs → Arrow decode+score, pre-filtered to the rarest term's doc set
+    when that set is small enough to broadcast in the UDF closure
+    (candidate_collect_limit) → per-doc gather of (term, contrib,
+    positions) → vectorized adjacency verify + score → top-k. The rarest
+    term bounds the candidate count the same way WAND's pivoting does.
+    """
+    import re
+
+    from macrobase_spark.index.codec import decode_positional
+
+    seq = re.findall(TOKEN_PATTERN, phrase.lower())
+    out_schema = "doc_id long, score double"
+    if not seq:
+        return spark.createDataFrame([], out_schema)
+    _, _, stats = read_index(spark, index_dir)
+    if not stats.get("has_positions"):
+        raise ValueError(
+            f"index at {index_dir!r} has no positional layer — build with "
+            "build_index(..., positions=True) to enable phrase queries")
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    uterms = sorted(set(seq))
+    import os as _os
+
+    pos_df = spark.read.parquet(_os.path.join(index_dir, "positions"))
+    from macrobase_spark.index.xxh64 import term_bucket
+
+    buckets = sorted({term_bucket(t, stats["num_buckets"]) for t in uterms})
+    pos_df = (pos_df.filter(F.col("bucket").isin(buckets))
+              .filter(F.col("term").isin(uterms)))
+    meta = pos_df.select("term", "df").collect()
+    dfs = {r["term"]: int(r["df"]) for r in meta}
+    if set(dfs) != set(uterms):
+        return spark.createDataFrame([], out_schema)  # a term is absent
+    idf = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+           for t, d in dfs.items()}
+    cand_ids: np.ndarray | None = None
+    rarest = min(uterms, key=lambda t: dfs[t])
+    if len(uterms) > 1 and dfs[rarest] <= candidate_collect_limit:
+        blobs = pos_df.filter(F.col("term") == rarest).select(
+            "blob").collect()
+        cand_ids = np.sort(np.concatenate(
+            [decode_positional(r["blob"])[0] for r in blobs]))
+
+    def decode_score(batches):
+        for pdf in batches:
+            frames = []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                ids, tfs, dls, flat = decode_positional(blob)
+                if cand_ids is not None and term != rarest:
+                    keep = np.flatnonzero(
+                        np.isin(ids, cand_ids, assume_unique=True))
+                    if len(keep) < len(ids):
+                        starts = np.concatenate(
+                            ([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+                        segs = [flat[starts[i]:starts[i] + int(tfs[i])]
+                                for i in keep]
+                        flat = (np.concatenate(segs) if segs
+                                else np.empty(0, dtype=np.uint64))
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if len(ids) == 0:
+                    continue
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                contrib = idf[term] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl))
+                starts = np.concatenate(
+                    ([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+                frames.append(pd.DataFrame({
+                    "doc_id": ids.astype(np.int64),
+                    "term": term,
+                    "contrib": contrib,
+                    "pos": [flat[s:s + int(t_)].astype(np.int32).tolist()
+                            for s, t_ in zip(starts, tfs)],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    parts = pos_df.select("term", "blob").mapInPandas(
+        decode_score,
+        schema="doc_id long, term string, contrib double, pos array<int>")
+    gathered = parts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("term", "contrib", "pos")).alias("parts"))
+
+    n_terms = len(uterms)
+    seq_local = list(seq)
+
+    @F.pandas_udf("double")
+    def phrase_score(parts_col: pd.Series) -> pd.Series:
+        out = np.full(len(parts_col), np.nan)
+        for i, plist in enumerate(parts_col):
+            by_term = {p["term"]: p for p in plist}
+            if len(by_term) != n_terms:
+                continue  # missing a phrase term
+            pos_sets = {t: np.asarray(by_term[t]["pos"], dtype=np.int64)
+                        for t in by_term}
+            starts = pos_sets[seq_local[0]]
+            for j in range(1, len(seq_local)):
+                if len(starts) == 0:
+                    break
+                starts = starts[np.isin(starts + j, pos_sets[seq_local[j]])]
+            if len(starts) == 0:
+                continue
+            s = 0.0
+            for t in sorted(by_term):  # ascending-term float order
+                s += float(by_term[t]["contrib"])
+            out[i] = s
+        return pd.Series(out)
+
+    return (gathered.withColumn("score", phrase_score("parts"))
+            .filter(F.col("score").isNotNull())
+            .select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
+                  k: int = 10) -> list[tuple[int, float]]:
+    """Single-threaded exact reference for bm25_phrase_topk (same
+    tokenizer, same ascending-term float order)."""
+    import re
+
+    seq = re.findall(TOKEN_PATTERN, phrase.lower())
+    if not seq:
+        return []
+    tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
+    n = len(tokenized)
+    avgdl = sum(len(v) for v in tokenized.values()) / n
+    dfs: Counter[str] = Counter()
+    tfs: dict[int, Counter] = {}
+    for d, toks in tokenized.items():
+        c = Counter(toks)
+        tfs[d] = c
+        dfs.update(c.keys())
+    uterms = sorted(set(seq))
+    scores: dict[int, float] = {}
+    for d, toks in tokenized.items():
+        if any(dfs.get(t, 0) == 0 or t not in tfs[d] for t in uterms):
+            continue
+        match = any(toks[i:i + len(seq)] == seq
+                    for i in range(len(toks) - len(seq) + 1))
+        if not match:
+            continue
+        s = 0.0
+        dl = float(len(toks))
+        for t in uterms:
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = float(tfs[d][t])
+            s += idf * (tf * (K1 + 1.0)) / (
+                tf + K1 * (1.0 - B + B * dl / avgdl))
+        scores[d] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

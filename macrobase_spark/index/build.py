@@ -91,6 +91,14 @@ _POSTINGS_SCHEMA = (
 # shard); non-final rows are salted partials awaiting the phase-2 merge.
 _ENC_SCHEMA = _POSTINGS_SCHEMA + ", final boolean"
 
+# positional layer (opt-in, build_index(positions=True)): a SEPARATE
+# self-contained artifact under <out_dir>/positions — same (term, salt)
+# salted two-phase shuffle, but each blob carries its own doc ids
+# (codec.encode_positional), so the layer never needs byte-level alignment
+# with the main posting blobs and the main build path stays untouched.
+_POS_SCHEMA = "term string, df long, blob_len long, blob binary"
+_POS_ENC_SCHEMA = _POS_SCHEMA + ", final boolean"
+
 
 def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     tf = tfs.astype(np.float64)
@@ -229,6 +237,80 @@ def _merge_final(avgdl: float):
     return merge
 
 
+def _encode_pos_runs(hot_terms: set[str]):
+    """Phase 1 of the positional layer: encode each (term, salt) run of
+    (doc_id, tf, dl, pos) rows — pre-sorted by the shuffle — into one
+    self-contained positional blob. Cold terms finalize here; hot terms'
+    salted partials merge in phase 2. Carry logic mirrors
+    _encode_sorted_runs (runs never span partitions; runs spanning Arrow
+    batches are held back)."""
+    from macrobase_spark.index.codec import encode_positional
+
+    def encode_slice(pdf: pd.DataFrame, starts, ends) -> list[dict]:
+        terms = pdf["term"].to_numpy(object)
+        ids = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        tfs = pdf["tf"].to_numpy(np.int64).astype(np.uint64)
+        dls = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
+        pos = pdf["pos"].to_numpy(object)
+        rows = []
+        for s, e in zip(starts, ends):
+            flat = (np.concatenate(
+                [np.asarray(x, dtype=np.uint64) for x in pos[s:e]])
+                if e > s else np.empty(0, dtype=np.uint64))
+            blob = encode_positional(ids[s:e], tfs[s:e], dls[s:e], flat)
+            t = terms[s]
+            rows.append(dict(term=t, df=int(e - s), blob_len=len(blob),
+                             blob=blob, final=t not in hot_terms))
+        return rows
+
+    def fn(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            terms = pdf["term"].to_numpy(object)
+            salts = pdf["salt"].to_numpy(np.int64)
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            if len(starts) == 1:
+                carry = pdf
+                continue
+            carry = pdf.iloc[starts[-1]:].reset_index(drop=True)
+            rows = encode_slice(pdf, starts[:-1], starts[1:])
+            if rows:
+                yield pd.DataFrame(rows)
+        if carry is not None and len(carry):
+            terms = carry["term"].to_numpy(object)
+            salts = carry["salt"].to_numpy(np.int64)
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((starts[1:], [len(carry)]))
+            rows = encode_slice(carry, starts, ends)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return fn
+
+
+def _merge_pos_final():
+    """Phase 2 of the positional layer: merge one hot term's salted
+    positional partials into a single doc-sorted blob."""
+    from macrobase_spark.index.codec import merge_positional_blobs
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = merge_positional_blobs(list(pdf["blob"]))
+        return pd.DataFrame({
+            "term": [pdf["term"].iloc[0]],
+            "df": [int(pdf["df"].sum())],
+            "blob_len": [len(blob)],
+            "blob": [blob],
+        })
+
+    return merge
+
+
 def detect_hot_terms(src: DataFrame, sample_frac: float, threshold: int,
                      doc_id_col: str = "doc_id", text_col: str = "text") -> list[str]:
     """Approximate hot-term (heavy-hitter) detection via DOCUMENT sampling —
@@ -261,10 +343,19 @@ def build_index(
     hot_df_threshold: int = 50_000,
     hot_sample_frac: float = 0.02,
     resume: bool = True,
+    positions: bool = False,
 ) -> dict:
     """Build the index at `out_dir`; returns the build report (metrics).
 
     `df` must contain doc_id (stable, partition-independent) and text.
+
+    positions=True additionally builds the positional layer
+    (<out_dir>/positions: per-term self-contained blobs of doc ids, tfs,
+    dls, and in-doc token positions) enabling exact phrase queries via
+    bm25_phrase_topk. Opt-in: positions roughly double the encode shuffle
+    volume (one varint per token occurrence — the classic positional-index
+    cost), and the layer does not yet support incremental update_index
+    (refused loudly; rebuild instead).
     """
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
@@ -506,6 +597,51 @@ def build_index(
                 report_buckets[rec["bucket"]] = rec
                 f.write(json.dumps(rec) + "\n")
 
+    if positions:
+        from pyspark import StorageLevel
+
+        from macrobase_spark.index.tokenize import exploded_positional_postings
+
+        pos_root = os.path.join(out_dir, "positions")
+        if not (resume and os.path.exists(os.path.join(pos_root, "_SUCCESS"))):
+            _tp = time.time()
+            pos_rel = exploded_positional_postings(src, doc_id_col, text_col)
+            pos_salted = pos_rel.withColumn(
+                "salt",
+                F.when(
+                    F.col("term").isin(list(hot_set)) if hot_set
+                    else F.lit(False),
+                    F.pmod(F.col("doc_id"), F.lit(salt_partitions))
+                    .cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            pos_enc = (
+                pos_salted.repartition(n_shuffle, "term", "salt")
+                .sortWithinPartitions("term", "salt", "doc_id")
+                .mapInPandas(_encode_pos_runs(hot_set),
+                             schema=_POS_ENC_SCHEMA)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            pos_finals = pos_enc.filter(F.col("final")).drop("final")
+            pos_hot = (pos_enc.filter(~F.col("final")).drop("final")
+                       .groupBy("term")
+                       .applyInPandas(_merge_pos_final(), schema=_POS_SCHEMA))
+            (pos_finals.unionByName(pos_hot)
+             .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                          F.lit(num_buckets)).cast("int"))
+             .repartition("bucket")
+             .sortWithinPartitions("term")
+             .write.mode("overwrite").partitionBy("bucket").parquet(pos_root))
+            pos_enc.unpersist()
+            phases["positions"] = round(time.time() - _tp, 3)
+        # stamp AFTER the positional write commits: a crash in between
+        # leaves has_positions unset and phrase queries refuse cleanly
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            _s = json.load(f)
+        _s["has_positions"] = True
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(_s, f)
+
     if docs_thread is not None:
         _tp = time.time()
         docs_thread.join()
@@ -703,6 +839,15 @@ def update_index(
     recover_update_inflight(out_dir)  # roll back a crashed previous update
     _key = _mutation_begin(out_dir)
     try:
+        with open(os.path.join(out_dir, "stats.json")) as f:
+            stats = json.load(f)
+        if stats.get("has_positions"):
+            raise ValueError(
+                f"index at {out_dir!r} carries a positional layer, which "
+                "does not support incremental updates yet — appending docs "
+                "would leave phrase queries blind to them (silently wrong "
+                "results). Rebuild with build_index(..., positions=True, "
+                "resume=False) instead")
         if journal:
             # update appends docs + postings BEFORE the stats/manifest commit;
             # journal a pre-mutation snapshot so a crash in between cannot
@@ -714,8 +859,6 @@ def update_index(
                 json.dump({"pid": os.getpid(), "snapshot": snap}, f)
             os.replace(os.path.join(out_dir, _UPDATE_INFLIGHT + ".tmp"),
                        os.path.join(out_dir, _UPDATE_INFLIGHT))
-        with open(os.path.join(out_dir, "stats.json")) as f:
-            stats = json.load(f)
         num_buckets = stats["num_buckets"]
         salt_partitions = stats.get("salt_partitions", 8)
         version = stats.get("version", 1) + 1

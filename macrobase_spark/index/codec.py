@@ -145,3 +145,69 @@ def merge_posting_blobs(blobs: list[bytes]) -> bytes:
     all_tfs = np.concatenate(tfs)
     order = np.argsort(all_ids, kind="stable")
     return delta_varint_encode(all_ids[order], all_tfs[order])
+
+
+# --------------------------------------------------------------- positions
+
+def encode_positional(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                      flat_pos: np.ndarray) -> bytes:
+    """Encode one SELF-CONTAINED positional posting list:
+
+        varint(n) ‖ id-deltas ‖ tfs ‖ dls ‖ flat position deltas
+
+    `flat_pos` holds each doc's term positions concatenated in doc order
+    (doc i owns tfs[i] of them, ascending); within a doc the first position
+    is stored raw and the rest delta-coded. Self-contained (doc ids travel
+    inside), so positional rows merge independently of the main posting
+    blobs — the positional layer can never drift out of alignment."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    t = np.asarray(tfs, dtype=np.uint64)
+    l = np.asarray(dls, dtype=np.uint64)
+    p = np.asarray(flat_pos, dtype=np.uint64)
+    if d.size == 0:
+        return varint_encode(np.array([0], dtype=np.uint64))
+    starts = np.concatenate(([0], np.cumsum(t)))[:-1].astype(np.int64)
+    deltas = p.copy()
+    deltas[1:] = p[1:] - p[:-1]
+    deltas[starts] = p[starts]  # first position of each doc stored raw
+    return (delta_varint_encode(d, t) + varint_encode(l)
+            + varint_encode(deltas))
+
+
+def decode_positional(buf: bytes) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray, np.ndarray]:
+    """Decode encode_positional → (doc_ids, tfs, dls, flat positions);
+    flat positions are ABSOLUTE (per-doc delta decoding applied)."""
+    ids, tfs, off = delta_varint_decode(buf, return_offset=True)
+    n = len(ids)
+    if n == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, e, e
+    dls, off = varint_decode(buf, count=n, offset=off)
+    total = int(tfs.sum())
+    deltas, _ = varint_decode(buf, count=total, offset=off)
+    # segmented cumsum: overall cumsum, then subtract the running total
+    # accumulated BEFORE each doc's first position (stored raw, so the
+    # segment restarts exactly there)
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+    seg_base = csum[starts] - deltas[starts]
+    flat = csum - np.repeat(seg_base, tfs.astype(np.int64))
+    return ids, tfs, dls, flat
+
+
+def merge_positional_blobs(blobs: list[bytes]) -> bytes:
+    """Merge positional blobs of one term (disjoint doc sets from salted
+    partials / segments) into one doc-sorted blob."""
+    parts = [decode_positional(b) for b in blobs]
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    # reorder the flat position stream doc-wise
+    flat_all = np.concatenate([p[3] for p in parts]) if parts else \
+        np.empty(0, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+    segs = [flat_all[starts[i]:starts[i] + int(tfs[i])] for i in order]
+    flat = (np.concatenate(segs) if segs else np.empty(0, dtype=np.uint64))
+    return encode_positional(ids[order], tfs[order], dls[order], flat)

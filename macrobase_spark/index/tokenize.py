@@ -184,3 +184,53 @@ def with_anomaly_score(df: DataFrame, exact: bool = False) -> DataFrame:
     )
     z = F.abs(ll - F.lit(med)) / F.lit(mad * 1.4826)
     return df.withColumn("anomaly", F.greatest(F.col("rep_ratio"), F.tanh(z / 6.0)))
+
+
+def exploded_positional_postings(df: DataFrame, doc_id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """text → (doc_id, term, tf, dl, pos array<int>) in one Arrow pass —
+    the positional-index feed. Same tokenizer/factorize core as
+    exploded_postings, plus each (doc, term)'s ascending token positions,
+    extracted with one lexsort over (row, code) keys (no per-token Python).
+    """
+
+    def explode(batches):
+        for pdf in batches:
+            token_lists = (pdf[text_col].fillna("").str.lower()
+                           .str.findall(TOKEN_PATTERN))
+            lens = token_lists.str.len().to_numpy(dtype=np.int64)
+            doc_ids = pdf[doc_id_col].to_numpy(np.int64)
+            if len(lens) == 0 or lens.sum() == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in token_lists])
+            row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            # positions within each row: global arange minus row starts
+            row_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            pos_in_row = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                row_starts, lens)
+            codes2, vocab2 = pd.factorize(flat)
+            key = row_idx * len(vocab2) + codes2
+            order = np.argsort(key, kind="stable")  # stable → positions
+            # stay ascending within each (row, term) group
+            sk = key[order]
+            grp_start = np.concatenate(
+                ([0], np.flatnonzero(sk[1:] != sk[:-1]) + 1))
+            grp_key = sk[grp_start]
+            grp_len = np.diff(np.concatenate((grp_start, [len(sk)])))
+            g_row = grp_key // len(vocab2)
+            g_code = grp_key % len(vocab2)
+            pos_sorted = pos_in_row[order]
+            pos_col = [pos_sorted[s:s + ln].astype(np.int32).tolist()
+                       for s, ln in zip(grp_start, grp_len)]
+            yield pd.DataFrame({
+                "doc_id": doc_ids[g_row],
+                "term": np.asarray(vocab2, dtype=object)[g_code],
+                "tf": grp_len.astype(np.int32),
+                "dl": lens[g_row].astype(np.int32),
+                "pos": pos_col,
+            })
+
+    return df.select(doc_id_col, text_col).mapInPandas(
+        explode,
+        schema="doc_id long, term string, tf int, dl int, pos array<int>")

@@ -603,13 +603,19 @@ ORACLES["q26_bm25_index_path"] = f"""
 -- reproduce the relational BM25 exactly (same tokenizer, same formula,
 -- float64 throughout, ascending-term sums) — this oracle is the q18
 -- relational twin's SQL, so the driver now hash-checks the index
--- end-to-end instead of rows-only
+-- end-to-end instead of rows-only. The r5 phrase legs restrict the same
+-- relational BM25 (over each phrase's distinct terms) to docs whose
+-- TOKEN-ARRAY rendering contains the phrase consecutively — position
+-- decoding verified, not just term co-occurrence.
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+joined AS (SELECT doc_id,
+                  ' ' || array_to_string({TOKS}, ' ') || ' ' AS jt
+           FROM documents),
 dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
 consts AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
                   (SELECT AVG(dl) FROM dl) AS avgdl),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
-       WHERE term IN ('merge', 'scan', 'row') GROUP BY doc_id, term),
+       WHERE term IN ('merge', 'scan', 'row', 'table') GROUP BY doc_id, term),
 dfs AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
@@ -617,10 +623,44 @@ scored AS (
              * (tf.tf * 2.2)
              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
   FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('merge', 'scan', 'row')
+  GROUP BY tf.doc_id
+),
+ph1 AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('merge', 'scan')
+    AND tf.doc_id IN (SELECT doc_id FROM joined
+                      WHERE jt LIKE '% merge scan %')
+  GROUP BY tf.doc_id
+),
+ph2 AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term = 'table'
+    AND tf.doc_id IN (SELECT doc_id FROM joined
+                      WHERE jt LIKE '% table table %')
   GROUP BY tf.doc_id
 )
-SELECT doc_id, ROUND(s, 6) AS score FROM scored
-ORDER BY s DESC, doc_id ASC LIMIT 10
+SELECT part, doc_id, score FROM (
+  SELECT 'topk' AS part, doc_id, ROUND(s, 6) AS score FROM scored
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'phrase:merge scan' AS part, doc_id, ROUND(s, 6) AS score FROM ph1
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'phrase:table table' AS part, doc_id, ROUND(s, 6) AS score FROM ph2
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+)
+ORDER BY part, score DESC, doc_id
 """
 
 ORACLES["q50_bm25_batch"] = f"""

@@ -1,0 +1,142 @@
+"""r5: positional layer + exact phrase top-k (build_index(positions=True)
+-> bm25_phrase_topk). Covers codec roundtrip/merge, phrase rank+score
+identity vs the single-threaded oracle, hot-term salted positional merge,
+duplicate-token phrases, absent terms, and the update_index refusal."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+from macrobase_spark.index.bm25 import bm25_phrase_topk, phrase_oracle
+from macrobase_spark.index.build import build_index
+
+
+def test_positional_codec_roundtrip_fuzz():
+    from macrobase_spark.index.codec import (decode_positional,
+                                             encode_positional,
+                                             merge_positional_blobs)
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(0, 30))
+        ids = np.unique(rng.integers(0, 10 ** 9, size=n).astype(np.uint64))
+        tfs = rng.integers(1, 5, size=len(ids)).astype(np.uint64)
+        dls = rng.integers(1, 400, size=len(ids)).astype(np.uint64)
+        flat = (np.concatenate(
+            [np.sort(rng.choice(4000, size=int(t), replace=False))
+             .astype(np.uint64) for t in tfs])
+            if len(ids) else np.empty(0, np.uint64))
+        i2, t2, l2, f2 = decode_positional(
+            encode_positional(ids, tfs, dls, flat))
+        assert (i2 == ids).all() and (t2 == tfs).all()
+        assert (l2 == dls).all() and (f2 == flat).all()
+    # merge two disjoint partials, interleaved ids
+    b1 = encode_positional(np.array([2, 9], np.uint64),
+                           np.array([1, 2], np.uint64),
+                           np.array([5, 6], np.uint64),
+                           np.array([4, 0, 2], np.uint64))
+    b2 = encode_positional(np.array([5], np.uint64),
+                           np.array([2], np.uint64),
+                           np.array([7], np.uint64),
+                           np.array([1, 3], np.uint64))
+    i, t, l, f = __import__(
+        "macrobase_spark.index.codec", fromlist=["decode_positional"]
+    ).decode_positional(merge_positional_blobs([b1, b2]))
+    assert i.tolist() == [2, 5, 9] and t.tolist() == [1, 2, 2]
+    assert l.tolist() == [5, 7, 6] and f.tolist() == [4, 1, 3, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    t = with_doc_id(synth_transcripts(spark, n_convs=60, seed=42)).cache()
+    out = str(tmp_path_factory.mktemp("posidx") / "idx")
+    # low hot threshold so hot terms actually exercise the salted
+    # positional phase-2 merge
+    build_index(t, out, num_buckets=4, hot_df_threshold=120,
+                hot_sample_frac=0.5, positions=True)
+    docs = [(r["doc_id"], r["text"])
+            for r in t.select("doc_id", "text").collect()]
+    return out, docs
+
+
+PHRASES = [
+    "the", "the user", "tool call", "call the tool",
+    "the the",            # duplicate-token phrase
+    "rare7 the",          # rare + hot
+    "zzz missing term",   # absent term -> empty
+]
+
+
+def test_phrase_rank_score_identity(spark, pos_index):
+    out, docs = pos_index
+    for phrase in PHRASES:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_phrase_topk(spark, out, phrase, k=10).collect()]
+        want = phrase_oracle(docs, phrase, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], phrase
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), (phrase, gs, ws)
+
+
+def test_phrase_requires_adjacency(spark, pos_index):
+    """Docs containing both terms NON-adjacently must not match: compare
+    against the oracle's matched-doc set on phrases whose terms co-occur
+    far more often than they appear adjacent (measured on this corpus:
+    'tok0001 tok0000' co-occurs in ~350 docs, adjacent in ~96; the
+    duplicate-token phrase 'tok0000 tok0000' in ~468 vs ~129)."""
+    out, docs = pos_index
+    import re
+
+    from macrobase_spark.index.tokenize import TOKEN_PATTERN
+    for phrase in ["tok0001 tok0000", "tok0000 tok0000"]:
+        seq = phrase.split()
+        matched = {d for d, _ in phrase_oracle(docs, phrase, k=10 ** 9)}
+        both_terms = set()
+        for d, text in docs:
+            toks = re.findall(TOKEN_PATTERN, text.lower())
+            if all(toks.count(t) >= seq.count(t) for t in set(seq)):
+                both_terms.add(d)
+        assert matched < both_terms, phrase  # strict subset — else vacuous
+        got_all = {r["doc_id"] for r in
+                   bm25_phrase_topk(spark, out, phrase, k=10 ** 6).collect()}
+        assert got_all == matched, phrase
+
+
+def test_phrase_candidate_prefilter_path(spark, pos_index):
+    """Force the rarest-term broadcast prefilter on AND off — identical
+    results (the prefilter is a pure optimization)."""
+    out, docs = pos_index
+    phrase = "rare7 the"
+    on = [(r["doc_id"], round(r["score"], 9)) for r in
+          bm25_phrase_topk(spark, out, phrase, k=10,
+                           candidate_collect_limit=10 ** 6).collect()]
+    off = [(r["doc_id"], round(r["score"], 9)) for r in
+           bm25_phrase_topk(spark, out, phrase, k=10,
+                            candidate_collect_limit=0).collect()]
+    assert on == off == [(d, round(s, 9)) for d, s in
+                         phrase_oracle(docs, phrase, k=10)]
+
+
+def test_positional_layer_refuses_updates(spark, pos_index, tmp_path):
+    out, _ = pos_index
+    from macrobase_spark.index.build import update_index
+
+    delta = with_doc_id(
+        synth_transcripts(spark, n_convs=5, seed=99)).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000)
+    with pytest.raises(ValueError, match="positional layer"):
+        update_index(delta, out)
+
+
+def test_plain_index_refuses_phrase(spark, tmp_path):
+    t = with_doc_id(synth_transcripts(spark, n_convs=10, seed=1))
+    out = str(tmp_path / "plain")
+    build_index(t, out, num_buckets=4, hot_df_threshold=500,
+                hot_sample_frac=0.5)
+    with pytest.raises(ValueError, match="no positional layer"):
+        bm25_phrase_topk(spark, out, "the user").collect()
