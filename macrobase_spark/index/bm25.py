@@ -494,12 +494,17 @@ def bm25_phrase_topk(
     phrase: str,
     k: int = 10,
     candidate_collect_limit: int = 200_000,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase top-k over the positional layer
+    """Exact phrase/proximity top-k over the positional layer
     (build_index(positions=True)): returns (doc_id, score) for documents
-    containing the phrase's tokens CONSECUTIVELY in order, ranked by the
-    BM25 sum of the phrase's distinct terms (ascending-term float order —
-    the engine-wide reproducibility convention).
+    containing the phrase's tokens IN ORDER at strictly increasing
+    positions whose span is at most (len(phrase)−1)+slop — slop=0 is the
+    exact consecutive phrase, slop=w allows up to w extra tokens
+    interleaved (ordered proximity, Lucene-style sloppy phrase with
+    order preserved). Ranked by the BM25 sum of the phrase's distinct
+    terms (ascending-term float order — the engine-wide reproducibility
+    convention).
 
     Plan: bucket/row-group-pruned scan of the phrase terms' positional
     blobs → Arrow decode+score, pre-filtered to the rarest term's doc set
@@ -532,7 +537,11 @@ def bm25_phrase_topk(
     pos_df = (pos_df.filter(F.col("bucket").isin(buckets))
               .filter(F.col("term").isin(uterms)))
     meta = pos_df.select("term", "df").collect()
-    dfs = {r["term"]: int(r["df"]) for r in meta}
+    # a term may span several rows on a segmented index (post-update,
+    # pre-compaction): df is the cross-segment sum
+    dfs: dict[str, int] = {}
+    for r in meta:
+        dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
     if set(dfs) != set(uterms):
         return spark.createDataFrame([], out_schema)  # a term is absent
     idf = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
@@ -587,6 +596,7 @@ def bm25_phrase_topk(
 
     n_terms = len(uterms)
     seq_local = list(seq)
+    max_span = len(seq) - 1 + max(0, int(slop))
 
     @F.pandas_udf("double")
     def phrase_score(parts_col: pd.Series) -> pd.Series:
@@ -597,12 +607,24 @@ def bm25_phrase_topk(
                 continue  # missing a phrase term
             pos_sets = {t: np.asarray(by_term[t]["pos"], dtype=np.int64)
                         for t in by_term}
+            # greedy ordered match: for each start position of the first
+            # token, repeatedly take the SMALLEST position of the next
+            # token strictly after the current one — for a fixed start
+            # this minimizes the end (exchange argument), so a span-bound
+            # match exists iff the greedy chain's span fits. slop=0
+            # degenerates to the consecutive-phrase check (span == len-1
+            # forces adjacency under strictly increasing positions).
             starts = pos_sets[seq_local[0]]
+            cur = starts
+            alive = np.ones(len(starts), dtype=bool)
             for j in range(1, len(seq_local)):
-                if len(starts) == 0:
+                nxt = pos_sets[seq_local[j]]
+                idx = np.searchsorted(nxt, cur, side="right")
+                alive &= idx < len(nxt)
+                if not alive.any():
                     break
-                starts = starts[np.isin(starts + j, pos_sets[seq_local[j]])]
-            if len(starts) == 0:
+                cur = nxt[np.minimum(idx, len(nxt) - 1)]
+            if not (alive & (cur - starts <= max_span)).any():
                 continue
             s = 0.0
             for t in sorted(by_term):  # ascending-term float order
@@ -618,9 +640,11 @@ def bm25_phrase_topk(
 
 
 def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
-                  k: int = 10) -> list[tuple[int, float]]:
+                  k: int = 10, slop: int = 0) -> list[tuple[int, float]]:
     """Single-threaded exact reference for bm25_phrase_topk (same
-    tokenizer, same ascending-term float order)."""
+    tokenizer, same ascending-term float order, same ordered-proximity
+    slop semantics — matched by brute force over every start, not the
+    greedy chain, so it independently checks the greedy argument)."""
     import re
 
     seq = re.findall(TOKEN_PATTERN, phrase.lower())
@@ -640,9 +664,20 @@ def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
     for d, toks in tokenized.items():
         if any(dfs.get(t, 0) == 0 or t not in tfs[d] for t in uterms):
             continue
-        match = any(toks[i:i + len(seq)] == seq
-                    for i in range(len(toks) - len(seq) + 1))
-        if not match:
+        max_span = len(seq) - 1 + max(0, int(slop))
+
+        def _matches_from(start: int) -> bool:
+            # brute-force DFS over ordered assignments within the span
+            def rec(j: int, prev: int) -> bool:
+                if j == len(seq):
+                    return True
+                for p in range(prev + 1, start + max_span + 1):
+                    if p < len(toks) and toks[p] == seq[j] and rec(j + 1, p):
+                        return True
+                return False
+            return toks[start] == seq[0] and rec(1, start)
+
+        if not any(_matches_from(i) for i in range(len(toks))):
             continue
         s = 0.0
         dl = float(len(toks))

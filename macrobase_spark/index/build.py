@@ -351,11 +351,12 @@ def build_index(
 
     positions=True additionally builds the positional layer
     (<out_dir>/positions: per-term self-contained blobs of doc ids, tfs,
-    dls, and in-doc token positions) enabling exact phrase queries via
-    bm25_phrase_topk. Opt-in: positions roughly double the encode shuffle
-    volume (one varint per token occurrence — the classic positional-index
-    cost), and the layer does not yet support incremental update_index
-    (refused loudly; rebuild instead).
+    dls, and in-doc token positions) enabling exact phrase/proximity
+    queries via bm25_phrase_topk. Opt-in: positions roughly double the
+    encode shuffle volume (one varint per token occurrence — the classic
+    positional-index cost). update_index appends positional segment rows
+    for the delta and compact_index merges them, so the layer follows the
+    same LSM lifecycle as the main postings.
     """
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
@@ -685,19 +686,25 @@ def take_index_snapshot(out_dir: str) -> dict:
     manifest_path = os.path.join(out_dir, "manifest.jsonl")
     manifest_len = (os.path.getsize(manifest_path)
                     if os.path.exists(manifest_path) else 0)
+    def bucket_listing(root: str) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        if os.path.isdir(root):
+            for entry in sorted(os.listdir(root)):
+                sub = os.path.join(root, entry)
+                if os.path.isdir(sub):
+                    out[entry] = sorted(os.listdir(sub))
+        return out
+
     postings_root = os.path.join(out_dir, "postings")
-    buckets: dict[str, list[str]] = {}
-    if os.path.isdir(postings_root):
-        for entry in sorted(os.listdir(postings_root)):
-            sub = os.path.join(postings_root, entry)
-            if os.path.isdir(sub):
-                buckets[entry] = sorted(os.listdir(sub))
+    positions_root = os.path.join(out_dir, "positions")
     return {
         "stats": stats_bytes,
         "manifest_len": manifest_len,
         "docs": _list_dir(os.path.join(out_dir, "docs.parquet")),
         "postings_root_exists": os.path.isdir(postings_root),
-        "buckets": buckets,
+        "buckets": bucket_listing(postings_root),
+        "positions_root_exists": os.path.isdir(positions_root),
+        "pos_buckets": bucket_listing(positions_root),
     }
 
 
@@ -737,15 +744,18 @@ def rollback_index_snapshot(out_dir: str, snap: dict) -> None:
             if entry not in keep:
                 full = os.path.join(docs_path, entry)
                 (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
-    # postings: drop new bucket dirs and new files inside existing buckets
-    postings_root = os.path.join(out_dir, "postings")
-    if not snap["postings_root_exists"]:
-        if os.path.isdir(postings_root):
-            shutil.rmtree(postings_root)
-    elif os.path.isdir(postings_root):
-        keep_buckets = snap["buckets"]
-        for entry in os.listdir(postings_root):
-            sub = os.path.join(postings_root, entry)
+    # postings / positions: drop new bucket dirs and new files inside
+    # existing buckets (same file-set pruning for both bucketed layers)
+    def prune_bucketed(root: str, root_existed: bool,
+                       keep_buckets: dict[str, list[str]]) -> None:
+        if not root_existed:
+            if os.path.isdir(root):
+                shutil.rmtree(root)
+            return
+        if not os.path.isdir(root):
+            return
+        for entry in os.listdir(root):
+            sub = os.path.join(root, entry)
             if not os.path.isdir(sub):
                 continue
             if entry not in keep_buckets:
@@ -757,6 +767,15 @@ def rollback_index_snapshot(out_dir: str, snap: dict) -> None:
                     full = os.path.join(sub, fname)
                     (shutil.rmtree if os.path.isdir(full)
                      else os.remove)(full)
+
+    prune_bucketed(os.path.join(out_dir, "postings"),
+                   snap["postings_root_exists"], snap["buckets"])
+    # journals written before the positional layer existed lack these keys:
+    # default to "leave the positions dir alone" (it cannot have been
+    # touched by the journaled mutation either)
+    if "positions_root_exists" in snap:
+        prune_bucketed(os.path.join(out_dir, "positions"),
+                       snap["positions_root_exists"], snap["pos_buckets"])
 
 
 
@@ -841,13 +860,6 @@ def update_index(
     try:
         with open(os.path.join(out_dir, "stats.json")) as f:
             stats = json.load(f)
-        if stats.get("has_positions"):
-            raise ValueError(
-                f"index at {out_dir!r} carries a positional layer, which "
-                "does not support incremental updates yet — appending docs "
-                "would leave phrase queries blind to them (silently wrong "
-                "results). Rebuild with build_index(..., positions=True, "
-                "resume=False) instead")
         if journal:
             # update appends docs + postings BEFORE the stats/manifest commit;
             # journal a pre-mutation snapshot so a crash in between cannot
@@ -941,6 +953,41 @@ def update_index(
         new_enc.write.mode("append").partitionBy("bucket").parquet(postings_root)
         new_post.unpersist()
 
+        if stats.get("has_positions"):
+            # positional layer: same LSM segment append — the delta's
+            # positional rows land as EXTRA rows in their buckets (blobs are
+            # self-contained, so a term spanning base + delta segments needs
+            # no byte-level merge; the phrase path sums df across rows and
+            # concatenates candidates). hot_terms=∅ here for the same reason
+            # as the main append: a hot term's delta becomes up to
+            # salt_partitions finalized segment rows instead of one giant
+            # reducer task. compact_index merges segments back to one row.
+            from macrobase_spark.index.tokenize import (
+                exploded_positional_postings)
+
+            pos_salted = (exploded_positional_postings(src, doc_id_col,
+                                                       text_col)
+                          .withColumn(
+                "salt",
+                F.when(
+                    F.col("term").isin(list(hot_set)) if hot_set
+                    else F.lit(False),
+                    F.pmod(F.col("doc_id"),
+                           F.lit(salt_partitions)).cast("int"),
+                ).otherwise(F.lit(0))))
+            pos_enc = (
+                pos_salted.repartition(n_shuffle, "term", "salt")
+                .sortWithinPartitions("term", "salt", "doc_id")
+                .mapInPandas(_encode_pos_runs(set()), schema=_POS_ENC_SCHEMA)
+                .drop("final")
+                .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                             F.lit(num_buckets)).cast("int"))
+                .repartition("bucket")
+                .sortWithinPartitions("term")
+            )
+            pos_enc.write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(out_dir, "positions"))
+
         seg = sorted(set(stats.get("segmented_buckets", [])) | set(touched))
         stats.update({"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
                       "version": version, "hot_terms": sorted(hot_set),
@@ -1015,9 +1062,17 @@ def restore_compact_backup(out_dir: str) -> bool:
     elif pid is not None and _mutation_live_in_process(out_dir):
         return False  # same pid, compaction live on another THREAD
     postings_root = os.path.join(out_dir, "postings")
+    positions_root = os.path.join(out_dir, "positions")
     for entry in os.listdir(backup):
         src = os.path.join(backup, entry)
         if not os.path.isdir(src):
+            continue
+        if entry == "positions":  # positional-layer buckets, same protocol
+            for pentry in os.listdir(src):
+                pdest = os.path.join(positions_root, pentry)
+                if os.path.isdir(pdest):
+                    shutil.rmtree(pdest)
+                shutil.move(os.path.join(src, pentry), pdest)
             continue
         dest = os.path.join(postings_root, entry)
         if os.path.isdir(dest):
@@ -1081,10 +1136,17 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
                                  if os.path.exists(manifest_path_) else 0),
                 "pid": os.getpid(),
             }, f)
+        positions_root = os.path.join(out_dir, "positions")
+        has_positions = bool(stats.get("has_positions"))
         for b in stale:
             src = os.path.join(postings_root, f"bucket={b}")
             if os.path.isdir(src):
                 shutil.copytree(src, os.path.join(backup, f"bucket={b}"))
+            if has_positions:
+                psrc = os.path.join(positions_root, f"bucket={b}")
+                if os.path.isdir(psrc):
+                    shutil.copytree(psrc, os.path.join(
+                        backup, "positions", f"bucket={b}"))
         with open(os.path.join(backup, "_complete"), "w") as f:
             f.write("1")
         merged = (
@@ -1101,6 +1163,25 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         merged.write.mode("overwrite").partitionBy("bucket").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(postings_root)
+        if has_positions:
+            # positional segments of the same stale buckets merge back to
+            # one doc-sorted blob per term (blob-level fan-in, one reducer
+            # per term — same shape as the main merge above)
+            pos_merged = (
+                spark.read.parquet(positions_root)
+                .filter(F.col("bucket").isin(stale))
+                .drop("bucket")
+                .groupBy("term")
+                .applyInPandas(_merge_pos_final(), schema=_POS_SCHEMA)
+                .withColumn("bucket", F.pmod(
+                    F.xxhash64("term"),
+                    F.lit(stats["num_buckets"])).cast("int"))
+                .repartition("bucket")
+                .sortWithinPartitions("term")
+            )
+            pos_merged.write.mode("overwrite").partitionBy("bucket").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(positions_root)
         stats["segmented_buckets"] = sorted(
             set(stats.get("segmented_buckets", [])) - set(stale))
         # compaction is the background maintenance pass — also refresh the

@@ -1,7 +1,9 @@
-"""r5: positional layer + exact phrase top-k (build_index(positions=True)
--> bm25_phrase_topk). Covers codec roundtrip/merge, phrase rank+score
-identity vs the single-threaded oracle, hot-term salted positional merge,
-duplicate-token phrases, absent terms, and the update_index refusal."""
+"""r5: positional layer + exact phrase/proximity top-k
+(build_index(positions=True) -> bm25_phrase_topk). Covers codec
+roundtrip/merge, phrase rank+score identity vs the single-threaded
+oracle, hot-term salted positional merge, duplicate-token phrases,
+absent terms, ordered-proximity slop, and the positional LSM lifecycle
+(update_index segment append -> compact_index blob merge)."""
 
 from __future__ import annotations
 
@@ -122,15 +124,88 @@ def test_phrase_candidate_prefilter_path(spark, pos_index):
                          phrase_oracle(docs, phrase, k=10)]
 
 
-def test_positional_layer_refuses_updates(spark, pos_index, tmp_path):
-    out, _ = pos_index
-    from macrobase_spark.index.build import update_index
+def test_phrase_slop_identity(spark, pos_index):
+    """Ordered-proximity (slop>0) rank+score identity vs the brute-force
+    oracle, and slop monotonicity: each extra unit of slop can only grow
+    the matched-doc set, with slop=0 the exact consecutive phrase."""
+    out, docs = pos_index
+    prev: set[int] | None = None
+    for slop in (0, 1, 2, 4):
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_phrase_topk(spark, out, "tok0001 tok0000", k=10 ** 6,
+                                slop=slop).collect()]
+        want = phrase_oracle(docs, "tok0001 tok0000", k=10 ** 6, slop=slop)
+        assert [d for d, _ in got] == [d for d, _ in want], slop
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), (slop, gs, ws)
+        cur = {d for d, _ in got}
+        if prev is not None:
+            assert prev <= cur, slop
+        prev = cur
+    # the slop ladder must actually discriminate on this corpus — else the
+    # monotonicity assertion above is vacuous
+    exact = {d for d, _ in phrase_oracle(docs, "tok0001 tok0000",
+                                         k=10 ** 9, slop=0)}
+    assert exact < prev
 
-    delta = with_doc_id(
-        synth_transcripts(spark, n_convs=5, seed=99)).withColumn(
-        "doc_id", F.col("doc_id") + 10_000_000)
-    with pytest.raises(ValueError, match="positional layer"):
-        update_index(delta, out)
+    # 3-term proximity with an interleaved token: matches at slop>=1 only
+    got1 = {r["doc_id"] for r in bm25_phrase_topk(
+        spark, out, "the user the", k=10 ** 6, slop=2).collect()}
+    want1 = {d for d, _ in phrase_oracle(docs, "the user the",
+                                         k=10 ** 9, slop=2)}
+    assert got1 == want1
+
+
+def test_positional_update_compact_lifecycle(spark, tmp_path):
+    """update_index on a positional index appends self-contained
+    positional segment rows (phrase queries see the delta immediately);
+    compact_index merges segments back to one blob per term — results
+    bit-identical at every stage vs the oracle over base+delta."""
+    from macrobase_spark.index.build import compact_index, update_index
+
+    base = with_doc_id(synth_transcripts(spark, n_convs=30, seed=7)).cache()
+    out = str(tmp_path / "lsm_pos")
+    build_index(base, out, num_buckets=4, hot_df_threshold=80,
+                hot_sample_frac=0.5, positions=True)
+    delta = (with_doc_id(synth_transcripts(spark, n_convs=12, seed=99))
+             .withColumn("doc_id", F.col("doc_id") + 10_000_000)).cache()
+    update_index(delta, out)
+
+    docs = ([(r["doc_id"], r["text"]) for r in
+             base.select("doc_id", "text").collect()]
+            + [(r["doc_id"], r["text"]) for r in
+               delta.select("doc_id", "text").collect()])
+
+    def check(stage):
+        delta_seen = 0
+        for phrase, slop in [("the user", 0), ("tool call", 0),
+                             ("the the", 0), ("tok0001 tok0000", 1)]:
+            got = [(r["doc_id"], r["score"]) for r in
+                   bm25_phrase_topk(spark, out, phrase, k=10 ** 6,
+                                    slop=slop).collect()]
+            want = phrase_oracle(docs, phrase, k=10 ** 6, slop=slop)
+            assert [d for d, _ in got] == [d for d, _ in want], (stage, phrase)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-12), (stage, phrase)
+            delta_seen += sum(1 for d, _ in got if d >= 10_000_000)
+        # delta docs must actually be visible through the phrase path —
+        # guards against an update that silently skips the positional
+        # append (identity alone would pass if the oracle saw nothing too,
+        # since phrase matching of unseen docs yields no rows either way)
+        assert delta_seen > 0, stage
+
+    check("post-update")
+    compact_index(spark, out)
+    check("post-compact")
+    # compaction actually merged: every (bucket, term) in the positional
+    # layer is back to a single segment row
+    import os
+    pos = spark.read.parquet(os.path.join(out, "positions"))
+    dup = (pos.groupBy("bucket", "term").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    base.unpersist()
+    delta.unpersist()
 
 
 def test_plain_index_refuses_phrase(spark, tmp_path):
