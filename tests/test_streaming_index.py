@@ -622,3 +622,70 @@ def test_dedup_ingest_same_id_conflicting_content(spark, tmp_path):
     out2 = {r["doc_id"]: r["text"] for r in dedup_batch(b2, seen).collect()}
     # the ingested content is seen → dropped; the non-ingested one is fresh
     assert out2 == {21: other}
+
+
+def test_stream_ingest_positional_layer(spark, tmp_path):
+    """r5: the positional (phrase) layer follows the streaming LSM
+    lifecycle too — epoch 0 builds it (build_kwargs positions=True),
+    epoch 1's update appends positional segments (phrase queries see the
+    delta), the crash window replays WITHOUT duplicating positional
+    segments, and the compaction epoch merges them; phrase rank+score
+    identical to the single-threaded oracle at every stage."""
+    import json as _json
+    import os
+
+    from macrobase_spark.index.bm25 import bm25_phrase_topk, phrase_oracle
+    from macrobase_spark.streaming.index_ingest import (_EPOCHS_FILE,
+                                                        _INFLIGHT_FILE,
+                                                        _take_snapshot)
+
+    all_df = with_doc_id(synth_transcripts(spark, n_convs=70, seed=42)).cache()
+    d0, d1, d2 = (_slice(all_df, 0, 40), _slice(all_df, 40, 55),
+                  _slice(all_df, 55, 70))
+    out = str(tmp_path / "pos_stream_idx")
+    kw = dict(compact_every=2, build_kwargs=dict(
+        num_buckets=8, hot_df_threshold=120, hot_sample_frac=0.5,
+        positions=True))
+
+    def check(stage, df):
+        docs = [(r["doc_id"], r["text"]) for r in
+                df.select("doc_id", "text").collect()]
+        for phrase, slop in [("tok0001 tok0000", 0), ("the the", 0),
+                             ("tok0001 tok0000", 2)]:
+            got = [(r["doc_id"], r["score"]) for r in
+                   bm25_phrase_topk(spark, out, phrase, k=15,
+                                    slop=slop).collect()]
+            want = phrase_oracle(docs, phrase, k=15, slop=slop)
+            assert [d for d, _ in got] == [d for d, _ in want], (stage, phrase)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-12), (stage, phrase)
+
+    assert apply_stream_batch(d0, 0, out, **kw) == "build"
+    check("e0", d0)
+
+    pre = _take_snapshot(out)
+    assert apply_stream_batch(d1, 1, out, **kw) == "update"
+    check("e1", _slice(all_df, 0, 55))
+
+    # crash after epoch-1 mutation, before ledger commit: the replay must
+    # roll back the appended positional segment files too, else phrase dfs
+    # double and scores drift
+    with open(os.path.join(out, _EPOCHS_FILE)) as f:
+        rec = _json.load(f)
+    rec["committed"] = [e for e in rec["committed"] if e != 1]
+    # a pre-commit crash also leaves the pre-epoch compaction counter
+    rec["since_compact"] = max(0, rec["since_compact"] - 1)
+    with open(os.path.join(out, _EPOCHS_FILE), "w") as f:
+        _json.dump(rec, f)
+    with open(os.path.join(out, _INFLIGHT_FILE), "w") as f:
+        _json.dump({"epoch_id": 1, "run_id": None, "snapshot": pre}, f)
+    assert apply_stream_batch(d1, 1, out, **kw) == "rollback+update"
+    check("e1-replayed", _slice(all_df, 0, 55))
+
+    # epoch 2 hits compact_every=2 → segments merge; results unchanged
+    assert apply_stream_batch(d2, 2, out, **kw) == "update+compact"
+    check("e2-compacted", all_df)
+    pos = spark.read.parquet(os.path.join(out, "positions"))
+    dup = (pos.groupBy("bucket", "term").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
