@@ -145,10 +145,12 @@ _PCT_RE = re.compile(r"percentile\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
 _SEARCH_RE = re.compile(
     r"SEARCH\s*\(\s*(?P<idx>\w+)\s*,\s*'(?P<q>[^']*)'\s*"
     r"(?:,\s*(?P<k>\d+)\s*)?"
-    r"(?P<opts>(?:,\s*ANOMALY_(?:MAX|WEIGHT)\s*=\s*[0-9.eE+-]+\s*)*)\)",
+    r"(?P<opts>(?:,\s*(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*"
+    r"[0-9.eE+-]+\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
-    r"ANOMALY_(?P<key>MAX|WEIGHT)\s*=\s*(?P<val>[0-9.eE+-]+)", re.IGNORECASE)
+    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP)\s*=\s*(?P<val>[0-9.eE+-]+)",
+    re.IGNORECASE)
 
 
 class MacroBaseSQL:
@@ -280,7 +282,15 @@ class MacroBaseSQL:
         surface bm25_topk's score modifier — the north-rule MacroBase
         row-score heritage — through the SQL front-end: ANOMALY_MAX filters
         docs with anomaly > x; ANOMALY_WEIGHT down-weights scores by
-        (1 − y·anomaly)."""
+        (1 − y·anomaly).
+
+        A double-quoted query routes to the positional phrase engine:
+        SEARCH(idx, '"exact phrase"'[, k][, SLOP=w]) runs
+        bm25_phrase_topk — ordered-proximity match over the index's
+        positional layer (build_index(positions=True)), slop=w extra
+        tokens allowed between phrase terms. SLOP without quotes, or
+        ANOMALY_* with quotes, is rejected loudly rather than silently
+        reinterpreted."""
 
         def sub(m: re.Match) -> str:
             name = m.group("idx")
@@ -288,17 +298,40 @@ class MacroBaseSQL:
                 raise ValueError(
                     f"no index attached as {name!r} — call "
                     "attach_index(name, index_dir) first")
+            k = int(m.group("k") or 10)
+            q = m.group("q")
+            anomaly_max, anomaly_weight, slop = None, 0.0, None
+            for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
+                key = om.group("key").upper()
+                if key == "ANOMALY_MAX":
+                    anomaly_max = float(om.group("val"))
+                elif key == "ANOMALY_WEIGHT":
+                    anomaly_weight = float(om.group("val"))
+                else:
+                    slop = int(float(om.group("val")))
+            phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
+            view = self._fresh_view("search")
+            if phrase:
+                if anomaly_max is not None or anomaly_weight:
+                    raise ValueError(
+                        "SEARCH: ANOMALY_MAX/ANOMALY_WEIGHT do not apply "
+                        "to phrase queries — drop the double quotes for a "
+                        "bag-of-words query or the anomaly options for a "
+                        "phrase query")
+                from macrobase_spark.index.bm25 import bm25_phrase_topk
+
+                bm25_phrase_topk(
+                    self.spark, self._indexes[name], q[1:-1], k=k,
+                    slop=slop or 0).createOrReplaceTempView(view)
+                return view
+            if slop is not None:
+                raise ValueError(
+                    "SEARCH: SLOP applies only to phrase queries — wrap "
+                    "the query in double quotes: "
+                    "SEARCH(idx, '\"a b\"', k, SLOP=1)")
             from macrobase_spark.index.bm25 import bm25_topk
 
-            k = int(m.group("k") or 10)
-            anomaly_max, anomaly_weight = None, 0.0
-            for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
-                if om.group("key").upper() == "MAX":
-                    anomaly_max = float(om.group("val"))
-                else:
-                    anomaly_weight = float(om.group("val"))
-            view = self._fresh_view("search")
-            bm25_topk(self.spark, self._indexes[name], m.group("q"), k=k,
+            bm25_topk(self.spark, self._indexes[name], q, k=k,
                       anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
                       ).createOrReplaceTempView(view)
             return view

@@ -316,3 +316,45 @@ def test_search_anomaly_modifier(spark, tmp_path):
         ") WHERE score > 1.0) ON role "
         "WITH MIN RATIO 0.0 MIN SUPPORT 0.0;").collect()
     assert out, "expected explanation rows"
+
+
+def test_search_phrase_query(spark, tmp_path):
+    """r5: SEARCH(idx, '"a b"'[, k][, SLOP=w]) routes to the positional
+    phrase engine — equal to bm25_phrase_topk with the same args, slop
+    spelled as an option, and loud errors for the two invalid mixes
+    (SLOP without quotes, ANOMALY_* with quotes)."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_phrase_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "phrase_sql_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5, positions=True)
+    t.select("doc_id", "role").createOrReplaceTempView("turns4")
+
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+    for q, slop_sql, slop_kw in [
+            ("tok0001 tok0000", "", 0),
+            ("tok0001 tok0000", ", SLOP=2", 2)]:
+        got = mb.execute(
+            f"SELECT doc_id, score FROM SEARCH(tr, '\"{q}\"', 7{slop_sql}) "
+            "ORDER BY score DESC;").collect()
+        want = bm25_phrase_topk(spark, idx, q, k=7, slop=slop_kw).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+               [(r["doc_id"], round(r["score"], 9)) for r in want], slop_kw
+    assert got, "expected phrase hits"
+
+    # composes with a join like any relation
+    j = mb.execute(
+        "SELECT s.doc_id, t.role FROM SEARCH(tr, '\"the the\"', 5) s "
+        "JOIN turns4 t USING (doc_id);").collect()
+    assert all(r["role"] is not None for r in j)
+
+    with pytest.raises(ValueError, match="SLOP applies only to phrase"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'the', 5, SLOP=1);")
+    with pytest.raises(ValueError, match="do not apply to phrase"):
+        mb.execute(
+            "SELECT * FROM SEARCH(tr, '\"the the\"', 5, ANOMALY_WEIGHT=0.5);")
