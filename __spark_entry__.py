@@ -736,6 +736,12 @@ def q26_bm25_index_path(spark, sf):
         F.lit("topk").alias("part"),
         "doc_id", F.round("score", 6).alias("score"))
     legs = [topk]
+    # r5: conjunctive (MATCH=ALL) leg — oracle restricts the same
+    # relational BM25 to docs containing EVERY query term
+    legs.append(
+        bm25_topk(spark, cache, "merge scan row", k=10, mode="and").select(
+            F.lit("and:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     for phrase in ["merge scan", "table table"]:
         legs.append(
             bm25_phrase_topk(spark, cache, phrase, k=10).select(

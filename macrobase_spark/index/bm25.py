@@ -136,11 +136,21 @@ def bm25_topk(
     anomaly_max: float | None = None,
     anomaly_weight: float = 0.0,
     wand: bool = False,
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k (doc_id, score) for the query. Optional anomaly modifier:
     filter docs with anomaly > anomaly_max, and/or down-weight the score by
     (1 − anomaly_weight·anomaly) — the MacroBase row-score heritage as a
     first-class BM25 modifier.
+
+    mode="and" is conjunctive retrieval: only docs containing EVERY query
+    term are ranked (Lucene's MUST / +term semantics); scores are the same
+    BM25 sums, so mode="and" output is a subset-filter of mode="or" — a
+    property the parity test pins. Cost is identical to the disjunctive
+    query (the matched-term count rides the existing per-doc aggregate; no
+    extra shuffle). WAND block pruning is disabled in "and" mode: its θ is
+    a DISJUNCTIVE kth-score bound, and the conjunctive kth score can sit
+    below it — exactness over speed, same policy as the anomaly gate.
 
     wand=True enables multi-term block-max WAND pruning (exactness-
     preserving): θ = the kth best SINGLE-term score of the rarest query term
@@ -151,6 +161,8 @@ def bm25_topk(
     fully scored and every pruned doc is provably below the kth. Costs two
     extra small jobs (metadata + rarest-term pass) — the cluster-scale path
     for hot multi-term queries; off by default for local latency."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     postings, docs, stats = read_index(spark, index_dir)
     terms = _tokenize_query(query)
     n, avgdl = stats["n_docs"], stats["avgdl"]
@@ -192,7 +204,7 @@ def bm25_topk(
         idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
                 for r in df_rows}
     lambdas: dict[str, float] | None = None
-    if wand and len(terms) > 1 and allow_prune:
+    if wand and len(terms) > 1 and allow_prune and mode == "or":
         meta = cand.select("term", "df", "max_impact").collect()
         if meta:
             idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
@@ -226,7 +238,9 @@ def bm25_topk(
         # aggregate: a term may span several segment rows.
         scored = contrib.select("doc_id", F.col("contrib").alias("score"))
     else:
-        # ascending-term add order for bitwise-reproducible float sums
+        # ascending-term add order for bitwise-reproducible float sums;
+        # the matched-term count rides the same aggregate (a (term, doc)
+        # pair appears in exactly one segment, so count == distinct terms)
         scored = (
             contrib.groupBy("doc_id")
             .agg(
@@ -234,9 +248,13 @@ def bm25_topk(
                     F.array_sort(F.collect_list(F.struct("term", "contrib"))),
                     F.lit(0.0),
                     lambda acc, x: acc + x["contrib"],
-                ).alias("score")
+                ).alias("score"),
+                F.count("term").alias("_nt"),
             )
         )
+        if mode == "and":
+            scored = scored.filter(F.col("_nt") == len(terms))
+        scored = scored.drop("_nt")
     if anomaly_max is not None or anomaly_weight:
         scored = scored.join(docs.select("doc_id", "anomaly"), "doc_id", "inner")
         if anomaly_max is not None:
@@ -318,6 +336,7 @@ def bm25_topk_batch(
     queries: dict[str, str] | list[str],
     k: int = 10,
     wand: bool = False,
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k for MANY queries in ONE scoring job — the throughput shape for
     query serving: a single pass over the union of all query terms'
@@ -339,9 +358,17 @@ def bm25_topk_batch(
     a hot single-term query ("the") no longer pushes its whole posting
     list through the (query, doc) aggregate. Bit-identical to the
     aggregate path (0.0 + x == x for doubles), pytest-pinned against
-    bm25_topk per query."""
+    bm25_topk per query.
+
+    mode="and" applies conjunctive retrieval to every query in the batch
+    (see bm25_topk): per-(query, doc) matched-term counts ride the
+    existing aggregate and are checked against each query's term count
+    from the broadcast map — no extra shuffle. WAND batch pruning is
+    disabled in "and" mode (disjunctive θ bound)."""
     from pyspark.sql import Window as W
 
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
     q_terms = {qid: _tokenize_query(q) for qid, q in queries.items()}
@@ -410,7 +437,7 @@ def bm25_topk_batch(
                     math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
                     for r in df_rows}
         lambdas = (_batch_wand_lambdas(cand, multis, n, avgdl, k)
-                   if wand and allow_prune else None)
+                   if wand and allow_prune and mode == "or" else None)
         contrib = cand.mapInPandas(
             _score_partition(n, avgdl, k, single_term=False, idfs=idfs,
                              lambdas=lambdas),
@@ -428,9 +455,17 @@ def bm25_topk_batch(
                     F.array_sort(F.collect_list(F.struct("term", "contrib"))),
                     F.lit(0.0),
                     lambda acc, x: acc + x["contrib"],
-                ).alias("score")
+                ).alias("score"),
+                F.count("term").alias("_nt"),
             )
         )
+        if mode == "and":
+            need = spark.createDataFrame(
+                [(qid, len(ts)) for qid, ts in multis.items()],
+                "query_id string, _need int")
+            scored = (scored.join(F.broadcast(need), "query_id")
+                      .filter(F.col("_nt") == F.col("_need")).drop("_need"))
+        scored = scored.drop("_nt")
         w = W.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
         parts.append(
@@ -450,10 +485,12 @@ def bm25_oracle(
     anomaly: dict[int, float] | None = None,
     anomaly_max: float | None = None,
     anomaly_weight: float = 0.0,
+    mode: str = "or",
 ) -> list[tuple[int, float]]:
     """Exact single-threaded reference implementation over (doc_id, text)
     pairs — the rank-identity oracle for tests. Same tokenizer, same float64
-    op order (ascending-term accumulation) as the Spark path."""
+    op order (ascending-term accumulation) as the Spark path; mode="and"
+    keeps only docs containing every query term."""
     import re
 
     tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
@@ -468,6 +505,8 @@ def bm25_oracle(
     terms = _tokenize_query(query)
     scores: dict[int, float] = {}
     for d, c in tfs.items():
+        if mode == "and" and any(t not in c for t in terms):
+            continue
         s = 0.0
         for t in sorted(terms):
             if t not in c or t not in dfs:

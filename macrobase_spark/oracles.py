@@ -647,9 +647,24 @@ ph2 AS (
     AND tf.doc_id IN (SELECT doc_id FROM joined
                       WHERE jt LIKE '% table table %')
   GROUP BY tf.doc_id
+),
+-- r5 conjunctive leg: same scores, only docs containing EVERY term rank
+andq AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('merge', 'scan', 'row')
+  GROUP BY tf.doc_id
+  HAVING COUNT(DISTINCT tf.term) = 3
 )
 SELECT part, doc_id, score FROM (
   SELECT 'topk' AS part, doc_id, ROUND(s, 6) AS score FROM scored
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'and:merge scan row' AS part, doc_id, ROUND(s, 6) AS score FROM andq
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (

@@ -145,11 +145,12 @@ _PCT_RE = re.compile(r"percentile\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
 _SEARCH_RE = re.compile(
     r"SEARCH\s*\(\s*(?P<idx>\w+)\s*,\s*'(?P<q>[^']*)'\s*"
     r"(?:,\s*(?P<k>\d+)\s*)?"
-    r"(?P<opts>(?:,\s*(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*"
-    r"[0-9.eE+-]+\s*)*)\)",
+    r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*[0-9.eE+-]+"
+    r"|MATCH\s*=\s*(?:ALL|ANY))\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
-    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP)\s*=\s*(?P<val>[0-9.eE+-]+)",
+    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH)\s*=\s*"
+    r"(?P<val>[0-9.eE+-]+|ALL|ANY)",
     re.IGNORECASE)
 
 
@@ -284,6 +285,10 @@ class MacroBaseSQL:
         docs with anomaly > x; ANOMALY_WEIGHT down-weights scores by
         (1 − y·anomaly).
 
+        MATCH=ALL makes the query conjunctive (bm25_topk mode="and":
+        only docs containing every term rank; MATCH=ANY is the default
+        disjunctive retrieval).
+
         A double-quoted query routes to the positional phrase engine:
         SEARCH(idx, '"exact phrase"'[, k][, SLOP=w]) runs
         bm25_phrase_topk — ordered-proximity match over the index's
@@ -300,13 +305,15 @@ class MacroBaseSQL:
                     "attach_index(name, index_dir) first")
             k = int(m.group("k") or 10)
             q = m.group("q")
-            anomaly_max, anomaly_weight, slop = None, 0.0, None
+            anomaly_max, anomaly_weight, slop, match = None, 0.0, None, None
             for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
                 key = om.group("key").upper()
                 if key == "ANOMALY_MAX":
                     anomaly_max = float(om.group("val"))
                 elif key == "ANOMALY_WEIGHT":
                     anomaly_weight = float(om.group("val"))
+                elif key == "MATCH":
+                    match = om.group("val").upper()
                 else:
                     slop = int(float(om.group("val")))
             phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
@@ -318,6 +325,10 @@ class MacroBaseSQL:
                         "to phrase queries — drop the double quotes for a "
                         "bag-of-words query or the anomaly options for a "
                         "phrase query")
+                if match is not None:
+                    raise ValueError(
+                        "SEARCH: MATCH does not apply to phrase queries — "
+                        "a phrase already requires every term (in order)")
                 from macrobase_spark.index.bm25 import bm25_phrase_topk
 
                 bm25_phrase_topk(
@@ -333,6 +344,7 @@ class MacroBaseSQL:
 
             bm25_topk(self.spark, self._indexes[name], q, k=k,
                       anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
+                      mode="and" if match == "ALL" else "or",
                       ).createOrReplaceTempView(view)
             return view
 

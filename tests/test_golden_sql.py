@@ -358,3 +358,45 @@ def test_search_phrase_query(spark, tmp_path):
     with pytest.raises(ValueError, match="do not apply to phrase"):
         mb.execute(
             "SELECT * FROM SEARCH(tr, '\"the the\"', 5, ANOMALY_WEIGHT=0.5);")
+
+
+def test_search_match_all(spark, tmp_path):
+    """r5: SEARCH(..., MATCH=ALL) equals bm25_topk(mode='and'); MATCH=ANY
+    is the default; MATCH on a phrase query errors."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "matchall_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5, positions=True)
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+
+    got = mb.execute(
+        "SELECT doc_id, score FROM SEARCH(tr, 'tok0042 tok0007', 8, "
+        "MATCH=ALL) ORDER BY score DESC;").collect()
+    want = bm25_topk(spark, idx, "tok0042 tok0007", k=8,
+                     mode="and").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want]
+    any_ = mb.execute(
+        "SELECT doc_id, score FROM SEARCH(tr, 'tok0042 tok0007', 8, "
+        "MATCH=ANY) ORDER BY score DESC;").collect()
+    plain = bm25_topk(spark, idx, "tok0042 tok0007", k=8).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in any_] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in plain]
+    # MATCH composes with the anomaly modifier in one option list
+    mixed = mb.execute(
+        "SELECT doc_id, score FROM SEARCH(tr, 'tok0042 tok0007', 8, "
+        "ANOMALY_WEIGHT=0.3, MATCH=ALL) ORDER BY score DESC;").collect()
+    want_m = bm25_topk(spark, idx, "tok0042 tok0007", k=8, mode="and",
+                       anomaly_weight=0.3).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in mixed] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want_m]
+
+    with pytest.raises(ValueError, match="MATCH does not apply to phrase"):
+        mb.execute(
+            "SELECT * FROM SEARCH(tr, '\"the the\"', 5, MATCH=ALL);")

@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
 from macrobase_spark.index.build import build_index, read_index
-from macrobase_spark.index.bm25 import bm25_topk, bm25_oracle
+from macrobase_spark.index.bm25 import (bm25_oracle, bm25_topk,
+                                        bm25_topk_batch)
 
 N_CONVS = 120
 
@@ -449,3 +450,63 @@ def test_anomaly_modifier_disables_block_pruning(spark, tmp_path):
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12)
     assert all(anom[d] <= 0.5 for d, _ in got)
+
+
+@pytest.mark.parametrize("query", ["tok0042 tok0007", "rare11 the call",
+                                   "tok0100 tok0200 tok0300", "the",
+                                   "missingterm the"])
+def test_conjunctive_mode_rank_identical(spark, corpus, query):
+    """r5: mode='and' (Lucene MUST semantics) — rank+score identical to the
+    oracle's conjunctive filter, and provably a subset-filter of the
+    disjunctive ranking (same scores, only all-terms docs survive)."""
+    _, out, _, docs = corpus
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, query, k=12, mode="and").collect()]
+    want = bm25_oracle(docs, query, k=12, mode="and")
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    # subset-filter property vs the disjunctive scores (full ranking)
+    or_scores = dict(bm25_oracle(docs, query, k=10**9))
+    for d, s in got:
+        assert math.isclose(s, or_scores[d], rel_tol=1e-12)
+
+
+def test_conjunctive_strictly_smaller_on_mixed_query(spark, corpus):
+    """'tok0042 tok0007' co-occur in some docs but far from all: AND must
+    return strictly fewer hits than OR at a large k, and every AND hit
+    contains every term."""
+    df, out, _, _ = corpus
+    q = "tok0042 tok0007"
+    or_n = bm25_topk(spark, out, q, k=10**6).count()
+    and_hits = bm25_topk(spark, out, q, k=10**6, mode="and").collect()
+    assert 0 < len(and_hits) < or_n
+    texts = {r["doc_id"]: r["text"] for r in
+             df.select("doc_id", "text").collect()}
+    import re as _re
+    for r in and_hits:
+        toks = set(_re.findall(r"[a-z0-9]+", texts[r["doc_id"]].lower()))
+        assert {"tok0042", "tok0007"} <= toks
+
+
+def test_conjunctive_batch_matches_single(spark, corpus):
+    """Batch mode='and' is per-query identical to bm25_topk mode='and',
+    including the single-term fast path riding alongside."""
+    _, out, _, _ = corpus
+    qs = {"a": "tok0042 tok0007", "b": "rare11 the call", "c": "the"}
+    batch = bm25_topk_batch(spark, out, qs, k=8, mode="and").collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, out, q, k=8, mode="and").collect()]
+        assert by_q.get(qid, []) == want, qid
+
+
+def test_conjunctive_mode_validation(spark, corpus):
+    _, out, _, _ = corpus
+    with pytest.raises(ValueError, match="mode must be"):
+        bm25_topk(spark, out, "the", mode="xor")
+    with pytest.raises(ValueError, match="mode must be"):
+        bm25_topk_batch(spark, out, ["the"], mode="not")
