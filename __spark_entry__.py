@@ -719,16 +719,25 @@ def q26_bm25_index_path(spark, sf):
     relational BM25 to docs where the phrase tokens appear CONSECUTIVELY
     (token-array LIKE) — on this corpus 'merge scan' co-occurs in ~326
     docs but is adjacent in only ~28, so the gate genuinely verifies
-    position decoding, not co-occurrence."""
+    position decoding, not co-occurrence. r5 also gates doc_filter
+    (metadata-filtered retrieval: a synthesized role column rides into
+    the index's docs table; the oracle restricts the rankable docs to
+    doc_id % 4 = 1) and prefix wildcards ('s*' expands to 6 dictionary
+    terms; the oracle scores the same disjunction via term LIKE 's%')."""
     import tempfile
 
     from macrobase_spark.index import bm25_topk, build_index
     from macrobase_spark.index.bm25 import bm25_phrase_topk
 
-    d = _t(spark, sf, "documents").withColumn("conv_id", F.lit("d")).withColumn(
-        "turn_idx", F.col("doc_id").cast("int"))
+    roles = F.array(F.lit("user"), F.lit("assistant"),
+                    F.lit("system"), F.lit("tool"))
+    d = (_t(spark, sf, "documents")
+         .withColumn("conv_id", F.lit("d"))
+         .withColumn("turn_idx", F.col("doc_id").cast("int"))
+         .withColumn("role", F.element_at(
+             roles, (F.col("doc_id") % 4 + 1).cast("int"))))
     cache = os.path.join(tempfile.gettempdir(),
-                         f"mb_idxp_{_cache_key(sf, 'documents')}")
+                         f"mb_idxp5_{_cache_key(sf, 'documents')}")
     if not os.path.exists(os.path.join(cache, "stats.json")):
         build_index(d, cache, num_buckets=4, hot_df_threshold=10**9,
                     positions=True)
@@ -741,6 +750,17 @@ def q26_bm25_index_path(spark, sf):
     legs.append(
         bm25_topk(spark, cache, "merge scan row", k=10, mode="and").select(
             F.lit("and:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
+    # r5: metadata-filtered retrieval — best k WITHIN role='assistant'
+    legs.append(
+        bm25_topk(spark, cache, "merge scan row", k=10,
+                  doc_filter="role = 'assistant'").select(
+            F.lit("filter:role=assistant").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
+    # r5: prefix wildcard — term-dictionary expansion scored disjunctively
+    legs.append(
+        bm25_topk(spark, cache, "s*", k=10).select(
+            F.lit("prefix:s*").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
     for phrase in ["merge scan", "table table"]:
         legs.append(

@@ -42,6 +42,49 @@ def _tokenize_query(q: str) -> list[str]:
     return sorted(set(re.findall(TOKEN_PATTERN, q.lower())))
 
 
+def _tokenize_query_wild(q: str) -> tuple[list[str], list[str]]:
+    """Split a query into (exact terms, prefix patterns): a token ending in
+    `*` (e.g. `merg*`) is a prefix wildcard to be expanded against the term
+    dictionary; everything else tokenizes exactly like _tokenize_query."""
+    import re
+
+    terms: set[str] = set()
+    prefixes: set[str] = set()
+    for tok in re.findall(TOKEN_PATTERN + r"\*?", q.lower()):
+        if tok.endswith("*"):
+            if len(tok) > 1:
+                prefixes.add(tok[:-1])
+        else:
+            terms.add(tok)
+    return sorted(terms), sorted(prefixes)
+
+
+def _expand_prefixes(postings: DataFrame, prefixes: list[str],
+                     max_expansions: int,
+                     total_cap: int | None = None) -> list[str]:
+    """Expand prefix wildcards against the index's term dictionary.
+
+    The scan cannot bucket-prune (term → bucket is a hash, so a prefix
+    spans every bucket) but it reads ONLY the tiny `term` column of the
+    postings parquet — column pruning keeps the posting blobs untouched,
+    so at 100 TB this is a dictionary scan, not an index scan. Expansion
+    is bounded: more than `max_expansions` matching terms raises loudly
+    (rank-exactness over silent truncation — Lucene's
+    maxClauseCount/TooManyClauses policy)."""
+    cap = max_expansions if total_cap is None else total_cap
+    cond = F.col("term").startswith(prefixes[0])
+    for p in prefixes[1:]:
+        cond = cond | F.col("term").startswith(p)
+    rows = (postings.filter(cond).select("term").distinct()
+            .limit(cap + 1).collect())
+    if len(rows) > cap:
+        raise ValueError(
+            f"prefix wildcard(s) {prefixes!r} expand to more than "
+            f"{max_expansions} terms — narrow the prefix or raise "
+            "max_expansions")
+    return sorted(r["term"] for r in rows)
+
+
 def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool,
                      lambdas: dict[str, float] | None = None,
                      idfs: dict[str, float] | None = None):
@@ -137,11 +180,32 @@ def bm25_topk(
     anomaly_weight: float = 0.0,
     wand: bool = False,
     mode: str = "or",
+    doc_filter: str | None = None,
+    max_expansions: int = 128,
 ) -> DataFrame:
     """Top-k (doc_id, score) for the query. Optional anomaly modifier:
     filter docs with anomaly > anomaly_max, and/or down-weight the score by
     (1 − anomaly_weight·anomaly) — the MacroBase row-score heritage as a
     first-class BM25 modifier.
+
+    doc_filter is a SQL boolean expression over the docs table's metadata
+    columns (conv_id, turn_idx, role, tool — persisted at build time from
+    the transcripts input), e.g. ``doc_filter="role = 'assistant'"``:
+    non-matching docs are excluded BEFORE top-k selection (a semi-join
+    against the filtered docs projection — filter pushdown reaches the
+    docs parquet scan), so the k results are the best k *within* the
+    filtered population, not a post-filter of the unfiltered top-k.
+    Because filtering changes which docs can occupy the top-k, every
+    block-pruning θ computed from raw scores is invalid — pruning is
+    disabled (exactness over speed, same policy as the anomaly gate).
+
+    Query tokens ending in ``*`` are prefix wildcards (``merg*``):
+    expanded against the term dictionary (bounded by max_expansions, see
+    _expand_prefixes) and scored as a disjunctive query over the
+    expansions, each with its own idf — Lucene's scoring-boolean rewrite.
+    Wildcards compose with doc_filter/anomaly but not with mode="and"
+    (conjunctive wildcard semantics — "at least one expansion per slot" —
+    are not implemented; expand explicitly instead).
 
     mode="and" is conjunctive retrieval: only docs containing EVERY query
     term are ranked (Lucene's MUST / +term semantics); scores are the same
@@ -164,13 +228,24 @@ def bm25_topk(
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     postings, docs, stats = read_index(spark, index_dir)
-    terms = _tokenize_query(query)
+    terms, prefixes = _tokenize_query_wild(query)
+    if prefixes:
+        if mode == "and":
+            raise ValueError(
+                "prefix wildcards are not supported with mode='and' — "
+                "expand the prefix into explicit terms for conjunctive "
+                "retrieval")
+        terms = sorted(set(terms) |
+                       set(_expand_prefixes(postings, prefixes,
+                                            max_expansions)))
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    # anomaly modifiers change the final ranking AFTER raw-BM25 scoring
-    # (filtering can promote docs from pruned blocks; weighting reorders),
-    # so every block-pruning θ computed from raw scores is invalid — score
-    # fully. Exactness over speed, same policy as the stale-version gate.
-    allow_prune = anomaly_max is None and not anomaly_weight
+    # anomaly/filter modifiers change the final ranking AFTER raw-BM25
+    # scoring (filtering can promote docs from pruned blocks; weighting
+    # reorders), so every block-pruning θ computed from raw scores is
+    # invalid — score fully. Exactness over speed, same policy as the
+    # stale-version gate.
+    allow_prune = (anomaly_max is None and not anomaly_weight
+                   and doc_filter is None)
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -255,6 +330,14 @@ def bm25_topk(
         if mode == "and":
             scored = scored.filter(F.col("_nt") == len(terms))
         scored = scored.drop("_nt")
+    if doc_filter is not None:
+        # doc-set restriction BEFORE top-k: the filtered docs projection is
+        # a pushed-down parquet scan of the docs table; the semi-join keeps
+        # scored rows whose doc survives the predicate. AQE picks
+        # broadcast vs shuffle by the filtered side's actual size.
+        scored = scored.join(
+            docs.filter(F.expr(doc_filter)).select("doc_id"),
+            "doc_id", "semi")
     if anomaly_max is not None or anomaly_weight:
         scored = scored.join(docs.select("doc_id", "anomaly"), "doc_id", "inner")
         if anomaly_max is not None:
@@ -337,6 +420,8 @@ def bm25_topk_batch(
     k: int = 10,
     wand: bool = False,
     mode: str = "or",
+    doc_filter: str | None = None,
+    max_expansions: int = 128,
 ) -> DataFrame:
     """Top-k for MANY queries in ONE scoring job — the throughput shape for
     query serving: a single pass over the union of all query terms'
@@ -364,21 +449,49 @@ def bm25_topk_batch(
     (see bm25_topk): per-(query, doc) matched-term counts ride the
     existing aggregate and are checked against each query's term count
     from the broadcast map — no extra shuffle. WAND batch pruning is
-    disabled in "and" mode (disjunctive θ bound)."""
+    disabled in "and" mode (disjunctive θ bound).
+
+    doc_filter (SQL expression over docs metadata, see bm25_topk) applies
+    to EVERY query in the batch: one filtered docs projection, one
+    semi-join before the per-query top-k windows. Prefix wildcards
+    (``merg*``) expand per query against the term dictionary in a single
+    combined scan; mode='and' rejects wildcards (same as bm25_topk)."""
     from pyspark.sql import Window as W
 
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
-    q_terms = {qid: _tokenize_query(q) for qid, q in queries.items()}
-    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    parsed = {qid: _tokenize_query_wild(q) for qid, q in queries.items()}
     out_schema = "query_id string, doc_id long, score double, rank int"
+    postings, docs, stats = read_index(spark, index_dir)
+    all_prefixes = sorted({p for _, ps in parsed.values() for p in ps})
+    if all_prefixes and mode == "and":
+        raise ValueError(
+            "prefix wildcards are not supported with mode='and' — expand "
+            "the prefix into explicit terms for conjunctive retrieval")
+    # one combined dictionary scan for the whole batch; the expansion bound
+    # is PER QUERY (consistent with bm25_topk), so the scan cap scales with
+    # the distinct-prefix count — if the cap is hit, some single prefix
+    # already exceeds max_expansions and its query would fail alone too
+    expansions: list[str] = (
+        _expand_prefixes(postings, all_prefixes, max_expansions,
+                         total_cap=max_expansions * len(all_prefixes))
+        if all_prefixes else [])
+    q_terms: dict[str, list[str]] = {}
+    for qid, (ts, ps) in parsed.items():
+        ex = {e for e in expansions if any(e.startswith(p) for p in ps)}
+        if len(ex) > max_expansions:
+            raise ValueError(
+                f"query {qid!r}: prefix wildcard(s) {ps!r} expand to more "
+                f"than {max_expansions} terms — narrow the prefix or raise "
+                "max_expansions")
+        q_terms[qid] = sorted(set(ts) | ex)
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], out_schema)
-    postings, _, stats = read_index(spark, index_dir)
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    allow_prune = True
+    allow_prune = doc_filter is None
     if "num_buckets" in stats:
         from macrobase_spark.index.build import bucket_versions
         from macrobase_spark.index.xxh64 import term_bucket
@@ -390,7 +503,8 @@ def bm25_topk_batch(
         # incremental update means bounds can't be trusted until compaction
         sv = stats.get("version", 1)
         bv = bucket_versions(index_dir)
-        allow_prune = all(bv.get(b, 1) == sv for b in buckets)
+        allow_prune = allow_prune and all(
+            bv.get(b, 1) == sv for b in buckets)
     segmented = bool(stats.get("segmented_buckets"))
     # single-term queries split off the aggregate path when their score is
     # provably one row's contribution: compacted index (one row per term)
@@ -466,6 +580,12 @@ def bm25_topk_batch(
             scored = (scored.join(F.broadcast(need), "query_id")
                       .filter(F.col("_nt") == F.col("_need")).drop("_need"))
         scored = scored.drop("_nt")
+        if doc_filter is not None:
+            # one filtered docs projection serves the whole batch; the
+            # semi-join restricts every query's candidates BEFORE ranking
+            scored = scored.join(
+                docs.filter(F.expr(doc_filter)).select("doc_id"),
+                "doc_id", "semi")
         w = W.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
         parts.append(
@@ -486,11 +606,14 @@ def bm25_oracle(
     anomaly_max: float | None = None,
     anomaly_weight: float = 0.0,
     mode: str = "or",
+    keep_ids: set[int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact single-threaded reference implementation over (doc_id, text)
     pairs — the rank-identity oracle for tests. Same tokenizer, same float64
     op order (ascending-term accumulation) as the Spark path; mode="and"
-    keeps only docs containing every query term."""
+    keeps only docs containing every query term; keep_ids (the doc_filter
+    twin) restricts the rankable population — corpus stats (idf, avgdl)
+    still come from the FULL corpus, exactly like the index path."""
     import re
 
     tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
@@ -505,6 +628,8 @@ def bm25_oracle(
     terms = _tokenize_query(query)
     scores: dict[int, float] = {}
     for d, c in tfs.items():
+        if keep_ids is not None and d not in keep_ids:
+            continue
         if mode == "and" and any(t not in c for t in terms):
             continue
         s = 0.0
@@ -534,6 +659,7 @@ def bm25_phrase_topk(
     k: int = 10,
     candidate_collect_limit: int = 200_000,
     slop: int = 0,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Exact phrase/proximity top-k over the positional layer
     (build_index(positions=True)): returns (doc_id, score) for documents
@@ -551,6 +677,10 @@ def bm25_phrase_topk(
     (candidate_collect_limit) → per-doc gather of (term, contrib,
     positions) → vectorized adjacency verify + score → top-k. The rarest
     term bounds the candidate count the same way WAND's pivoting does.
+
+    doc_filter (SQL expression over docs metadata, see bm25_topk)
+    restricts the phrase match to the filtered doc population before
+    top-k selection.
     """
     import re
 
@@ -560,7 +690,7 @@ def bm25_phrase_topk(
     out_schema = "doc_id long, score double"
     if not seq:
         return spark.createDataFrame([], out_schema)
-    _, _, stats = read_index(spark, index_dir)
+    _, docs, stats = read_index(spark, index_dir)
     if not stats.get("has_positions"):
         raise ValueError(
             f"index at {index_dir!r} has no positional layer — build with "
@@ -671,19 +801,25 @@ def bm25_phrase_topk(
             out[i] = s
         return pd.Series(out)
 
-    return (gathered.withColumn("score", phrase_score("parts"))
-            .filter(F.col("score").isNotNull())
-            .select("doc_id", "score")
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    out = (gathered.withColumn("score", phrase_score("parts"))
+           .filter(F.col("score").isNotNull())
+           .select("doc_id", "score"))
+    if doc_filter is not None:
+        out = out.join(docs.filter(F.expr(doc_filter)).select("doc_id"),
+                       "doc_id", "semi")
+    return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
 
 
 def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
-                  k: int = 10, slop: int = 0) -> list[tuple[int, float]]:
+                  k: int = 10, slop: int = 0,
+                  keep_ids: set[int] | None = None) -> list[tuple[int, float]]:
     """Single-threaded exact reference for bm25_phrase_topk (same
     tokenizer, same ascending-term float order, same ordered-proximity
     slop semantics — matched by brute force over every start, not the
-    greedy chain, so it independently checks the greedy argument)."""
+    greedy chain, so it independently checks the greedy argument).
+    keep_ids mirrors doc_filter: restricts the rankable population while
+    corpus stats stay global."""
     import re
 
     seq = re.findall(TOKEN_PATTERN, phrase.lower())
@@ -701,6 +837,8 @@ def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
     uterms = sorted(set(seq))
     scores: dict[int, float] = {}
     for d, toks in tokenized.items():
+        if keep_ids is not None and d not in keep_ids:
+            continue
         if any(dfs.get(t, 0) == 0 or t not in tfs[d] for t in uterms):
             continue
         max_span = len(seq) - 1 + max(0, int(slop))

@@ -388,7 +388,11 @@ def build_index(
     phases: dict[str, float] = {}
     from macrobase_spark.index.tokenize import exploded_postings, turn_features  # noqa: F401
 
-    meta_cols = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+    # transcript metadata (input_hint columns) rides into the docs table so
+    # queries can push doc-level predicates (bm25_topk doc_filter — e.g.
+    # role = 'assistant') into top-k without touching the source table
+    meta_cols = [c for c in ("conv_id", "turn_idx", "role", "tool")
+                 if c in df.columns]
     src = df.select(doc_id_col, *meta_cols, text_col)
     # parallelism floor: small inputs (few parquet files / coalesced splits)
     # must still fan out across all cores for the Arrow passes — at 100 TB
@@ -876,9 +880,16 @@ def update_index(
         version = stats.get("version", 1) + 1
         t0 = time.time()
 
-        meta_cols = [c for c in ("conv_id", "turn_idx") if c in df_new.columns]
-        src = df_new.select(doc_id_col, *meta_cols, text_col)
+        # the delta's docs rows append into the BASE docs table, so its
+        # metadata columns must mirror the base schema exactly — a delta
+        # carrying a column the base lacks (or vice versa) would silently
+        # fork the parquet schema across files
         docs_path = os.path.join(out_dir, "docs.parquet")
+        base_docs_cols = set(
+            spark.read.parquet(docs_path).schema.fieldNames())
+        meta_cols = [c for c in ("conv_id", "turn_idx", "role", "tool")
+                     if c in df_new.columns and c in base_docs_cols]
+        src = df_new.select(doc_id_col, *meta_cols, text_col)
 
         feats = (turn_features(src, text_col).drop(text_col)
                  .persist(StorageLevel.MEMORY_AND_DISK))

@@ -658,6 +658,33 @@ andq AS (
   WHERE tf.term IN ('merge', 'scan', 'row')
   GROUP BY tf.doc_id
   HAVING COUNT(DISTINCT tf.term) = 3
+),
+-- r5 doc_filter leg: the engine synthesizes role from doc_id % 4
+-- (0 user, 1 assistant, 2 system, 3 tool) and filters role='assistant'
+-- BEFORE top-k — the oracle restricts the rankable docs identically
+-- while corpus stats (idf, avgdl) stay global
+filtq AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('merge', 'scan', 'row') AND tf.doc_id % 4 = 1
+  GROUP BY tf.doc_id
+),
+-- r5 prefix-wildcard leg: 's*' = disjunction over every dictionary term
+-- starting with 's', each with its own idf (scoring-boolean rewrite)
+tfp AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+        WHERE term LIKE 's%' GROUP BY doc_id, term),
+dfsp AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         FROM tfp GROUP BY term),
+prefq AS (
+  SELECT tfp.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfsp.df + 0.5) / (dfsp.df + 0.5))
+             * (tfp.tf * 2.2)
+             / (tfp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tfp JOIN dfsp USING (term) JOIN dl USING (doc_id), consts
+  GROUP BY tfp.doc_id
 )
 SELECT part, doc_id, score FROM (
   SELECT 'topk' AS part, doc_id, ROUND(s, 6) AS score FROM scored
@@ -665,6 +692,14 @@ SELECT part, doc_id, score FROM (
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'and:merge scan row' AS part, doc_id, ROUND(s, 6) AS score FROM andq
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'filter:role=assistant' AS part, doc_id, ROUND(s, 6) AS score
+  FROM filtq ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'prefix:s*' AS part, doc_id, ROUND(s, 6) AS score FROM prefq
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (

@@ -146,11 +146,12 @@ _SEARCH_RE = re.compile(
     r"SEARCH\s*\(\s*(?P<idx>\w+)\s*,\s*'(?P<q>[^']*)'\s*"
     r"(?:,\s*(?P<k>\d+)\s*)?"
     r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*[0-9.eE+-]+"
-    r"|MATCH\s*=\s*(?:ALL|ANY))\s*)*)\)",
+    r"|MATCH\s*=\s*(?:ALL|ANY)"
+    r"|FILTER\s*=\s*'(?:[^']|'')*')\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
-    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH)\s*=\s*"
-    r"(?P<val>[0-9.eE+-]+|ALL|ANY)",
+    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER)\s*=\s*"
+    r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY)",
     re.IGNORECASE)
 
 
@@ -289,6 +290,13 @@ class MacroBaseSQL:
         only docs containing every term rank; MATCH=ANY is the default
         disjunctive retrieval).
 
+        FILTER='<sql expr>' restricts the rankable docs by a predicate
+        over the docs table's metadata columns (bm25_topk doc_filter),
+        e.g. FILTER='role = ''assistant''' — '' escapes a quote, standard
+        SQL. Applies to both bag-of-words and phrase queries. Query
+        tokens ending in * are prefix wildcards expanded against the
+        term dictionary (bm25_topk semantics).
+
         A double-quoted query routes to the positional phrase engine:
         SEARCH(idx, '"exact phrase"'[, k][, SLOP=w]) runs
         bm25_phrase_topk — ordered-proximity match over the index's
@@ -306,6 +314,7 @@ class MacroBaseSQL:
             k = int(m.group("k") or 10)
             q = m.group("q")
             anomaly_max, anomaly_weight, slop, match = None, 0.0, None, None
+            doc_filter = None
             for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
                 key = om.group("key").upper()
                 if key == "ANOMALY_MAX":
@@ -314,6 +323,10 @@ class MacroBaseSQL:
                     anomaly_weight = float(om.group("val"))
                 elif key == "MATCH":
                     match = om.group("val").upper()
+                elif key == "FILTER":
+                    # standard SQL string escaping: '' inside the quoted
+                    # value is a literal single quote
+                    doc_filter = om.group("val")[1:-1].replace("''", "'")
                 else:
                     slop = int(float(om.group("val")))
             phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
@@ -333,7 +346,8 @@ class MacroBaseSQL:
 
                 bm25_phrase_topk(
                     self.spark, self._indexes[name], q[1:-1], k=k,
-                    slop=slop or 0).createOrReplaceTempView(view)
+                    slop=slop or 0,
+                    doc_filter=doc_filter).createOrReplaceTempView(view)
                 return view
             if slop is not None:
                 raise ValueError(
@@ -345,6 +359,7 @@ class MacroBaseSQL:
             bm25_topk(self.spark, self._indexes[name], q, k=k,
                       anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
                       mode="and" if match == "ALL" else "or",
+                      doc_filter=doc_filter,
                       ).createOrReplaceTempView(view)
             return view
 

@@ -400,3 +400,42 @@ def test_search_match_all(spark, tmp_path):
     with pytest.raises(ValueError, match="MATCH does not apply to phrase"):
         mb.execute(
             "SELECT * FROM SEARCH(tr, '\"the the\"', 5, MATCH=ALL);")
+
+
+def test_search_filter_and_wildcard_options(spark, tmp_path):
+    """SEARCH FILTER='<expr>' (with '' quote escaping) equals bm25_topk
+    doc_filter; a * wildcard token flows through to prefix expansion; the
+    FILTER composes with phrase queries too."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_phrase_topk, bm25_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "sqlf_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5, positions=True)
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'rare7 the', 5, "
+        "FILTER='role = ''assistant''') s;").collect()
+    want = bm25_topk(spark, idx, "rare7 the", k=5,
+                     doc_filter="role = 'assistant'").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+
+    got = mb.execute("SELECT * FROM SEARCH(tr, 'tok00*', 5) s;").collect()
+    want = bm25_topk(spark, idx, "tok00*", k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, '\"tok0000 tok0000\"', 8, "
+        "FILTER='role = ''assistant''') s;").collect()
+    want = bm25_phrase_topk(spark, idx, "tok0000 tok0000", k=8,
+                            doc_filter="role = 'assistant'").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got, "phrase+filter leg must be non-empty"

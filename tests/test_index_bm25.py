@@ -510,3 +510,149 @@ def test_conjunctive_mode_validation(spark, corpus):
         bm25_topk(spark, out, "the", mode="xor")
     with pytest.raises(ValueError, match="mode must be"):
         bm25_topk_batch(spark, out, ["the"], mode="not")
+
+
+# --------------------------------------------------------- r5: doc_filter
+
+
+def _role_keep(df, role):
+    return {r["doc_id"] for r in
+            df.filter(F.col("role") == role).select("doc_id").collect()}
+
+
+def test_doc_filter_topk_rank_identity(spark, corpus):
+    """doc_filter='role = ...' restricts the rankable population BEFORE
+    top-k: rank+score identical to the oracle ranking only the kept docs
+    (corpus stats stay global — idf/avgdl unchanged by the filter)."""
+    df, out, _, docs = corpus
+    keep = _role_keep(df, "assistant")
+    for q in ["the call run", "rare7", "tok0042 tok0007"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=10,
+                         doc_filter="role = 'assistant'").collect()]
+        want = bm25_oracle(docs, q, k=10, keep_ids=keep)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want)), q
+
+
+def test_doc_filter_is_not_a_post_filter(spark, corpus):
+    """The filtered top-k must contain docs the unfiltered top-k ranked
+    below k — proving the filter applies before selection, not after."""
+    df, out, _, _ = corpus
+    q = "the call"
+    unfiltered = {r["doc_id"] for r in bm25_topk(spark, out, q, k=5).collect()}
+    filtered = [r["doc_id"] for r in
+                bm25_topk(spark, out, q, k=5,
+                          doc_filter="role = 'system'").collect()]
+    assert filtered, "expected hits within role='system'"
+    assert any(d not in unfiltered for d in filtered)
+    roles = {r["doc_id"]: r["role"] for r in
+             df.select("doc_id", "role").collect()}
+    assert all(roles[d] == "system" for d in filtered)
+
+
+def test_doc_filter_composes_with_and_and_anomaly(spark, corpus):
+    """doc_filter ∘ mode='and' ∘ anomaly_max: each stage only removes
+    docs, so the composition equals the oracle with all three applied."""
+    df, out, _, docs = corpus
+    keep = _role_keep(df, "user")
+    anom = {r["doc_id"]: r["anomaly"] for r in
+            spark.read.parquet(f"{out}/docs.parquet")
+            .select("doc_id", "anomaly").collect()}
+    q = "tok0042 tok0007"
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, q, k=10, mode="and", anomaly_max=0.9,
+                     doc_filter="role = 'user'").collect()]
+    want = bm25_oracle(docs, q, k=10, mode="and", anomaly=anom,
+                       anomaly_max=0.9, keep_ids=keep)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want))
+
+
+def test_doc_filter_batch_matches_single(spark, corpus):
+    """One filtered docs projection serves the whole batch; per-query
+    results identical to bm25_topk with the same doc_filter."""
+    _, out, _, _ = corpus
+    qs = {"a": "the call", "b": "rare7", "c": "tok0042 tok0007"}
+    flt = "role IN ('assistant', 'tool')"
+    batch = bm25_topk_batch(spark, out, qs, k=6, doc_filter=flt).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, out, q, k=6, doc_filter=flt).collect()]
+        assert by_q.get(qid, []) == want, qid
+
+
+# ---------------------------------------------------- r5: prefix wildcards
+
+
+def test_prefix_wildcard_rank_identity(spark, corpus):
+    """'tok00*' expands against the term dictionary and scores as a
+    disjunctive query over the expansions (each with its own idf) — rank+
+    score identical to the oracle run on the explicit expansion."""
+    import re as _re
+
+    _, out, _, docs = corpus
+    vocab = sorted({t for _, txt in docs
+                    for t in _re.findall(r"[a-z0-9]+", txt.lower())})
+    expanded = [t for t in vocab if t.startswith("tok00")]
+    assert len(expanded) > 10  # the expansion is genuinely multi-term
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, "tok00*", k=10).collect()]
+    want = bm25_oracle(docs, " ".join(expanded), k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want))
+
+
+def test_prefix_wildcard_mixes_with_exact_terms_and_filter(spark, corpus):
+    """'rare7 tok00*' = exact term ∪ expansions; composed with doc_filter."""
+    import re as _re
+
+    df, out, _, docs = corpus
+    vocab = sorted({t for _, txt in docs
+                    for t in _re.findall(r"[a-z0-9]+", txt.lower())})
+    expanded = [t for t in vocab if t.startswith("tok00")]
+    keep = _role_keep(df, "user")
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, "rare7 tok00*", k=10,
+                     doc_filter="role = 'user'").collect()]
+    want = bm25_oracle(docs, " ".join(["rare7"] + expanded), k=10,
+                       keep_ids=keep)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want))
+
+
+def test_prefix_wildcard_guardrails(spark, corpus):
+    _, out, _, _ = corpus
+    with pytest.raises(ValueError, match="max_expansions"):
+        bm25_topk(spark, out, "t*", max_expansions=5)
+    with pytest.raises(ValueError, match="mode='and'"):
+        bm25_topk(spark, out, "tok00*", mode="and")
+    with pytest.raises(ValueError, match="mode='and'"):
+        bm25_topk_batch(spark, out, ["tok00*"], mode="and")
+    # a prefix matching nothing contributes no terms: empty result, no error
+    assert bm25_topk(spark, out, "zzzzz*").count() == 0
+
+
+def test_prefix_wildcard_batch_matches_single(spark, corpus):
+    _, out, _, _ = corpus
+    qs = {"a": "tok00*", "b": "rare7 tok01*", "c": "the"}
+    batch = bm25_topk_batch(spark, out, qs, k=5).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, out, q, k=5).collect()]
+        assert by_q.get(qid, []) == want, qid
+
+
+def test_docs_table_carries_transcript_metadata(spark, corpus):
+    """build_index persists role/tool (input_hint metadata) into the docs
+    table — the doc_filter surface's schema contract."""
+    _, out, _, _ = corpus
+    cols = spark.read.parquet(f"{out}/docs.parquet").columns
+    assert {"doc_id", "conv_id", "turn_idx", "role", "tool",
+            "anomaly"} <= set(cols)

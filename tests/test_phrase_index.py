@@ -215,3 +215,24 @@ def test_plain_index_refuses_phrase(spark, tmp_path):
                 hot_sample_frac=0.5)
     with pytest.raises(ValueError, match="no positional layer"):
         bm25_phrase_topk(spark, out, "the user").collect()
+
+
+def test_phrase_doc_filter_rank_identity(spark, pos_index):
+    """bm25_phrase_topk doc_filter: phrase top-k within the filtered doc
+    population only — rank+score identity vs phrase_oracle(keep_ids),
+    non-empty so the filter is provably exercised, and disjoint from the
+    unfiltered result where roles differ."""
+    out, docs = pos_index
+    t = with_doc_id(synth_transcripts(spark, n_convs=60, seed=42))
+    keep = {r["doc_id"] for r in
+            t.filter(F.col("role") == "assistant")
+            .select("doc_id").collect()}
+    ph = "tok0000 tok0000"
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_phrase_topk(spark, out, ph, k=12,
+                            doc_filter="role = 'assistant'").collect()]
+    want = phrase_oracle(docs, ph, k=12, keep_ids=keep)
+    assert want, "fixture phrase must match within role='assistant'"
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want))
+    assert all(d in keep for d, _ in got)
