@@ -762,6 +762,11 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "s*", k=10).select(
             F.lit("prefix:s*").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5: exclusion (MUST_NOT) — docs containing 'scan' drop before top-k
+    legs.append(
+        bm25_topk(spark, cache, "merge -scan", k=10).select(
+            F.lit("not:merge -scan").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     for phrase in ["merge scan", "table table"]:
         legs.append(
             bm25_phrase_topk(spark, cache, phrase, k=10).select(

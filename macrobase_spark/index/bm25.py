@@ -42,21 +42,44 @@ def _tokenize_query(q: str) -> list[str]:
     return sorted(set(re.findall(TOKEN_PATTERN, q.lower())))
 
 
-def _tokenize_query_wild(q: str) -> tuple[list[str], list[str]]:
-    """Split a query into (exact terms, prefix patterns): a token ending in
-    `*` (e.g. `merg*`) is a prefix wildcard to be expanded against the term
-    dictionary; everything else tokenizes exactly like _tokenize_query."""
-    import re
+import re as _re
 
+# query micro-syntax: `-tok` at a token boundary is an exclusion
+# (MUST_NOT), a trailing `*` is a prefix wildcard; a hyphen INSIDE a word
+# ("well-known") is not an exclusion — the lookbehind requires whitespace
+# or start-of-query before the minus
+_QTOK_RE = _re.compile(
+    r"(?:^|(?<=\s))-" + TOKEN_PATTERN + r"\*?|" + TOKEN_PATTERN + r"\*?")
+
+
+def _parse_query(q: str) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Full query parse → (terms, prefixes, neg_terms, neg_prefixes)."""
     terms: set[str] = set()
     prefixes: set[str] = set()
-    for tok in re.findall(TOKEN_PATTERN + r"\*?", q.lower()):
-        if tok.endswith("*"):
-            if len(tok) > 1:
-                prefixes.add(tok[:-1])
+    nterms: set[str] = set()
+    nprefixes: set[str] = set()
+    for tok in _QTOK_RE.findall(q.lower()):
+        neg = tok.startswith("-")
+        if neg:
+            tok = tok[1:]
+        star = tok.endswith("*")
+        if star:
+            tok = tok[:-1]
+        if not tok:
+            continue
+        if neg:
+            (nprefixes if star else nterms).add(tok)
         else:
-            terms.add(tok)
-    return sorted(terms), sorted(prefixes)
+            (prefixes if star else terms).add(tok)
+    return sorted(terms), sorted(prefixes), sorted(nterms), sorted(nprefixes)
+
+
+def _tokenize_query_wild(q: str) -> tuple[list[str], list[str]]:
+    """Positive side of the query only: (exact terms, prefix patterns).
+    Exclusion tokens (`-tok`) are dropped — callers that render or expand
+    positives (snippets) must not treat an excluded term as a match."""
+    terms, prefixes, _, _ = _parse_query(q)
+    return terms, prefixes
 
 
 def _expand_prefixes(postings: DataFrame, prefixes: list[str],
@@ -83,6 +106,30 @@ def _expand_prefixes(postings: DataFrame, prefixes: list[str],
             f"{max_expansions} terms — narrow the prefix or raise "
             "max_expansions")
     return sorted(r["term"] for r in rows)
+
+
+def _neg_doc_ids(postings: DataFrame, nterms: list[str],
+                 with_term: bool = False) -> DataFrame:
+    """doc_ids containing ANY of the excluded terms — decoded ids only
+    (no scoring), for the MUST_NOT anti-join. Bucket pruning was already
+    applied by the caller; duplicates are fine (anti-join semantics).
+    with_term=True keeps the term column so a batch can route each
+    exclusion to its own query."""
+
+    def ids_only(batches):
+        from macrobase_spark.index.build import _decode_partial
+
+        for pdf in batches:
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                ids, _, _ = _decode_partial(blob)
+                out = {"doc_id": ids.astype(np.int64)}
+                if with_term:
+                    out["term"] = np.repeat(term, len(ids))
+                yield pd.DataFrame(out)
+
+    schema = ("doc_id long, term string" if with_term else "doc_id long")
+    return (postings.filter(F.col("term").isin(nterms))
+            .select("term", "blob").mapInPandas(ids_only, schema=schema))
 
 
 def _score_partition(n_docs: int, avgdl: float, k: int, single_term: bool,
@@ -207,6 +254,14 @@ def bm25_topk(
     (conjunctive wildcard semantics — "at least one expansion per slot" —
     are not implemented; expand explicitly instead).
 
+    Query tokens starting with ``-`` at a token boundary (``merge -scan``)
+    are exclusions (Lucene MUST_NOT): docs containing ANY excluded term
+    are dropped before top-k and excluded terms never contribute to the
+    score. ``-pre*`` excludes every expansion of the prefix. A query with
+    ONLY exclusions returns empty (nothing to rank). Exclusions compose
+    with every other option; block pruning is disabled when present (an
+    exclusion can promote docs from pruned blocks into the top-k).
+
     mode="and" is conjunctive retrieval: only docs containing EVERY query
     term are ranked (Lucene's MUST / +term semantics); scores are the same
     BM25 sums, so mode="and" output is a subset-filter of mode="or" — a
@@ -228,7 +283,7 @@ def bm25_topk(
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     postings, docs, stats = read_index(spark, index_dir)
-    terms, prefixes = _tokenize_query_wild(query)
+    terms, prefixes, nterms, nprefixes = _parse_query(query)
     if prefixes:
         if mode == "and":
             raise ValueError(
@@ -238,14 +293,18 @@ def bm25_topk(
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, prefixes,
                                             max_expansions)))
+    if nprefixes:
+        nterms = sorted(set(nterms) |
+                        set(_expand_prefixes(postings, nprefixes,
+                                             max_expansions)))
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    # anomaly/filter modifiers change the final ranking AFTER raw-BM25
-    # scoring (filtering can promote docs from pruned blocks; weighting
-    # reorders), so every block-pruning θ computed from raw scores is
-    # invalid — score fully. Exactness over speed, same policy as the
-    # stale-version gate.
+    # anomaly/filter/exclusion modifiers change the final ranking AFTER
+    # raw-BM25 scoring (filtering can promote docs from pruned blocks;
+    # weighting reorders), so every block-pruning θ computed from raw
+    # scores is invalid — score fully. Exactness over speed, same policy
+    # as the stale-version gate.
     allow_prune = (anomaly_max is None and not anomaly_weight
-                   and doc_filter is None)
+                   and doc_filter is None and not nterms)
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -253,7 +312,10 @@ def bm25_topk(
         from macrobase_spark.index.build import bucket_versions
         from macrobase_spark.index.xxh64 import term_bucket
 
-        buckets = sorted({term_bucket(t, stats["num_buckets"]) for t in terms})
+        # bucket pruning covers the EXCLUDED terms too — their postings
+        # are scanned (ids only) for the anti-join below
+        buckets = sorted({term_bucket(t, stats["num_buckets"])
+                          for t in [*terms, *nterms]})
         postings = postings.filter(F.col("bucket").isin(buckets))
         # version gate: after an incremental update, buckets the update did
         # not touch carry block-max metadata computed under an older avgdl —
@@ -330,6 +392,11 @@ def bm25_topk(
         if mode == "and":
             scored = scored.filter(F.col("_nt") == len(terms))
         scored = scored.drop("_nt")
+    if nterms:
+        # MUST_NOT: drop docs containing any excluded term (they never
+        # contribute to scores — exclusion is membership, not scoring)
+        scored = scored.join(_neg_doc_ids(postings, nterms),
+                             "doc_id", "anti")
     if doc_filter is not None:
         # doc-set restriction BEFORE top-k: the filtered docs projection is
         # a pushed-down parquet scan of the docs table; the semi-join keeps
@@ -455,18 +522,22 @@ def bm25_topk_batch(
     to EVERY query in the batch: one filtered docs projection, one
     semi-join before the per-query top-k windows. Prefix wildcards
     (``merg*``) expand per query against the term dictionary in a single
-    combined scan; mode='and' rejects wildcards (same as bm25_topk)."""
+    combined scan; mode='and' rejects wildcards (same as bm25_topk).
+    Exclusions (``-term`` / ``-pre*``, see bm25_topk) apply per query via
+    one (query_id, doc_id) anti-join fed by a single ids-only scan over
+    the union of every query's excluded terms."""
     from pyspark.sql import Window as W
 
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
-    parsed = {qid: _tokenize_query_wild(q) for qid, q in queries.items()}
+    parsed = {qid: _parse_query(q) for qid, q in queries.items()}
     out_schema = "query_id string, doc_id long, score double, rank int"
     postings, docs, stats = read_index(spark, index_dir)
-    all_prefixes = sorted({p for _, ps in parsed.values() for p in ps})
-    if all_prefixes and mode == "and":
+    all_prefixes = sorted({p for _, ps, _, _ in parsed.values() for p in ps})
+    all_nprefixes = sorted({p for _, _, _, ps in parsed.values() for p in ps})
+    if (all_prefixes or all_nprefixes) and mode == "and":
         raise ValueError(
             "prefix wildcards are not supported with mode='and' — expand "
             "the prefix into explicit terms for conjunctive retrieval")
@@ -474,12 +545,14 @@ def bm25_topk_batch(
     # is PER QUERY (consistent with bm25_topk), so the scan cap scales with
     # the distinct-prefix count — if the cap is hit, some single prefix
     # already exceeds max_expansions and its query would fail alone too
+    scan_prefixes = sorted({*all_prefixes, *all_nprefixes})
     expansions: list[str] = (
-        _expand_prefixes(postings, all_prefixes, max_expansions,
-                         total_cap=max_expansions * len(all_prefixes))
-        if all_prefixes else [])
+        _expand_prefixes(postings, scan_prefixes, max_expansions,
+                         total_cap=max_expansions * len(scan_prefixes))
+        if scan_prefixes else [])
     q_terms: dict[str, list[str]] = {}
-    for qid, (ts, ps) in parsed.items():
+    q_negs: dict[str, list[str]] = {}
+    for qid, (ts, ps, ns, nps) in parsed.items():
         ex = {e for e in expansions if any(e.startswith(p) for p in ps)}
         if len(ex) > max_expansions:
             raise ValueError(
@@ -487,17 +560,21 @@ def bm25_topk_batch(
                 f"than {max_expansions} terms — narrow the prefix or raise "
                 "max_expansions")
         q_terms[qid] = sorted(set(ts) | ex)
+        q_negs[qid] = sorted(
+            set(ns) | {e for e in expansions
+                       if any(e.startswith(p) for p in nps)})
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    all_negs = sorted({t for ts in q_negs.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], out_schema)
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    allow_prune = doc_filter is None
+    allow_prune = doc_filter is None and not all_negs
     if "num_buckets" in stats:
         from macrobase_spark.index.build import bucket_versions
         from macrobase_spark.index.xxh64 import term_bucket
 
         buckets = sorted({term_bucket(t, stats["num_buckets"])
-                          for t in all_terms})
+                          for t in [*all_terms, *all_negs]})
         postings = postings.filter(F.col("bucket").isin(buckets))
         # same version gate as bm25_topk: stale block-max metadata after an
         # incremental update means bounds can't be trusted until compaction
@@ -580,6 +657,17 @@ def bm25_topk_batch(
             scored = (scored.join(F.broadcast(need), "query_id")
                       .filter(F.col("_nt") == F.col("_need")).drop("_need"))
         scored = scored.drop("_nt")
+        if all_negs:
+            # per-query MUST_NOT: one ids-only scan over the union of
+            # excluded terms, routed to owning queries via the broadcast
+            # (query_id, term) map, then a composite-key anti-join
+            nqmap = spark.createDataFrame(
+                [(qid, t) for qid, ts in q_negs.items() for t in ts],
+                "query_id string, term string")
+            excl = (_neg_doc_ids(postings, all_negs, with_term=True)
+                    .join(F.broadcast(nqmap), "term")
+                    .select("query_id", "doc_id"))
+            scored = scored.join(excl, ["query_id", "doc_id"], "anti")
         if doc_filter is not None:
             # one filtered docs projection serves the whole batch; the
             # semi-join restricts every query's candidates BEFORE ranking
@@ -613,7 +701,10 @@ def bm25_oracle(
     op order (ascending-term accumulation) as the Spark path; mode="and"
     keeps only docs containing every query term; keep_ids (the doc_filter
     twin) restricts the rankable population — corpus stats (idf, avgdl)
-    still come from the FULL corpus, exactly like the index path."""
+    still come from the FULL corpus, exactly like the index path. The
+    query micro-syntax matches the engine: ``pre*`` expands against the
+    corpus vocabulary, ``-term``/``-pre*`` exclude docs containing any
+    matching term."""
     import re
 
     tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
@@ -625,10 +716,20 @@ def bm25_oracle(
         c = Counter(toks)
         tfs[d] = c
         dfs.update(c.keys())
-    terms = _tokenize_query(query)
+    terms, prefixes, nterms, nprefixes = _parse_query(query)
+    if prefixes:
+        terms = sorted(set(terms) | {t for t in dfs
+                                     if any(t.startswith(p)
+                                            for p in prefixes)})
+    if nprefixes:
+        nterms = sorted(set(nterms) | {t for t in dfs
+                                       if any(t.startswith(p)
+                                              for p in nprefixes)})
     scores: dict[int, float] = {}
     for d, c in tfs.items():
         if keep_ids is not None and d not in keep_ids:
+            continue
+        if nterms and any(t in c for t in nterms):
             continue
         if mode == "and" and any(t not in c for t in terms):
             continue

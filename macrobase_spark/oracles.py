@@ -685,6 +685,18 @@ prefq AS (
              / (tfp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
   FROM tfp JOIN dfsp USING (term) JOIN dl USING (doc_id), consts
   GROUP BY tfp.doc_id
+),
+-- r5 exclusion leg: 'merge -scan' ranks merge-matching docs that do NOT
+-- contain scan; the excluded term never contributes to the score
+notq AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term = 'merge'
+    AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
+  GROUP BY tf.doc_id
 )
 SELECT part, doc_id, score FROM (
   SELECT 'topk' AS part, doc_id, ROUND(s, 6) AS score FROM scored
@@ -700,6 +712,10 @@ SELECT part, doc_id, score FROM (
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'prefix:s*' AS part, doc_id, ROUND(s, 6) AS score FROM prefq
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'not:merge -scan' AS part, doc_id, ROUND(s, 6) AS score FROM notq
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (

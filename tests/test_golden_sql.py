@@ -431,6 +431,13 @@ def test_search_filter_and_wildcard_options(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in got] == \
            [(r["doc_id"], r["score"]) for r in want]
 
+    # exclusion micro-syntax flows through the quoted query string
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'tok0042 -tok0007', 5) s;").collect()
+    want = bm25_topk(spark, idx, "tok0042 -tok0007", k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+
     got = mb.execute(
         "SELECT * FROM SEARCH(tr, '\"tok0000 tok0000\"', 8, "
         "FILTER='role = ''assistant''') s;").collect()

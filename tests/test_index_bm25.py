@@ -656,3 +656,88 @@ def test_docs_table_carries_transcript_metadata(spark, corpus):
     cols = spark.read.parquet(f"{out}/docs.parquet").columns
     assert {"doc_id", "conv_id", "turn_idx", "role", "tool",
             "anomaly"} <= set(cols)
+
+
+# ---------------------------------------------------- r5: exclusion terms
+
+
+def test_exclusion_rank_identity(spark, corpus):
+    """-term drops docs containing the term before top-k; scores over the
+    remaining docs are untouched — rank+score identity vs the oracle
+    parsing the same micro-syntax."""
+    _, out, _, docs = corpus
+    for q in ["the -call", "the call -rare7", "tok0042 -tok0007"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=10).collect()]
+        want = bm25_oracle(docs, q, k=10)
+        assert want, q
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want)), q
+
+
+def test_exclusion_semantics_and_edges(spark, corpus):
+    """Excluded docs really contain the excluded term; exclusion is not a
+    post-filter (docs below the unfiltered k surface); -pre* excludes all
+    expansions; only-exclusions and hyphen-inside-word edge cases."""
+    import re as _re
+
+    df, out, _, docs = corpus
+    texts = {d: set(_re.findall(r"[a-z0-9]+", t.lower())) for d, t in docs}
+    hits = [r["doc_id"] for r in
+            bm25_topk(spark, out, "the -call", k=50).collect()]
+    assert hits and all("call" not in texts[d] for d in hits)
+    assert all("the" in texts[d] for d in hits)
+    # not a post-filter: excluding a term carried by the unfiltered #1 doc
+    # must remove it AND promote a doc from below the old top-5 cut
+    top5 = [r["doc_id"] for r in bm25_topk(spark, out, "the", k=5).collect()]
+    marker = sorted(t for t in texts[top5[0]]
+                    if t not in ("the",) and not t.startswith("rare"))[0]
+    after = [r["doc_id"] for r in
+             bm25_topk(spark, out, f"the -{marker}", k=5).collect()]
+    assert top5[0] not in after
+    assert any(d not in top5 for d in after)
+    # -rare1* excludes every expansion (rare11, rare12, ... — narrow
+    # enough that 'the'-matching docs survive)
+    got = [r["doc_id"] for r in
+           bm25_topk(spark, out, "the -rare1*", k=30).collect()]
+    assert got and all(
+        not any(t.startswith("rare1") for t in texts[d]) for d in got)
+    # only exclusions -> nothing to rank
+    assert bm25_topk(spark, out, "-the").count() == 0
+    # hyphen inside a word is NOT an exclusion
+    from macrobase_spark.index.bm25 import _parse_query
+    assert _parse_query("well-known") == (["known", "well"], [], [], [])
+
+
+def test_exclusion_composes_with_filter_and_mode(spark, corpus):
+    """-term ∘ doc_filter ∘ mode='and' — all three restrictions stack."""
+    df, out, _, docs = corpus
+    keep = _role_keep(df, "user")
+    q = "tok0042 tok0007 -rare7"
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, q, k=10, mode="and",
+                     doc_filter="role = 'user'").collect()]
+    want = bm25_oracle(docs, q, k=10, mode="and", keep_ids=keep)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want))
+
+
+def test_exclusion_batch_matches_single(spark, corpus):
+    """Per-query exclusions in one batch: each query's MUST_NOT applies
+    only to itself (query 'c' shares a term with 'a' but no exclusion)."""
+    _, out, _, _ = corpus
+    qs = {"a": "the -call", "b": "tok0042 -tok0007", "c": "the",
+          "d": "the -tok01*"}
+    batch = bm25_topk_batch(spark, out, qs, k=6).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, out, q, k=6).collect()]
+        assert by_q.get(qid, []) == want, qid
+    # the exclusion genuinely bites at full depth (top-6 may coincide):
+    # tok0042/tok0007 co-occur (see the conjunctive test), so excluding
+    # one strictly shrinks the other's hit set
+    assert (bm25_topk(spark, out, "tok0042 -tok0007", k=10 ** 6).count()
+            < bm25_topk(spark, out, "tok0042", k=10 ** 6).count())
