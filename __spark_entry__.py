@@ -767,6 +767,11 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge -scan", k=10).select(
             F.lit("not:merge -scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5: query-time boost — merge's contribution doubles before the sum
+    legs.append(
+        bm25_topk(spark, cache, "merge^2 scan", k=10).select(
+            F.lit("boost:merge^2 scan").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     for phrase in ["merge scan", "table table"]:
         legs.append(
             bm25_phrase_topk(spark, cache, phrase, k=10).select(

@@ -45,23 +45,34 @@ def _tokenize_query(q: str) -> list[str]:
 import re as _re
 
 # query micro-syntax: `-tok` at a token boundary is an exclusion
-# (MUST_NOT), a trailing `*` is a prefix wildcard; a hyphen INSIDE a word
-# ("well-known") is not an exclusion — the lookbehind requires whitespace
-# or start-of-query before the minus
+# (MUST_NOT), a trailing `*` is a prefix wildcard, a trailing `^2.5` is a
+# query-time boost (Lucene syntax); a hyphen INSIDE a word ("well-known")
+# is not an exclusion — the lookbehind requires whitespace or
+# start-of-query before the minus
+_BOOST = r"(?:\^[0-9]+(?:\.[0-9]+)?)?"
 _QTOK_RE = _re.compile(
-    r"(?:^|(?<=\s))-" + TOKEN_PATTERN + r"\*?|" + TOKEN_PATTERN + r"\*?")
+    r"(?:^|(?<=\s))-" + TOKEN_PATTERN + r"\*?" +
+    r"|" + TOKEN_PATTERN + r"\*?" + _BOOST)
 
 
-def _parse_query(q: str) -> tuple[list[str], list[str], list[str], list[str]]:
-    """Full query parse → (terms, prefixes, neg_terms, neg_prefixes)."""
+def _parse_query(q: str) -> tuple[list[str], list[str], list[str],
+                                  list[str], dict[str, float]]:
+    """Full query parse → (terms, prefixes, neg_terms, neg_prefixes,
+    boosts). `boosts` maps a term or prefix token (as written, without
+    the `*`) to its multiplier; tokens without `^` are absent (1.0)."""
     terms: set[str] = set()
     prefixes: set[str] = set()
     nterms: set[str] = set()
     nprefixes: set[str] = set()
+    boosts: dict[str, float] = {}
     for tok in _QTOK_RE.findall(q.lower()):
         neg = tok.startswith("-")
         if neg:
             tok = tok[1:]
+        boost = None
+        if "^" in tok:
+            tok, _, b = tok.partition("^")
+            boost = float(b)
         star = tok.endswith("*")
         if star:
             tok = tok[:-1]
@@ -71,14 +82,20 @@ def _parse_query(q: str) -> tuple[list[str], list[str], list[str], list[str]]:
             (nprefixes if star else nterms).add(tok)
         else:
             (prefixes if star else terms).add(tok)
-    return sorted(terms), sorted(prefixes), sorted(nterms), sorted(nprefixes)
+            if boost is not None:
+                # repeated token with different boosts: the larger wins
+                # (deterministic; Lucene would sum duplicate clauses, but
+                # this engine dedups terms)
+                boosts[tok] = max(boost, boosts.get(tok, 0.0))
+    return (sorted(terms), sorted(prefixes), sorted(nterms),
+            sorted(nprefixes), boosts)
 
 
 def _tokenize_query_wild(q: str) -> tuple[list[str], list[str]]:
     """Positive side of the query only: (exact terms, prefix patterns).
     Exclusion tokens (`-tok`) are dropped — callers that render or expand
     positives (snippets) must not treat an excluded term as a match."""
-    terms, prefixes, _, _ = _parse_query(q)
+    terms, prefixes, _, _, _ = _parse_query(q)
     return terms, prefixes
 
 
@@ -262,6 +279,13 @@ def bm25_topk(
     with every other option; block pruning is disabled when present (an
     exclusion can promote docs from pruned blocks into the top-k).
 
+    ``term^2`` / ``pre*^1.5`` are query-time boosts (Lucene syntax): the
+    term's contribution is multiplied by the boost before the per-doc sum.
+    An explicit term boost beats a matching prefix boost; overlapping
+    boosts take the max. Boosts compose with everything; the single-term
+    block-max prune stays exact (a constant per-term scale preserves
+    order) while multi-term WAND is disabled under boosts.
+
     mode="and" is conjunctive retrieval: only docs containing EVERY query
     term are ranked (Lucene's MUST / +term semantics); scores are the same
     BM25 sums, so mode="and" output is a subset-filter of mode="or" — a
@@ -283,7 +307,8 @@ def bm25_topk(
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     postings, docs, stats = read_index(spark, index_dir)
-    terms, prefixes, nterms, nprefixes = _parse_query(query)
+    terms, prefixes, nterms, nprefixes, qboosts = _parse_query(query)
+    explicit_terms = list(terms)
     if prefixes:
         if mode == "and":
             raise ValueError(
@@ -293,6 +318,19 @@ def bm25_topk(
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, prefixes,
                                             max_expansions)))
+    # effective per-term boosts: explicit term boost wins; a prefix boost
+    # (pre*^2) covers its expansions; the largest wins on overlap
+    boosts: dict[str, float] | None = None
+    if qboosts:
+        boosts = {t: qboosts[t] for t in explicit_terms if t in qboosts}
+        for t in terms:
+            if t in boosts:
+                continue
+            pbs = [qboosts[p] for p in prefixes
+                   if p in qboosts and t.startswith(p)]
+            if pbs:
+                boosts[t] = max(pbs)
+        boosts = boosts or None
     if nprefixes:
         nterms = sorted(set(nterms) |
                         set(_expand_prefixes(postings, nprefixes,
@@ -341,7 +379,8 @@ def bm25_topk(
         idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
                 for r in df_rows}
     lambdas: dict[str, float] | None = None
-    if wand and len(terms) > 1 and allow_prune and mode == "or":
+    if (wand and len(terms) > 1 and allow_prune and mode == "or"
+            and not boosts):
         meta = cand.select("term", "df", "max_impact").collect()
         if meta:
             idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
@@ -366,6 +405,18 @@ def bm25_topk(
                          lambdas=lambdas, idfs=idfs),
         schema="doc_id long, term string, contrib double",
     )
+    if boosts:
+        # query-time boost as a post-multiplication on the (term, doc)
+        # contribution — the SAME float op as the batch path's per-query
+        # boost join, so single and batch stay bitwise-identical. Within a
+        # term the boost is a constant scale, so the kernel's per-term
+        # block-max pruning (single-term path) remains exact; multi-term
+        # WAND is disabled under boosts (its λ bounds are unboosted).
+        bmap = F.create_map(*[x for t, b in sorted(boosts.items())
+                              for x in (F.lit(t), F.lit(b))])
+        contrib = contrib.withColumn(
+            "contrib",
+            F.col("contrib") * F.coalesce(bmap[F.col("term")], F.lit(1.0)))
     if len(terms) == 1 and idfs is None:
         # single-term fast path (compacted index: exactly one contribution
         # per doc): the per-doc sum is the contribution itself, so the
@@ -535,8 +586,10 @@ def bm25_topk_batch(
     parsed = {qid: _parse_query(q) for qid, q in queries.items()}
     out_schema = "query_id string, doc_id long, score double, rank int"
     postings, docs, stats = read_index(spark, index_dir)
-    all_prefixes = sorted({p for _, ps, _, _ in parsed.values() for p in ps})
-    all_nprefixes = sorted({p for _, _, _, ps in parsed.values() for p in ps})
+    all_prefixes = sorted({p for _, ps, _, _, _ in parsed.values()
+                           for p in ps})
+    all_nprefixes = sorted({p for _, _, _, ps, _ in parsed.values()
+                            for p in ps})
     if (all_prefixes or all_nprefixes) and mode == "and":
         raise ValueError(
             "prefix wildcards are not supported with mode='and' — expand "
@@ -552,7 +605,8 @@ def bm25_topk_batch(
         if scan_prefixes else [])
     q_terms: dict[str, list[str]] = {}
     q_negs: dict[str, list[str]] = {}
-    for qid, (ts, ps, ns, nps) in parsed.items():
+    q_boosts: dict[str, dict[str, float]] = {}
+    for qid, (ts, ps, ns, nps, qb) in parsed.items():
         ex = {e for e in expansions if any(e.startswith(p) for p in ps)}
         if len(ex) > max_expansions:
             raise ValueError(
@@ -563,6 +617,17 @@ def bm25_topk_batch(
         q_negs[qid] = sorted(
             set(ns) | {e for e in expansions
                        if any(e.startswith(p) for p in nps)})
+        # effective per-term boosts (same precedence as bm25_topk:
+        # explicit term boost wins, then the largest matching prefix boost)
+        eff = {t: qb[t] for t in ts if t in qb}
+        for t in q_terms[qid]:
+            if t in eff:
+                continue
+            pbs = [qb[p] for p in ps if p in qb and t.startswith(p)]
+            if pbs:
+                eff[t] = max(pbs)
+        q_boosts[qid] = eff
+    any_boost = any(q_boosts.values())
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
     all_negs = sorted({t for ts in q_negs.values() for t in ts})
     if not all_terms:
@@ -610,11 +675,16 @@ def bm25_topk_batch(
         s_top = (s_contrib.withColumn("rank", F.row_number().over(sw))
                  .filter(F.col("rank") <= k))
         s_qmap = spark.createDataFrame(
-            [(qid, t) for qid, t in singles.items()],
-            "query_id string, term string")
+            [(qid, t, float(q_boosts[qid].get(t, 1.0)))
+             for qid, t in singles.items()],
+            "query_id string, term string, boost double")
+        # boost scales every contribution of the (single) term by a
+        # constant → per-term rank order (and thus the windowed top-k) is
+        # unchanged; only the reported score scales
         parts.append(
             s_top.join(F.broadcast(s_qmap), "term")
-            .select("query_id", "doc_id", F.col("contrib").alias("score"),
+            .select("query_id", "doc_id",
+                    (F.col("contrib") * F.col("boost")).alias("score"),
                     "rank"))
     if multis:
         m_terms = sorted({t for ts in multis.values() for t in ts})
@@ -628,17 +698,25 @@ def bm25_topk_batch(
                     math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
                     for r in df_rows}
         lambdas = (_batch_wand_lambdas(cand, multis, n, avgdl, k)
-                   if wand and allow_prune and mode == "or" else None)
+                   if wand and allow_prune and mode == "or"
+                   and not any_boost else None)
         contrib = cand.mapInPandas(
             _score_partition(n, avgdl, k, single_term=False, idfs=idfs,
                              lambdas=lambdas),
             schema="doc_id long, term string, contrib double",
         )
         qmap = spark.createDataFrame(
-            [(qid, t) for qid, ts in multis.items() for t in ts],
-            "query_id string, term string",
+            [(qid, t, float(q_boosts[qid].get(t, 1.0)))
+             for qid, ts in multis.items() for t in ts],
+            "query_id string, term string, boost double",
         )
-        joined = contrib.join(F.broadcast(qmap), "term")
+        # per-query boost rides the broadcast map: contributions are
+        # computed ONCE per (term, doc) and re-scaled per query at the
+        # join — the same c*b float op as bm25_topk's post-multiplication,
+        # keeping batch and single bitwise-identical
+        joined = (contrib.join(F.broadcast(qmap), "term")
+                  .withColumn("contrib",
+                              F.col("contrib") * F.col("boost")))
         scored = (
             joined.groupBy("query_id", "doc_id")
             .agg(
@@ -704,7 +782,8 @@ def bm25_oracle(
     still come from the FULL corpus, exactly like the index path. The
     query micro-syntax matches the engine: ``pre*`` expands against the
     corpus vocabulary, ``-term``/``-pre*`` exclude docs containing any
-    matching term."""
+    matching term, ``term^2``/``pre*^2`` boost contributions (same c·b
+    post-multiplication and precedence as the engine)."""
     import re
 
     tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
@@ -716,7 +795,8 @@ def bm25_oracle(
         c = Counter(toks)
         tfs[d] = c
         dfs.update(c.keys())
-    terms, prefixes, nterms, nprefixes = _parse_query(query)
+    terms, prefixes, nterms, nprefixes, qboosts = _parse_query(query)
+    explicit = list(terms)
     if prefixes:
         terms = sorted(set(terms) | {t for t in dfs
                                      if any(t.startswith(p)
@@ -725,6 +805,13 @@ def bm25_oracle(
         nterms = sorted(set(nterms) | {t for t in dfs
                                        if any(t.startswith(p)
                                               for p in nprefixes)})
+    boosts = {t: qboosts[t] for t in explicit if t in qboosts}
+    for t in terms:
+        if t not in boosts:
+            pbs = [qboosts[p] for p in prefixes
+                   if p in qboosts and t.startswith(p)]
+            if pbs:
+                boosts[t] = max(pbs)
     scores: dict[int, float] = {}
     for d, c in tfs.items():
         if keep_ids is not None and d not in keep_ids:
@@ -740,7 +827,11 @@ def bm25_oracle(
             idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
             tf = float(c[t])
             dl = float(len(tokenized[d]))
-            s += idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            contrib = (idf * (tf * (K1 + 1.0))
+                       / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+            if t in boosts:
+                contrib = contrib * boosts[t]
+            s += contrib
         if s > 0.0:
             if anomaly is not None:
                 a = anomaly.get(d, 0.0)

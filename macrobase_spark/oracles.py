@@ -697,6 +697,18 @@ notq AS (
   WHERE tf.term = 'merge'
     AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
   GROUP BY tf.doc_id
+),
+-- r5 boost leg: 'merge^2 scan' — merge's per-doc contribution is
+-- multiplied by 2 before the per-doc sum (query-time boost)
+boostq AS (
+  SELECT tf.doc_id,
+         SUM((ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl)))
+             * (CASE WHEN tf.term = 'merge' THEN 2.0 ELSE 1.0 END)) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('merge', 'scan')
+  GROUP BY tf.doc_id
 )
 SELECT part, doc_id, score FROM (
   SELECT 'topk' AS part, doc_id, ROUND(s, 6) AS score FROM scored
@@ -717,6 +729,10 @@ SELECT part, doc_id, score FROM (
 SELECT part, doc_id, score FROM (
   SELECT 'not:merge -scan' AS part, doc_id, ROUND(s, 6) AS score FROM notq
   ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'boost:merge^2 scan' AS part, doc_id, ROUND(s, 6) AS score
+  FROM boostq ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'phrase:merge scan' AS part, doc_id, ROUND(s, 6) AS score FROM ph1

@@ -706,7 +706,7 @@ def test_exclusion_semantics_and_edges(spark, corpus):
     assert bm25_topk(spark, out, "-the").count() == 0
     # hyphen inside a word is NOT an exclusion
     from macrobase_spark.index.bm25 import _parse_query
-    assert _parse_query("well-known") == (["known", "well"], [], [], [])
+    assert _parse_query("well-known") == (["known", "well"], [], [], [], {})
 
 
 def test_exclusion_composes_with_filter_and_mode(spark, corpus):
@@ -741,3 +741,51 @@ def test_exclusion_batch_matches_single(spark, corpus):
     # one strictly shrinks the other's hit set
     assert (bm25_topk(spark, out, "tok0042 -tok0007", k=10 ** 6).count()
             < bm25_topk(spark, out, "tok0042", k=10 ** 6).count())
+
+
+# -------------------------------------------------------- r5: term boosts
+
+
+def test_boost_rank_identity_bitwise(spark, corpus):
+    """term^2 / pre*^1.5 boosts: contribution × boost before the per-doc
+    sum — BITWISE score identity vs the oracle parsing the same syntax
+    (both sides post-multiply c·b in the same order)."""
+    _, out, _, docs = corpus
+    for q in ["the^2 call", "rare7^3 the", "tok00*^2 rare7", "the^0.5",
+              "tok0042^2 tok0007 -rare7"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=8).collect()]
+        want = bm25_oracle(docs, q, k=8)
+        assert got == want, q  # exact float equality, not approx
+
+
+def test_boost_changes_ranking_and_composes(spark, corpus):
+    df, out, _, docs = corpus
+    a = [r["doc_id"] for r in bm25_topk(spark, out, "the call", k=8).collect()]
+    b = [r["doc_id"] for r in bm25_topk(spark, out, "the^5 call", k=8).collect()]
+    assert a != b  # the boost genuinely reorders
+    # boost ∘ doc_filter ∘ exclusion
+    keep = _role_keep(df, "user")
+    q = "tok0042^2 tok0007 -rare7"
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, q, k=8,
+                     doc_filter="role = 'user'").collect()]
+    want = bm25_oracle(docs, q, k=8, keep_ids=keep)
+    assert got == want
+
+
+def test_boost_batch_matches_single_bitwise(spark, corpus):
+    """Per-query boosts ride the broadcast qmap: contributions computed
+    once, re-scaled per query — bitwise-identical to bm25_topk, including
+    a boosted single-term query on the no-shuffle fast path."""
+    _, out, _, _ = corpus
+    qs = {"a": "the^2 call", "b": "rare7^3 the", "c": "the",
+          "d": "tok0001^2"}
+    batch = bm25_topk_batch(spark, out, qs, k=5).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, out, q, k=5).collect()]
+        assert by_q.get(qid, []) == want, qid
