@@ -772,6 +772,30 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge^2 scan", k=10).select(
             F.lit("boost:merge^2 scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5: tombstone-delete leg on its OWN index (deletes mutate state):
+    # build → delete_docs(doc_id % 7 == 2) → compact_index purge → query.
+    # Post-purge stats recompute, so the oracle is the same relational
+    # BM25 over the REDUCED corpus. The _purged marker keeps the cached
+    # mutated index from being re-deleted/re-compacted every run.
+    import shutil as _sh
+
+    from macrobase_spark.index.build import compact_index, delete_docs
+
+    dcache = os.path.join(tempfile.gettempdir(),
+                          f"mb_idxdel_{_cache_key(sf, 'documents')}")
+    marker = os.path.join(dcache, "_purged")
+    if not os.path.exists(marker):
+        _sh.rmtree(dcache, ignore_errors=True)
+        build_index(d, dcache, num_buckets=4, hot_df_threshold=10**9)
+        delete_docs(spark, dcache,
+                    d.filter(F.col("doc_id") % 7 == 2).select("doc_id"))
+        compact_index(spark, dcache)
+        with open(marker, "w") as mf:
+            mf.write("1")
+    legs.append(
+        bm25_topk(spark, dcache, "merge scan row", k=10).select(
+            F.lit("del:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     for phrase in ["merge scan", "table table"]:
         legs.append(
             bm25_phrase_topk(spark, cache, phrase, k=10).select(

@@ -336,13 +336,16 @@ def bm25_topk(
                         set(_expand_prefixes(postings, nprefixes,
                                              max_expansions)))
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    # anomaly/filter/exclusion modifiers change the final ranking AFTER
-    # raw-BM25 scoring (filtering can promote docs from pruned blocks;
-    # weighting reorders), so every block-pruning θ computed from raw
-    # scores is invalid — score fully. Exactness over speed, same policy
-    # as the stale-version gate.
+    # anomaly/filter/exclusion/tombstone modifiers change the final ranking
+    # AFTER raw-BM25 scoring (filtering can promote docs from pruned
+    # blocks; weighting reorders), so every block-pruning θ computed from
+    # raw scores is invalid — score fully. Exactness over speed, same
+    # policy as the stale-version gate.
+    from macrobase_spark.index.build import tombstone_ids
+
+    tomb = tombstone_ids(spark, index_dir)
     allow_prune = (anomaly_max is None and not anomaly_weight
-                   and doc_filter is None and not nterms)
+                   and doc_filter is None and not nterms and tomb is None)
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -448,6 +451,10 @@ def bm25_topk(
         # contribute to scores — exclusion is membership, not scoring)
         scored = scored.join(_neg_doc_ids(postings, nterms),
                              "doc_id", "anti")
+    if tomb is not None:
+        # pending deletes vanish from results immediately; corpus stats
+        # keep counting them until compact_index purges (Lucene semantics)
+        scored = scored.join(tomb, "doc_id", "anti")
     if doc_filter is not None:
         # doc-set restriction BEFORE top-k: the filtered docs projection is
         # a pushed-down parquet scan of the docs table; the semi-join keeps
@@ -633,7 +640,10 @@ def bm25_topk_batch(
     if not all_terms:
         return spark.createDataFrame([], out_schema)
     n, avgdl = stats["n_docs"], stats["avgdl"]
-    allow_prune = doc_filter is None and not all_negs
+    from macrobase_spark.index.build import tombstone_ids
+
+    tomb = tombstone_ids(spark, index_dir)
+    allow_prune = doc_filter is None and not all_negs and tomb is None
     if "num_buckets" in stats:
         from macrobase_spark.index.build import bucket_versions
         from macrobase_spark.index.xxh64 import term_bucket
@@ -746,6 +756,8 @@ def bm25_topk_batch(
                     .join(F.broadcast(nqmap), "term")
                     .select("query_id", "doc_id"))
             scored = scored.join(excl, ["query_id", "doc_id"], "anti")
+        if tomb is not None:
+            scored = scored.join(tomb, "doc_id", "anti")
         if doc_filter is not None:
             # one filtered docs projection serves the whole batch; the
             # semi-join restricts every query's candidates BEFORE ranking
@@ -996,6 +1008,11 @@ def bm25_phrase_topk(
     out = (gathered.withColumn("score", phrase_score("parts"))
            .filter(F.col("score").isNotNull())
            .select("doc_id", "score"))
+    from macrobase_spark.index.build import tombstone_ids
+
+    tomb = tombstone_ids(spark, index_dir)
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "anti")
     if doc_filter is not None:
         out = out.join(docs.filter(F.expr(doc_filter)).select("doc_id"),
                        "doc_id", "semi")

@@ -206,9 +206,14 @@ def _decode_partial(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ids, tfs, dls
 
 
-def _merge_final(avgdl: float):
+def _merge_final(avgdl: float, drop_bc=None):
     """Phase 2: merge a hot term's salted partial blobs (decode → merge-sort
-    → re-encode). Only hot terms reach here — typically tens of groups."""
+    → re-encode). Only hot terms reach here — typically tens of groups.
+
+    drop_bc (a Spark broadcast of a SORTED int64 numpy array of tombstoned
+    doc_ids) additionally purges those docs during the merge — the
+    compaction-time physical delete. A term whose postings all vanish
+    emits no row (the term leaves the dictionary)."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = [_decode_partial(b) for b in pdf["blob"]]
@@ -217,6 +222,21 @@ def _merge_final(avgdl: float):
         dls = np.concatenate([p[2] for p in parts])
         order = np.argsort(ids, kind="stable")
         ids, tfs, dls = ids[order], tfs[order], dls[order]
+        if drop_bc is not None:
+            keep = ~np.isin(ids.astype(np.int64), drop_bc.value,
+                            assume_unique=False)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if len(ids) == 0:
+                return pd.DataFrame({
+                    "term": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype=np.int64),
+                    "cf": pd.Series([], dtype=np.int64),
+                    "fan_in": pd.Series([], dtype=np.int64),
+                    "max_impact": pd.Series([], dtype=np.float64),
+                    "block_max": pd.Series([], dtype=object),
+                    "blob_len": pd.Series([], dtype=np.int64),
+                    "blob": pd.Series([], dtype=object),
+                })
         from macrobase_spark.index.codec import varint_encode
 
         blob = delta_varint_encode(ids, tfs) + varint_encode(dls)
@@ -294,16 +314,41 @@ def _encode_pos_runs(hot_terms: set[str]):
     return fn
 
 
-def _merge_pos_final():
+def _merge_pos_final(drop_bc=None):
     """Phase 2 of the positional layer: merge one hot term's salted
-    positional partials into a single doc-sorted blob."""
-    from macrobase_spark.index.codec import merge_positional_blobs
+    positional partials into a single doc-sorted blob. drop_bc purges
+    tombstoned docs during the merge (see _merge_final)."""
+    from macrobase_spark.index.codec import (decode_positional,
+                                             encode_positional,
+                                             merge_positional_blobs)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         blob = merge_positional_blobs(list(pdf["blob"]))
+        df_count = int(pdf["df"].sum())
+        if drop_bc is not None:
+            ids, tfs, dls, flat = decode_positional(blob)
+            keep = ~np.isin(ids.astype(np.int64), drop_bc.value)
+            if not keep.all():
+                starts = np.concatenate(
+                    ([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+                kept_idx = np.flatnonzero(keep)
+                segs = [flat[starts[i]:starts[i] + int(tfs[i])]
+                        for i in kept_idx]
+                flat = (np.concatenate(segs) if segs
+                        else np.empty(0, dtype=np.uint64))
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if len(ids) == 0:
+                    return pd.DataFrame({
+                        "term": pd.Series([], dtype=object),
+                        "df": pd.Series([], dtype=np.int64),
+                        "blob_len": pd.Series([], dtype=np.int64),
+                        "blob": pd.Series([], dtype=object),
+                    })
+                blob = encode_positional(ids, tfs, dls, flat)
+            df_count = len(ids)
         return pd.DataFrame({
             "term": [pdf["term"].iloc[0]],
-            "df": [int(pdf["df"].sum())],
+            "df": [int(df_count)],
             "blob_len": [len(blob)],
             "blob": [blob],
         })
@@ -784,6 +829,66 @@ def rollback_index_snapshot(out_dir: str, snap: dict) -> None:
 
 
 _UPDATE_INFLIGHT = "_update_inflight.json"
+_TOMBSTONES = "tombstones"
+
+
+def has_tombstones(out_dir: str) -> bool:
+    """True iff the index carries pending (un-purged) tombstones. Driver-
+    side directory probe — consulted by every query to decide whether the
+    tombstone anti-join and the pruning gate apply."""
+    p = os.path.join(out_dir, _TOMBSTONES)
+    return os.path.isdir(p) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(p))
+
+
+def tombstone_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The pending tombstoned doc_ids as a DataFrame (may contain
+    duplicates — fine for anti-join consumers), or None if none pending."""
+    if not has_tombstones(out_dir):
+        return None
+    return spark.read.parquet(
+        os.path.join(out_dir, _TOMBSTONES)).select("doc_id")
+
+
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> dict:
+    """Tombstone-delete documents from a persisted index — the deferred
+    (Lucene-style) delete completing the LSM lifecycle:
+
+    - the effect on queries is IMMEDIATE: bm25_topk / bm25_topk_batch /
+      bm25_phrase_topk anti-join pending tombstones out of the result set
+      (block pruning is disabled while tombstones are pending, exactness
+      over speed — a delete can promote docs from pruned blocks);
+    - corpus statistics (n_docs, avgdl, per-term df/idf) keep counting
+      tombstoned docs until `compact_index` physically purges them —
+      Lucene's documented docFreq-includes-deleted semantics;
+    - `compact_index` performs the physical purge: every bucket's blobs
+      are rewritten without the tombstoned postings, the docs table is
+      filtered, global stats recompute, and the tombstones clear;
+    - deletes are idempotent set semantics; deleting an id absent from
+      the corpus is a harmless no-op;
+    - re-ingesting a tombstoned id via update_index is REFUSED until a
+      compaction has purged it (the old postings would resurrect).
+
+    `doc_ids` is a list of ints or a single-column DataFrame. The write
+    is a parquet append into `<out_dir>/tombstones/` (committed via
+    Spark's atomic job commit), serialized against concurrent in-process
+    mutations like every other index mutation."""
+    restore_compact_backup(out_dir)
+    recover_update_inflight(out_dir)
+    _key = _mutation_begin(out_dir)
+    try:
+        if isinstance(doc_ids, DataFrame):
+            df = doc_ids.select(
+                F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+        else:
+            df = spark.createDataFrame([(int(i),) for i in doc_ids],
+                                       "doc_id long")
+        n = df.count()
+        df.write.mode("append").parquet(os.path.join(out_dir, _TOMBSTONES))
+        invalidate_index_cache(out_dir)
+        return {"tombstoned": n}
+    finally:
+        _mutation_end(_key)
 
 
 def recover_update_inflight(out_dir: str) -> bool:
@@ -864,6 +969,19 @@ def update_index(
     try:
         with open(os.path.join(out_dir, "stats.json")) as f:
             stats = json.load(f)
+        tomb = tombstone_ids(spark, out_dir)
+        if tomb is not None:
+            # re-ingesting a tombstoned id would be silently suppressed by
+            # the query-time anti-join AND resurrected by the next purge-
+            # compact (which clears the tombstone while the old postings
+            # are merged away but the new delta's stay) — refuse loudly
+            bad = (df_new.select(F.col(doc_id_col).alias("doc_id"))
+                   .join(tomb, "doc_id", "semi").limit(1).count())
+            if bad:
+                raise ValueError(
+                    "update_index: the delta re-ingests tombstoned "
+                    "doc_id(s) — run compact_index to purge pending "
+                    "deletes before re-using deleted ids")
         if journal:
             # update appends docs + postings BEFORE the stats/manifest commit;
             # journal a pre-mutation snapshot so a crash in between cannot
@@ -1074,6 +1192,11 @@ def restore_compact_backup(out_dir: str) -> bool:
         return False  # same pid, compaction live on another THREAD
     postings_root = os.path.join(out_dir, "postings")
     positions_root = os.path.join(out_dir, "positions")
+    # a purge-compaction (pending tombstones) also backs up the docs table
+    # and the tombstones dir — restore them to the index ROOT, and drop a
+    # half-written docs.parquet._new from the crashed rewrite
+    shutil.rmtree(os.path.join(out_dir, "docs.parquet._new"),
+                  ignore_errors=True)
     for entry in os.listdir(backup):
         src = os.path.join(backup, entry)
         if not os.path.isdir(src):
@@ -1084,6 +1207,12 @@ def restore_compact_backup(out_dir: str) -> bool:
                 if os.path.isdir(pdest):
                     shutil.rmtree(pdest)
                 shutil.move(os.path.join(src, pentry), pdest)
+            continue
+        if entry in ("docs.parquet", _TOMBSTONES):
+            dest = os.path.join(out_dir, entry)
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            shutil.move(src, dest)
             continue
         dest = os.path.join(postings_root, entry)
         if os.path.isdir(dest):
@@ -1132,10 +1261,21 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         version = stats.get("version", 1)
         avgdl = stats["avgdl"]
         stale = [b for b, v in bucket_versions(out_dir).items() if v != version]
+        postings_root = os.path.join(out_dir, "postings")
+        docs_path = os.path.join(out_dir, "docs.parquet")
+        tomb = tombstone_ids(spark, out_dir)
+        purge = tomb is not None
+        if purge:
+            # pending deletes: a tombstoned doc can appear in ANY bucket's
+            # postings, so the physical purge rewrites every bucket (full
+            # LSM major compaction), not just the version-stale ones
+            existing = [int(d.split("=")[1])
+                        for d in (_list_dir(postings_root) or [])
+                        if d.startswith("bucket=")]
+            stale = sorted(set(stale) | set(existing))
         if not stale:
             return {"version": version, "compacted_buckets": []}
 
-        postings_root = os.path.join(out_dir, "postings")
         backup = _compact_backup_dir(out_dir)
         shutil.rmtree(backup, ignore_errors=True)
         os.makedirs(backup)
@@ -1146,6 +1286,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
                 "manifest_len": (os.path.getsize(manifest_path_)
                                  if os.path.exists(manifest_path_) else 0),
                 "pid": os.getpid(),
+                "purge": purge,
             }, f)
         positions_root = os.path.join(out_dir, "positions")
         has_positions = bool(stats.get("has_positions"))
@@ -1158,22 +1299,65 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
                 if os.path.isdir(psrc):
                     shutil.copytree(psrc, os.path.join(
                         backup, "positions", f"bucket={b}"))
+        if purge:
+            # the purge rewrites the docs table and clears the tombstones,
+            # so both join the crash-safety backup (restore reinstates the
+            # pre-compaction view; bounded by the docs table size — a
+            # purge-compaction is a full rewrite by nature)
+            shutil.copytree(docs_path, os.path.join(backup, "docs.parquet"))
+            shutil.copytree(os.path.join(out_dir, _TOMBSTONES),
+                            os.path.join(backup, _TOMBSTONES))
         with open(os.path.join(backup, "_complete"), "w") as f:
             f.write("1")
+
+        drop_bc = None
+        avgdl_enc = avgdl
+        if purge:
+            # post-purge global stats drive the re-encoded block-max
+            # metadata, so they are computed BEFORE the merge
+            kept_docs = spark.read.parquet(docs_path).join(
+                tomb, "doc_id", "anti")
+            drop_ids = np.unique(np.asarray(
+                [r["doc_id"] for r in tomb.distinct().collect()],
+                dtype=np.int64))
+            drop_bc = spark.sparkContext.broadcast(drop_ids)
+            row = kept_docs.agg(
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("sum_dl")).collect()[0]
+            n_docs_new = int(row["n"])
+            sum_dl_new = int(row["sum_dl"] or 0)
+            avgdl_enc = sum_dl_new / max(1, n_docs_new)
         merged = (
             spark.read.parquet(postings_root)
             .filter(F.col("bucket").isin(stale))
             .drop("bucket")
             .groupBy("term")
-            .applyInPandas(_merge_final(avgdl), schema=_POSTINGS_SCHEMA)
+            .applyInPandas(_merge_final(avgdl_enc, drop_bc),
+                           schema=_POSTINGS_SCHEMA)
             .withColumn("bucket", F.pmod(F.xxhash64("term"),
                                          F.lit(stats["num_buckets"])).cast("int"))
             .repartition("bucket")
             .sortWithinPartitions("term")
         )
+        written_buckets = None
+        if purge:
+            # dynamic partition overwrite only replaces buckets PRESENT in
+            # the output — a bucket whose every term was tombstoned away
+            # would survive with stale data. Persist the merge, record the
+            # written buckets, and remove the silently-skipped dirs after.
+            from pyspark import StorageLevel
+
+            merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+            written_buckets = {r["bucket"] for r in
+                               merged.select("bucket").distinct().collect()}
         merged.write.mode("overwrite").partitionBy("bucket").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(postings_root)
+        if written_buckets is not None:
+            for b in set(stale) - written_buckets:
+                shutil.rmtree(os.path.join(postings_root, f"bucket={b}"),
+                              ignore_errors=True)
+            merged.unpersist()
         if has_positions:
             # positional segments of the same stale buckets merge back to
             # one doc-sorted blob per term (blob-level fan-in, one reducer
@@ -1183,26 +1367,52 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
                 .filter(F.col("bucket").isin(stale))
                 .drop("bucket")
                 .groupBy("term")
-                .applyInPandas(_merge_pos_final(), schema=_POS_SCHEMA)
+                .applyInPandas(_merge_pos_final(drop_bc), schema=_POS_SCHEMA)
                 .withColumn("bucket", F.pmod(
                     F.xxhash64("term"),
                     F.lit(stats["num_buckets"])).cast("int"))
                 .repartition("bucket")
                 .sortWithinPartitions("term")
             )
+            pos_written = None
+            if purge:
+                from pyspark import StorageLevel
+
+                pos_merged = pos_merged.persist(StorageLevel.MEMORY_AND_DISK)
+                pos_written = {r["bucket"] for r in
+                               pos_merged.select("bucket").distinct().collect()}
             pos_merged.write.mode("overwrite").partitionBy("bucket").option(
                 "partitionOverwriteMode", "dynamic"
             ).parquet(positions_root)
+            if pos_written is not None:
+                for b in set(stale) - pos_written:
+                    shutil.rmtree(os.path.join(positions_root, f"bucket={b}"),
+                                  ignore_errors=True)
+                pos_merged.unpersist()
+        if purge:
+            # docs table rewrite: read old → write new dir → swap (never
+            # overwrite the path being read); the backup covers every
+            # crash window until the final backup removal
+            new_docs = docs_path + "._new"
+            shutil.rmtree(new_docs, ignore_errors=True)
+            kept_docs.write.mode("overwrite").parquet(new_docs)
+            shutil.rmtree(docs_path)
+            os.rename(new_docs, docs_path)
+            stats["n_docs"] = n_docs_new
+            stats["sum_dl"] = sum_dl_new
+            stats["avgdl"] = avgdl_enc
+            shutil.rmtree(os.path.join(out_dir, _TOMBSTONES))
         stats["segmented_buckets"] = sorted(
             set(stats.get("segmented_buckets", [])) - set(stale))
         # compaction is the background maintenance pass — also refresh the
         # robust length-normalization stats that incremental updates let drift
         ll = "log1p(cast(doc_len as double))"
-        qs = spark.read.parquet(os.path.join(out_dir, "docs.parquet")).agg(
-            F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))")
-        ).collect()[0][0]
-        stats["len_med"] = float(qs[1])
-        stats["len_mad"] = (float(qs[2]) - float(qs[0])) / 2.0 or 1e-9
+        if stats["n_docs"] > 0:
+            qs = spark.read.parquet(os.path.join(out_dir, "docs.parquet")).agg(
+                F.expr(f"percentile_approx({ll}, array(0.25, 0.5, 0.75))")
+            ).collect()[0][0]
+            stats["len_med"] = float(qs[1])
+            stats["len_mad"] = (float(qs[2]) - float(qs[0])) / 2.0 or 1e-9
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
         with open(os.path.join(out_dir, "manifest.jsonl"), "a") as f:
@@ -1264,7 +1474,15 @@ def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame,
         return _INDEX_CACHE[key]
     with open(stats_path) as f:
         stats = json.load(f)
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    postings_root = os.path.join(out_dir, "postings")
+    if any(d.startswith("bucket=") for d in (_list_dir(postings_root) or [])):
+        postings = spark.read.parquet(postings_root)
+    else:
+        # fully-purged index (every doc deleted and compacted away): no
+        # parquet footers to infer from — serve an empty relation with the
+        # canonical schema so queries return empty instead of crashing
+        postings = spark.createDataFrame(
+            [], _POSTINGS_SCHEMA + ", bucket int")
     docs = spark.read.parquet(os.path.join(out_dir, "docs.parquet"))
     # evict superseded entries for the same (app, path): cross-process
     # updates bump the mtime key every epoch and would otherwise grow the

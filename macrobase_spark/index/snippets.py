@@ -139,9 +139,12 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     and the bucket's version vs the index version (stale ⇒ block-max
     pruning disabled there until compact_index). Column-pruned scan — the
     blob column contributes only its length, computed storage-side."""
-    from macrobase_spark.index.build import bucket_versions, read_index
+    from macrobase_spark.index.build import (bucket_versions, read_index,
+                                             tombstone_ids)
 
     postings, _, stats = read_index(spark, index_dir)
+    tomb = tombstone_ids(spark, index_dir)
+    n_tomb = int(tomb.distinct().count()) if tomb is not None else 0
     per_bucket = (postings
                   .groupBy("bucket")
                   .agg(F.countDistinct("term").alias("n_terms"),
@@ -158,6 +161,8 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
                         F.coalesce("bucket_version", F.lit(1)))
             .withColumn("index_version", F.lit(sv))
             .withColumn("segmented", F.col("n_rows") > F.col("n_terms"))
+            .withColumn("pending_tombstones", F.lit(n_tomb))
             .withColumn("prunable",
-                        F.col("bucket_version") == F.col("index_version"))
+                        (F.col("bucket_version") == F.col("index_version"))
+                        & F.lit(n_tomb == 0))
             .orderBy("bucket"))

@@ -709,6 +709,28 @@ boostq AS (
   FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
   WHERE tf.term IN ('merge', 'scan')
   GROUP BY tf.doc_id
+),
+-- r5 tombstone-delete leg: docs with doc_id % 7 = 2 are deleted and the
+-- index purge-compacted, so corpus stats (n_docs, avgdl, df) recompute
+-- over the REDUCED corpus — a fully self-contained CTE chain
+toksd AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents
+          WHERE doc_id % 7 <> 2),
+dld AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toksd
+        GROUP BY doc_id),
+constsd AS (SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 2)
+                   AS n_docs,
+                   (SELECT AVG(dl) FROM dld) AS avgdl),
+tfd AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toksd
+        WHERE term IN ('merge', 'scan', 'row') GROUP BY doc_id, term),
+dfsd AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         FROM tfd GROUP BY term),
+delq AS (
+  SELECT tfd.doc_id,
+         SUM(ln(1.0 + (constsd.n_docs - dfsd.df + 0.5) / (dfsd.df + 0.5))
+             * (tfd.tf * 2.2)
+             / (tfd.tf + 1.2 * (1.0 - 0.75 + 0.75 * dld.dl / constsd.avgdl))) AS s
+  FROM tfd JOIN dfsd USING (term) JOIN dld USING (doc_id), constsd
+  GROUP BY tfd.doc_id
 )
 SELECT part, doc_id, score FROM (
   SELECT 'topk' AS part, doc_id, ROUND(s, 6) AS score FROM scored
@@ -733,6 +755,10 @@ SELECT part, doc_id, score FROM (
 SELECT part, doc_id, score FROM (
   SELECT 'boost:merge^2 scan' AS part, doc_id, ROUND(s, 6) AS score
   FROM boostq ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'del:merge scan row' AS part, doc_id, ROUND(s, 6) AS score
+  FROM delq ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'phrase:merge scan' AS part, doc_id, ROUND(s, 6) AS score FROM ph1
