@@ -158,3 +158,62 @@ def test_ann_bucketed_paths_join_per_query(spark):
                      q_id_col="q_id", q_vec_col="q_vec")
     p2 = _plan(ivf, mode="simple")
     assert "CartesianProduct" not in p2 and "NestedLoop" not in p2
+
+
+def test_bm25_doc_filter_pushes_down_and_semijoins(spark, tmp_path):
+    """doc_filter='role = ...': the predicate reaches the docs parquet scan
+    (PushedFilters) and the restriction is a semi-join BEFORE the top-k
+    sort — never a post-limit filter."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_f")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    p = _plan(bm25_topk(spark, out, "the call", k=5,
+                        doc_filter="role = 'assistant'"))
+    assert "LeftSemi" in p
+    pushed = [ln for ln in p.split("\n") if "PushedFilters:" in ln]
+    assert any("role" in ln for ln in pushed), pushed
+    # the semi-join sits below the global TakeOrdered/Sort+Limit
+    assert p.index("LeftSemi") > p.index("TakeOrderedAndProject") or \
+        "Sort" in p  # formatted plans list operators top-down (sink first)
+
+
+def test_bm25_prefix_expansion_scan_reads_term_only(spark, tmp_path):
+    """The wildcard dictionary scan is column-pruned to the tiny term
+    column — posting blobs are never read to expand a prefix."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index, read_index
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_p")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    postings, _, _ = read_index(spark, out)
+    expansion = (postings.filter(F.col("term").startswith("tok00"))
+                 .select("term").distinct())
+    p = _plan(expansion)
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "term" in read_schema
+    assert "blob" not in read_schema and "block_max" not in read_schema
+    # the prefix predicate reaches the scan
+    assert "StartsWith" in p or "PushedFilters: [IsNotNull(term)" in p
+
+
+def test_bm25_no_tombstone_join_when_none_pending(spark, tmp_path):
+    """An index without tombstones plans NO anti-join — the delete path
+    costs nothing until a delete happens; with pending tombstones the
+    anti-join appears."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index, delete_docs
+    from macrobase_spark.index.bm25 import bm25_topk
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_t")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    p0 = _plan(bm25_topk(spark, out, "the call", k=5))
+    assert "LeftAnti" not in p0
+    delete_docs(spark, out, [0])
+    p1 = _plan(bm25_topk(spark, out, "the call", k=5))
+    assert "LeftAnti" in p1
