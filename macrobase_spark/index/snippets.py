@@ -87,14 +87,26 @@ def highlight_topk(
     """BM25 top-k with rendered snippets: (doc_id, score, snippet,
     n_matched), ranked exactly like bm25_topk (all of its options —
     doc_filter, mode, anomaly modifiers, prefix wildcards — pass through
-    via **topk_kwargs).
+    via **topk_kwargs). A double-quoted query ('"exact phrase"') routes
+    to bm25_phrase_topk (slop= and doc_filter= pass through) and
+    highlights the phrase's terms.
 
     `source_df` is the corpus the index was built from (the index stores
     postings and doc metadata, not text). The k hit ids are collected
     (bounded by k) and pushed down as an IN-filter on the source scan —
     at 100 TB this reads only the row groups containing the k docs."""
-    hits = bm25_topk(spark, index_dir, query, k=k, **topk_kwargs).collect()
-    terms, prefixes = _tokenize_query_wild(query)
+    phrase = (len(query) >= 2 and query.startswith('"')
+              and query.endswith('"'))
+    if phrase:
+        from macrobase_spark.index.bm25 import bm25_phrase_topk
+
+        hits = bm25_phrase_topk(spark, index_dir, query[1:-1], k=k,
+                                **topk_kwargs).collect()
+        terms, prefixes = _tokenize_query_wild(query[1:-1])
+    else:
+        hits = bm25_topk(spark, index_dir, query, k=k,
+                         **topk_kwargs).collect()
+        terms, prefixes = _tokenize_query_wild(query)
     tset, plist = set(terms), sorted(prefixes)
     out_schema = ("doc_id long, score double, snippet string, "
                   "n_matched int")

@@ -147,11 +147,12 @@ _SEARCH_RE = re.compile(
     r"(?:,\s*(?P<k>\d+)\s*)?"
     r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*[0-9.eE+-]+"
     r"|MATCH\s*=\s*(?:ALL|ANY)"
+    r"|SNIPPET\s*=\s*\w+"
     r"|FILTER\s*=\s*'(?:[^']|'')*')\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
-    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER)\s*=\s*"
-    r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY)",
+    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER|SNIPPET)\s*=\s*"
+    r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY|\w+)",
     re.IGNORECASE)
 
 
@@ -297,6 +298,11 @@ class MacroBaseSQL:
         tokens ending in * are prefix wildcards expanded against the
         term dictionary (bm25_topk semantics).
 
+        SNIPPET=<view> renders the hits page: the relation becomes
+        (doc_id, score, snippet, n_matched) via highlight_topk, reading
+        document text from the named temp view (which must carry doc_id
+        and text columns). Works for bag-of-words AND phrase queries.
+
         A double-quoted query routes to the positional phrase engine:
         SEARCH(idx, '"exact phrase"'[, k][, SLOP=w]) runs
         bm25_phrase_topk — ordered-proximity match over the index's
@@ -314,7 +320,7 @@ class MacroBaseSQL:
             k = int(m.group("k") or 10)
             q = m.group("q")
             anomaly_max, anomaly_weight, slop, match = None, 0.0, None, None
-            doc_filter = None
+            doc_filter, snippet_view = None, None
             for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
                 key = om.group("key").upper()
                 if key == "ANOMALY_MAX":
@@ -327,6 +333,8 @@ class MacroBaseSQL:
                     # standard SQL string escaping: '' inside the quoted
                     # value is a literal single quote
                     doc_filter = om.group("val")[1:-1].replace("''", "'")
+                elif key == "SNIPPET":
+                    snippet_view = om.group("val")
                 else:
                     slop = int(float(om.group("val")))
             phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
@@ -342,6 +350,15 @@ class MacroBaseSQL:
                     raise ValueError(
                         "SEARCH: MATCH does not apply to phrase queries — "
                         "a phrase already requires every term (in order)")
+                if snippet_view is not None:
+                    from macrobase_spark.index.snippets import highlight_topk
+
+                    highlight_topk(
+                        self.spark, self._indexes[name],
+                        self.spark.table(snippet_view), q, k=k,
+                        slop=slop or 0,
+                        doc_filter=doc_filter).createOrReplaceTempView(view)
+                    return view
                 from macrobase_spark.index.bm25 import bm25_phrase_topk
 
                 bm25_phrase_topk(
@@ -354,6 +371,16 @@ class MacroBaseSQL:
                     "SEARCH: SLOP applies only to phrase queries — wrap "
                     "the query in double quotes: "
                     "SEARCH(idx, '\"a b\"', k, SLOP=1)")
+            if snippet_view is not None:
+                from macrobase_spark.index.snippets import highlight_topk
+
+                highlight_topk(
+                    self.spark, self._indexes[name],
+                    self.spark.table(snippet_view), q, k=k,
+                    anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
+                    mode="and" if match == "ALL" else "or",
+                    doc_filter=doc_filter).createOrReplaceTempView(view)
+                return view
             from macrobase_spark.index.bm25 import bm25_topk
 
             bm25_topk(self.spark, self._indexes[name], q, k=k,

@@ -446,3 +446,37 @@ def test_search_filter_and_wildcard_options(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in got] == \
            [(r["doc_id"], r["score"]) for r in want]
     assert got, "phrase+filter leg must be non-empty"
+
+
+def test_search_snippet_option(spark, tmp_path):
+    """SEARCH(..., SNIPPET=view): the relation becomes the hits page
+    (doc_id, score, snippet, n_matched) rendered from the named view —
+    for both bag-of-words and phrase queries."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.snippets import highlight_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "sqlsnip_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5, positions=True)
+    t.select("doc_id", "text").createOrReplaceTempView("corpus_v")
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'rare7 the', 5, SNIPPET=corpus_v) s;"
+    ).collect()
+    want = highlight_topk(spark, idx, t, "rare7 the", k=5).collect()
+    assert [(r["doc_id"], r["score"], r["snippet"]) for r in got] == \
+           [(r["doc_id"], r["score"], r["snippet"]) for r in want]
+    assert all("**" in r["snippet"] for r in got)
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, '\"tok0000 tok0000\"', 5, "
+        "SNIPPET=corpus_v) s;").collect()
+    want = highlight_topk(spark, idx, t, '"tok0000 tok0000"', k=5).collect()
+    assert [(r["doc_id"], r["score"], r["snippet"]) for r in got] == \
+           [(r["doc_id"], r["score"], r["snippet"]) for r in want]
+    assert got

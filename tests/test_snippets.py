@@ -98,3 +98,28 @@ def test_index_stats_fresh_update_compact(spark, tmp_path):
     compact_index(spark, out)
     st3 = index_stats(spark, out).collect()
     assert all(not r["segmented"] and r["prunable"] for r in st3)
+
+
+def test_highlight_phrase_route(spark, snip_index):
+    """A double-quoted query routes highlight_topk through the positional
+    phrase engine — but this index has no positional layer, so it must
+    raise the same loud error as bm25_phrase_topk."""
+    t, out = snip_index
+    with pytest.raises(ValueError, match="no positional layer"):
+        highlight_topk(spark, out, t, '"the call"', k=5).collect()
+
+
+def test_highlight_phrase_rank_identity(spark, tmp_path):
+    from macrobase_spark.index.bm25 import bm25_phrase_topk
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    out = str(tmp_path / "ph_idx")
+    build_index(t, out, num_buckets=4, hot_df_threshold=10 ** 9,
+                positions=True)
+    got = highlight_topk(spark, out, t, '"tok0000 tok0000"', k=6).collect()
+    want = bm25_phrase_topk(spark, out, "tok0000 tok0000", k=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got and all("**tok0000**" in r["snippet"] for r in got)
