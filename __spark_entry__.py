@@ -772,6 +772,38 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge^2 scan", k=10).select(
             F.lit("boost:merge^2 scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5b: search-after pagination — page 2 (after=last row of page 1)
+    # must equal rows 11-20 of the one-shot ranking (OFFSET in the oracle)
+    page1 = bm25_topk(spark, cache, "merge scan row", k=10).collect()
+    legs.append(
+        bm25_topk(spark, cache, "merge scan row", k=10,
+                  after=page1[-1]).select(
+            F.lit("page2:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
+    # r5b: metadata sort — matching docs ranked by turn_idx desc
+    # (turn_idx == doc_id here, so the oracle orders by doc_id DESC)
+    legs.append(
+        bm25_topk(spark, cache, "merge scan row", k=10,
+                  sort_by="turn_idx desc").select(
+            F.lit("sort:turn_idx desc").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
+    # r5b: facet counts over ALL matching docs, encoded as
+    # (part='facet:<col>=<value>', doc_id=count, score=0.0)
+    from macrobase_spark.index.bm25 import bm25_explain, bm25_facets
+
+    legs.append(
+        bm25_facets(spark, cache, "merge scan row", ["role"]).select(
+            F.concat(F.lit("facet:"), "facet", F.lit("="), "value")
+            .alias("part"),
+            F.col("doc_count").alias("doc_id"),
+            F.lit(0.0).alias("score")))
+    # r5b: scoring explain — per-term BM25 contributions of the ranking's
+    # top doc (part='explain:<term>', score=contrib)
+    legs.append(
+        bm25_explain(spark, cache, "merge scan row",
+                     doc_ids=[page1[0]["doc_id"]]).select(
+            F.concat(F.lit("explain:"), "term").alias("part"),
+            "doc_id", F.round("contrib", 6).alias("score")))
     # r5: tombstone-delete leg on its OWN index (deletes mutate state):
     # build → delete_docs(doc_id % 7 == 2) → compact_index purge → query.
     # Post-purge stats recompute, so the oracle is the same relational

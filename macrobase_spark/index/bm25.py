@@ -125,13 +125,85 @@ def _expand_prefixes(postings: DataFrame, prefixes: list[str],
     return sorted(r["term"] for r in rows)
 
 
-def _neg_doc_ids(postings: DataFrame, nterms: list[str],
-                 with_term: bool = False) -> DataFrame:
-    """doc_ids containing ANY of the excluded terms — decoded ids only
-    (no scoring), for the MUST_NOT anti-join. Bucket pruning was already
-    applied by the caller; duplicates are fine (anti-join semantics).
-    with_term=True keeps the term column so a batch can route each
-    exclusion to its own query."""
+# field-scoped query sugar: `role:assistant merge scan` restricts the
+# rankable docs to role='assistant' — Lucene field-query syntax mapped onto
+# the docs-table metadata predicate (doc_filter). Recognized fields are the
+# string metadata columns the index persists; values are a conservative
+# charset (no quotes), so inlining into the SQL predicate is injection-safe.
+_SCOPE_FIELDS = ("conv_id", "role", "tool")
+_FIELD_SCOPE_RE = _re.compile(
+    r"(?:^|(?<=\s))(" + "|".join(_SCOPE_FIELDS) + r"):([A-Za-z0-9_.\-]+)")
+
+
+def _split_field_scopes(q: str) -> tuple[str, str | None]:
+    """Strip `field:value` tokens from the query and render them as a SQL
+    predicate over the docs metadata: same-field values OR together
+    (role:user role:tool = either), distinct fields AND (Lucene's implicit
+    per-field disjunction under a conjunctive filter)."""
+    scopes: dict[str, set[str]] = {}
+
+    def _take(m: "_re.Match[str]") -> str:
+        scopes.setdefault(m.group(1).lower(), set()).add(m.group(2))
+        return ""
+
+    stripped = _FIELD_SCOPE_RE.sub(_take, q)
+    if not scopes:
+        return q, None
+    preds = []
+    for f in sorted(scopes):
+        vs = sorted(scopes[f])
+        preds.append(f"{f} = '{vs[0]}'" if len(vs) == 1 else
+                     f"{f} IN (" + ", ".join(f"'{v}'" for v in vs) + ")")
+    return stripped, " AND ".join(preds)
+
+
+def _merge_doc_filter(doc_filter: str | None, scope: str | None) -> str | None:
+    if scope is None:
+        return doc_filter
+    return scope if doc_filter is None else f"({doc_filter}) AND ({scope})"
+
+
+def _sort_columns(sort_by: str):
+    """Parse a 'col [asc|desc][, col [asc|desc]]*' spec into Spark sort
+    columns (metadata column names only — not expressions; determinism
+    comes from the doc_id tiebreak the caller appends)."""
+    cols = []
+    names = []
+    for part in sort_by.split(","):
+        toks = part.strip().split()
+        if not toks or len(toks) > 2 or not toks[0].isidentifier():
+            raise ValueError(
+                f"sort_by: expected 'column [asc|desc]' items, got "
+                f"{part.strip()!r}")
+        direction = toks[1].lower() if len(toks) == 2 else "asc"
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort_by: direction must be asc|desc, got "
+                             f"{toks[1]!r}")
+        c = F.col(toks[0])
+        cols.append(c.desc() if direction == "desc" else c.asc())
+        names.append(toks[0])
+    return cols, names
+
+
+def _after_cursor(after) -> tuple[float, int]:
+    """Normalize a search-after cursor: a previous-page Row (or mapping)
+    with doc_id/score fields, or an explicit (score, doc_id) tuple."""
+    try:
+        return float(after["score"]), int(after["doc_id"])
+    except (TypeError, IndexError, KeyError):
+        pass
+    s0, d0 = after
+    return float(s0), int(d0)
+
+
+def _term_doc_ids(postings: DataFrame, terms: list[str],
+                  with_term: bool = False) -> DataFrame:
+    """doc_ids containing ANY of `terms` — decoded ids only (no scoring).
+    Serves the MUST_NOT anti-join and the facet/match-membership paths.
+    Bucket pruning was already applied by the caller; duplicates are fine
+    for anti-join semantics (facets de-dup downstream). with_term=True
+    keeps the term column so a batch can route each exclusion to its own
+    query (and so conjunctive matching can count distinct terms)."""
 
     def ids_only(batches):
         from macrobase_spark.index.build import _decode_partial
@@ -145,7 +217,7 @@ def _neg_doc_ids(postings: DataFrame, nterms: list[str],
                 yield pd.DataFrame(out)
 
     schema = ("doc_id long, term string" if with_term else "doc_id long")
-    return (postings.filter(F.col("term").isin(nterms))
+    return (postings.filter(F.col("term").isin(terms))
             .select("term", "blob").mapInPandas(ids_only, schema=schema))
 
 
@@ -246,6 +318,8 @@ def bm25_topk(
     mode: str = "or",
     doc_filter: str | None = None,
     max_expansions: int = 128,
+    after: tuple[float, int] | None = None,
+    sort_by: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for the query. Optional anomaly modifier:
     filter docs with anomaly > anomaly_max, and/or down-weight the score by
@@ -303,9 +377,40 @@ def bm25_topk(
     block's bound above θ), so every candidate that can reach the top-k is
     fully scored and every pruned doc is provably below the kth. Costs two
     extra small jobs (metadata + rarest-term pass) — the cluster-scale path
-    for hot multi-term queries; off by default for local latency."""
+    for hot multi-term queries; off by default for local latency.
+
+    ``role:assistant`` / ``tool:grep`` / ``conv_id:c17`` tokens in the
+    query are field scopes (Lucene field-query sugar): stripped from the
+    scored terms and folded into doc_filter (same-field values OR
+    together, distinct fields AND; composes with an explicit doc_filter
+    via AND).
+
+    ``after=`` is search-after pagination (the search_after cursor
+    shape): only docs STRICTLY after the cursor in ranking order
+    (score desc, doc_id asc) are returned — pass the previous page's
+    last Row (or an explicit (score, doc_id) tuple) to fetch the next
+    k. Exact across pages
+    because scores are bitwise-reproducible; page boundaries never
+    duplicate or skip a doc. Pruning policy is unchanged — the kernel's
+    block-max bounds target the UNPAGED top-k, and the cursor cuts
+    strictly deeper than the kth unpaged score can reach only when the
+    caller pages past k, so `after` simply disables pruning (exactness
+    over speed, same policy as the other restriction modifiers). Not
+    combinable with sort_by (the cursor is a score-order position).
+
+    ``sort_by="turn_idx desc"`` ranks the MATCHING docs by docs-table
+    metadata columns instead of relevance (Lucene sort-by-field): every
+    matching doc competes (block pruning is disabled — a low-scoring
+    match can win a metadata sort), ties break by ascending doc_id, and
+    the BM25 score still rides along in the output together with the
+    sort columns."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if after is not None and sort_by is not None:
+        raise ValueError("after= is a score-order cursor — it does not "
+                         "compose with sort_by")
+    query, _scope = _split_field_scopes(query)
+    doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
     terms, prefixes, nterms, nprefixes, qboosts = _parse_query(query)
     explicit_terms = list(terms)
@@ -345,7 +450,8 @@ def bm25_topk(
 
     tomb = tombstone_ids(spark, index_dir)
     allow_prune = (anomaly_max is None and not anomaly_weight
-                   and doc_filter is None and not nterms and tomb is None)
+                   and doc_filter is None and not nterms and tomb is None
+                   and after is None and sort_by is None)
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -449,7 +555,7 @@ def bm25_topk(
     if nterms:
         # MUST_NOT: drop docs containing any excluded term (they never
         # contribute to scores — exclusion is membership, not scoring)
-        scored = scored.join(_neg_doc_ids(postings, nterms),
+        scored = scored.join(_term_doc_ids(postings, nterms),
                              "doc_id", "anti")
     if tomb is not None:
         # pending deletes vanish from results immediately; corpus stats
@@ -472,6 +578,28 @@ def bm25_topk(
                 "score", F.col("score") * (1.0 - anomaly_weight * F.col("anomaly"))
             )
         scored = scored.drop("anomaly")
+    if sort_by is not None:
+        cols, names = _sort_columns(sort_by)
+        missing = [c for c in names
+                   if c not in docs.columns or c == "doc_id"]
+        if missing:
+            raise ValueError(
+                f"sort_by: {missing!r} not sortable docs-metadata "
+                f"columns (have {sorted(set(docs.columns) - {'doc_id'})})")
+        # matching docs ranked by metadata: join the (small, pre-limit)
+        # match set to the docs projection of just the sort columns —
+        # column pruning reaches the docs parquet scan; AQE broadcasts
+        # the smaller side
+        out = scored.join(docs.select("doc_id", *dict.fromkeys(names)),
+                          "doc_id")
+        return out.orderBy(*cols, F.col("doc_id").asc()).limit(k)
+    if after is not None:
+        s0, d0 = _after_cursor(after)
+        # strict ranking-order cursor: (score desc, doc_id asc) position
+        # after (s0, d0) — exact because scores are bitwise-reproducible
+        scored = scored.filter(
+            (F.col("score") < s0)
+            | ((F.col("score") == s0) & (F.col("doc_id") > d0)))
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
@@ -590,6 +718,17 @@ def bm25_topk_batch(
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
+    scoped = [qid for qid, q in queries.items()
+              if _split_field_scopes(q)[1] is not None]
+    if scoped:
+        # a batch runs ONE doc_filter semi-join for every query; a
+        # per-query field scope would need per-query doc restriction —
+        # refuse loudly rather than silently scoring 'role'/'assistant'
+        # as ordinary terms
+        raise ValueError(
+            f"queries {scoped!r} use field scopes (role:/tool:/conv_id:) "
+            "— batch queries share one doc_filter; pass doc_filter= for "
+            "the whole batch or run scoped queries via bm25_topk")
     parsed = {qid: _parse_query(q) for qid, q in queries.items()}
     out_schema = "query_id string, doc_id long, score double, rank int"
     postings, docs, stats = read_index(spark, index_dir)
@@ -752,7 +891,7 @@ def bm25_topk_batch(
             nqmap = spark.createDataFrame(
                 [(qid, t) for qid, ts in q_negs.items() for t in ts],
                 "query_id string, term string")
-            excl = (_neg_doc_ids(postings, all_negs, with_term=True)
+            excl = (_term_doc_ids(postings, all_negs, with_term=True)
                     .join(F.broadcast(nqmap), "term")
                     .select("query_id", "doc_id"))
             scored = scored.join(excl, ["query_id", "doc_id"], "anti")
@@ -864,6 +1003,7 @@ def bm25_phrase_topk(
     candidate_collect_limit: int = 200_000,
     slop: int = 0,
     doc_filter: str | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Exact phrase/proximity top-k over the positional layer
     (build_index(positions=True)): returns (doc_id, score) for documents
@@ -884,7 +1024,9 @@ def bm25_phrase_topk(
 
     doc_filter (SQL expression over docs metadata, see bm25_topk)
     restricts the phrase match to the filtered doc population before
-    top-k selection.
+    top-k selection. after=(score, doc_id) is the same search-after
+    pagination cursor as bm25_topk's (strict ranking-order position;
+    exact across pages).
     """
     import re
 
@@ -1016,6 +1158,11 @@ def bm25_phrase_topk(
     if doc_filter is not None:
         out = out.join(docs.filter(F.expr(doc_filter)).select("doc_id"),
                        "doc_id", "semi")
+    if after is not None:
+        s0, d0 = _after_cursor(after)
+        out = out.filter(
+            (F.col("score") < s0)
+            | ((F.col("score") == s0) & (F.col("doc_id") > d0)))
     return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
 
@@ -1074,3 +1221,217 @@ def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
                 tf + K1 * (1.0 - B + B * dl / avgdl))
         scores[d] = s
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def bm25_facets(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    facets: list[str],
+    mode: str = "or",
+    doc_filter: str | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Facet counts over ALL matching documents (not just the top-k) —
+    the Lucene/Elasticsearch faceting shape: for each facet column (a
+    docs-table metadata column, e.g. role/tool) the number of matching
+    docs per value, plus one ('__total__', '', n_matches) row.
+
+    "Matching" follows the query's retrieval semantics exactly: mode='or'
+    is any positive term (or prefix expansion), mode='and' every term;
+    exclusions (`-term`), field scopes (`role:user`), doc_filter, and
+    pending tombstones all restrict the match set the same way they
+    restrict bm25_topk's rankable population — so the total row equals
+    the number of docs bm25_topk could ever return for this query.
+
+    Plan (the 100 TB shape): ids-only Arrow decode of the query terms'
+    postings (bucket/row-group-pruned; no scores, no positions) →
+    distinct/conjunctive-count per doc → restriction joins → ONE join to
+    the docs metadata projection (facet columns only — column pruning
+    reaches the docs parquet scan) → one tiny groupBy per facet. The
+    posting blobs of non-query terms are never read.
+
+    Returns (facet string, value string, doc_count long), ordered by
+    (facet, doc_count desc, value) with '__total__' first. NULL metadata
+    values count under the '(null)' bucket."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if not facets:
+        raise ValueError("facets: pass at least one docs metadata column")
+    query, _scope = _split_field_scopes(query)
+    doc_filter = _merge_doc_filter(doc_filter, _scope)
+    postings, docs, stats = read_index(spark, index_dir)
+    bad = [c for c in facets if c not in docs.columns or c == "doc_id"]
+    if bad:
+        raise ValueError(
+            f"facets: {bad!r} not docs-metadata columns "
+            f"(have {sorted(set(docs.columns) - {'doc_id'})})")
+    terms, prefixes, nterms, nprefixes, _ = _parse_query(query)
+    if prefixes:
+        if mode == "and":
+            raise ValueError(
+                "prefix wildcards are not supported with mode='and' — "
+                "expand the prefix into explicit terms for conjunctive "
+                "retrieval")
+        terms = sorted(set(terms) |
+                       set(_expand_prefixes(postings, prefixes,
+                                            max_expansions)))
+    if nprefixes:
+        nterms = sorted(set(nterms) |
+                        set(_expand_prefixes(postings, nprefixes,
+                                             max_expansions)))
+    out_schema = "facet string, value string, doc_count long"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    if "num_buckets" in stats:
+        from macrobase_spark.index.xxh64 import term_bucket
+
+        buckets = sorted({term_bucket(t, stats["num_buckets"])
+                          for t in [*terms, *nterms]})
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    if mode == "and":
+        # conjunctive membership: a doc matches iff it carries EVERY query
+        # term — distinct-term count per doc ((term, doc) is unique per
+        # segment, and a doc's posting for a term lives in exactly one
+        # segment, so countDistinct is exact on segmented indexes too)
+        matched = (_term_doc_ids(postings, terms, with_term=True)
+                   .groupBy("doc_id")
+                   .agg(F.countDistinct("term").alias("_nt"))
+                   .filter(F.col("_nt") == len(terms)).select("doc_id"))
+    else:
+        matched = _term_doc_ids(postings, terms).distinct()
+    if nterms:
+        matched = matched.join(_term_doc_ids(postings, nterms),
+                               "doc_id", "anti")
+    from macrobase_spark.index.build import tombstone_ids
+
+    tomb = tombstone_ids(spark, index_dir)
+    if tomb is not None:
+        matched = matched.join(tomb, "doc_id", "anti")
+    if doc_filter is not None:
+        matched = matched.join(
+            docs.filter(F.expr(doc_filter)).select("doc_id"),
+            "doc_id", "semi")
+    fcols = list(dict.fromkeys(facets))
+    meta = matched.join(docs.select("doc_id", *fcols), "doc_id")
+    parts = [matched.agg(F.count("*").alias("doc_count")).select(
+        F.lit("__total__").alias("facet"), F.lit("").alias("value"),
+        "doc_count")]
+    for f in fcols:
+        parts.append(
+            meta.groupBy(
+                F.coalesce(F.col(f).cast("string"), F.lit("(null)"))
+                .alias("value"))
+            .agg(F.count("*").alias("doc_count"))
+            .select(F.lit(f).alias("facet"), "value", "doc_count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("facet", F.col("doc_count").desc(), "value")
+
+
+def bm25_explain(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    doc_ids: list[int] | None = None,
+    max_expansions: int = 128,
+    **topk_kwargs,
+) -> DataFrame:
+    """Per-term scoring breakdown (Lucene Explanation): for each of the
+    query's top-k docs (or an explicit doc_ids list), one row per
+    contributing term with every input to the BM25 formula:
+
+        (doc_id, term, tf, dl, df, idf, boost, contrib)
+
+    where contrib = idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) · boost —
+    summing contrib over a doc's rows reproduces bm25_topk's raw score
+    bit-for-bit when summed in ascending-term order (the engine-wide
+    float convention), which the identity test pins.
+
+    Plan: one bm25_topk pass selects the target docs (skipped when
+    doc_ids is given), then one bucket/row-group-pruned decode of the
+    query terms' postings filtered to the target ids inside the Arrow
+    kernel (the id set is bounded by k — a closure broadcast, never a
+    shuffle). Anomaly/sort modifiers affect WHICH docs are selected via
+    **topk_kwargs, not the raw contributions shown."""
+    query, _scope = _split_field_scopes(query)
+    doc_filter = _merge_doc_filter(
+        topk_kwargs.pop("doc_filter", None), _scope)
+    postings, docs, stats = read_index(spark, index_dir)
+    terms, prefixes, nterms, nprefixes, qboosts = _parse_query(query)
+    explicit_terms = list(terms)
+    if prefixes:
+        terms = sorted(set(terms) |
+                       set(_expand_prefixes(postings, prefixes,
+                                            max_expansions)))
+    boosts: dict[str, float] = {t: qboosts[t] for t in explicit_terms
+                                if t in qboosts}
+    for t in terms:
+        if t in boosts:
+            continue
+        pbs = [qboosts[p] for p in prefixes
+               if p in qboosts and t.startswith(p)]
+        if pbs:
+            boosts[t] = max(pbs)
+    out_schema = ("doc_id long, term string, tf double, dl double, "
+                  "df double, idf double, boost double, contrib double")
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    if doc_ids is None:
+        hits = bm25_topk(spark, index_dir, query, k=k,
+                         doc_filter=doc_filter,
+                         max_expansions=max_expansions,
+                         **topk_kwargs).select("doc_id").collect()
+        doc_ids = [r["doc_id"] for r in hits]
+    if not doc_ids:
+        return spark.createDataFrame([], out_schema)
+    target = np.sort(np.asarray(sorted(set(int(d) for d in doc_ids)),
+                                dtype=np.int64))
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    if "num_buckets" in stats:
+        from macrobase_spark.index.xxh64 import term_bucket
+
+        buckets = sorted({term_bucket(t, stats["num_buckets"])
+                          for t in terms})
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    cand = postings.filter(F.col("term").isin(terms)).select(
+        "term", "df", "blob")
+    # segmented index: a term spans several rows — idf needs the
+    # cross-segment df sum (same policy as bm25_topk)
+    idfs: dict[str, float] | None = None
+    if stats.get("segmented_buckets"):
+        df_rows = cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        idfs = {r["term"]: float(r["df"]) for r in df_rows}
+    bmap = dict(boosts)
+
+    def explain_fn(batches):
+        from macrobase_spark.index.build import _decode_partial
+
+        for pdf in batches:
+            frames = []
+            for term, t_df, blob in zip(pdf["term"], pdf["df"],
+                                        pdf["blob"]):
+                dfv = idfs[term] if idfs is not None else float(t_df)
+                ids, tfs, dls = _decode_partial(blob)
+                keep = np.flatnonzero(
+                    np.isin(ids, target, assume_unique=True))
+                if len(keep) == 0:
+                    continue
+                tf = tfs[keep].astype(np.float64)
+                dl = dls[keep].astype(np.float64)
+                idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+                b = bmap.get(term, 1.0)
+                contrib = (idf * (tf * (K1 + 1.0))
+                           / (tf + K1 * (1.0 - B + B * dl / avgdl))) * b
+                frames.append(pd.DataFrame({
+                    "doc_id": ids[keep].astype(np.int64),
+                    "term": term, "tf": tf, "dl": dl,
+                    "df": dfv, "idf": idf, "boost": b,
+                    "contrib": contrib}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return (cand.mapInPandas(explain_fn, schema=out_schema)
+            .orderBy("doc_id", "term"))

@@ -767,7 +767,38 @@ SELECT part, doc_id, score FROM (
 SELECT part, doc_id, score FROM (
   SELECT 'phrase:table table' AS part, doc_id, ROUND(s, 6) AS score FROM ph2
   ORDER BY s DESC, doc_id ASC LIMIT 10
-)
+) UNION ALL
+-- r5b search-after pagination: page 2 is rows 11-20 of the ranking
+SELECT part, doc_id, score FROM (
+  SELECT 'page2:merge scan row' AS part, doc_id, ROUND(s, 6) AS score
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10 OFFSET 10
+) UNION ALL
+-- r5b metadata sort: matching docs by turn_idx desc (== doc_id desc)
+SELECT part, doc_id, score FROM (
+  SELECT 'sort:turn_idx desc' AS part, doc_id, ROUND(s, 6) AS score
+  FROM scored ORDER BY doc_id DESC LIMIT 10
+) UNION ALL
+-- r5b facet counts over ALL matching docs (role synthesized from
+-- doc_id % 4: 0 user, 1 assistant, 2 system, 3 tool), encoded as
+-- (part='facet:<col>=<value>', doc_id=count, score=0.0)
+SELECT 'facet:__total__=' AS part,
+       (SELECT COUNT(*) FROM scored) AS doc_id, 0.0 AS score
+UNION ALL
+SELECT 'facet:role=' || CASE r WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                               WHEN 2 THEN 'system' ELSE 'tool' END AS part,
+       c AS doc_id, 0.0 AS score
+FROM (SELECT doc_id % 4 AS r, COUNT(*) AS c FROM scored GROUP BY doc_id % 4)
+UNION ALL
+-- r5b scoring explain: per-term contributions of the ranking's top doc
+SELECT 'explain:' || tf.term AS part, tf.doc_id,
+       ROUND(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl)),
+             6) AS score
+FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+WHERE tf.term IN ('merge', 'scan', 'row')
+  AND tf.doc_id = (SELECT doc_id FROM scored
+                   ORDER BY s DESC, doc_id ASC LIMIT 1)
 ORDER BY part, score DESC, doc_id
 """
 

@@ -148,10 +148,11 @@ _SEARCH_RE = re.compile(
     r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*[0-9.eE+-]+"
     r"|MATCH\s*=\s*(?:ALL|ANY)"
     r"|SNIPPET\s*=\s*\w+"
-    r"|FILTER\s*=\s*'(?:[^']|'')*')\s*)*)\)",
+    r"|(?:FILTER|SORT|FACETS)\s*=\s*'(?:[^']|'')*')\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
-    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER|SNIPPET)\s*=\s*"
+    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER|SNIPPET"
+    r"|SORT|FACETS)\s*=\s*"
     r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY|\w+)",
     re.IGNORECASE)
 
@@ -303,6 +304,15 @@ class MacroBaseSQL:
         document text from the named temp view (which must carry doc_id
         and text columns). Works for bag-of-words AND phrase queries.
 
+        SORT='turn_idx desc' ranks the matching docs by docs-table
+        metadata instead of relevance (bm25_topk sort_by); the sort
+        columns ride along in the relation. FACETS='role,tool' turns the
+        relation into facet counts over ALL matching docs — (facet,
+        value, doc_count) with a '__total__' row (bm25_facets; composes
+        with MATCH/FILTER and field scopes, not with SNIPPET/SORT/
+        ANOMALY_* or phrase queries). Field scopes (role:assistant)
+        inside the query string work as in bm25_topk.
+
         A double-quoted query routes to the positional phrase engine:
         SEARCH(idx, '"exact phrase"'[, k][, SLOP=w]) runs
         bm25_phrase_topk — ordered-proximity match over the index's
@@ -320,7 +330,7 @@ class MacroBaseSQL:
             k = int(m.group("k") or 10)
             q = m.group("q")
             anomaly_max, anomaly_weight, slop, match = None, 0.0, None, None
-            doc_filter, snippet_view = None, None
+            doc_filter, snippet_view, sort_spec, facet_spec = (None,) * 4
             for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
                 key = om.group("key").upper()
                 if key == "ANOMALY_MAX":
@@ -329,16 +339,42 @@ class MacroBaseSQL:
                     anomaly_weight = float(om.group("val"))
                 elif key == "MATCH":
                     match = om.group("val").upper()
-                elif key == "FILTER":
+                elif key in ("FILTER", "SORT", "FACETS"):
                     # standard SQL string escaping: '' inside the quoted
                     # value is a literal single quote
-                    doc_filter = om.group("val")[1:-1].replace("''", "'")
+                    val = om.group("val")[1:-1].replace("''", "'")
+                    if key == "FILTER":
+                        doc_filter = val
+                    elif key == "SORT":
+                        sort_spec = val
+                    else:
+                        facet_spec = [c.strip() for c in val.split(",")
+                                      if c.strip()]
                 elif key == "SNIPPET":
                     snippet_view = om.group("val")
                 else:
                     slop = int(float(om.group("val")))
             phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
             view = self._fresh_view("search")
+            if facet_spec is not None:
+                if (phrase or snippet_view is not None
+                        or sort_spec is not None
+                        or anomaly_max is not None or anomaly_weight):
+                    raise ValueError(
+                        "SEARCH: FACETS composes with MATCH/FILTER and "
+                        "field scopes only — not with phrase queries, "
+                        "SNIPPET, SORT, or ANOMALY_* options")
+                from macrobase_spark.index.bm25 import bm25_facets
+
+                bm25_facets(
+                    self.spark, self._indexes[name], q, facet_spec,
+                    mode="and" if match == "ALL" else "or",
+                    doc_filter=doc_filter).createOrReplaceTempView(view)
+                return view
+            if sort_spec is not None and (phrase or snippet_view is not None):
+                raise ValueError(
+                    "SEARCH: SORT applies to plain bag-of-words queries "
+                    "only — not phrase queries or SNIPPET rendering")
             if phrase:
                 if anomaly_max is not None or anomaly_weight:
                     raise ValueError(
@@ -386,7 +422,7 @@ class MacroBaseSQL:
             bm25_topk(self.spark, self._indexes[name], q, k=k,
                       anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
                       mode="and" if match == "ALL" else "or",
-                      doc_filter=doc_filter,
+                      doc_filter=doc_filter, sort_by=sort_spec,
                       ).createOrReplaceTempView(view)
             return view
 

@@ -480,3 +480,54 @@ def test_search_snippet_option(spark, tmp_path):
     assert [(r["doc_id"], r["score"], r["snippet"]) for r in got] == \
            [(r["doc_id"], r["score"], r["snippet"]) for r in want]
     assert got
+
+
+def test_search_sort_facets_and_scopes(spark, tmp_path):
+    """SEARCH SORT='col dir' equals bm25_topk sort_by; FACETS='a,b'
+    yields the bm25_facets relation; field scopes (role:assistant) inside
+    the quoted query work through the SQL surface; invalid combinations
+    fail loudly."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_facets, bm25_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    idx = str(tmp_path / "sqlsort_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=100,
+                hot_sample_frac=0.5)
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'tok0042 tok0007', 6, "
+        "SORT='turn_idx desc') s;").collect()
+    want = bm25_topk(spark, idx, "tok0042 tok0007", k=6,
+                     sort_by="turn_idx desc").collect()
+    assert [(r["doc_id"], r["turn_idx"]) for r in got] == \
+           [(r["doc_id"], r["turn_idx"]) for r in want]
+    assert got
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'tok0042 the', 10, MATCH=ALL, "
+        "FACETS='role,tool') s;").collect()
+    want = bm25_facets(spark, idx, "tok0042 the", ["role", "tool"],
+                       mode="and").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert ("__total__", "", want[0]["doc_count"]) in [tuple(r) for r in got]
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'role:assistant tok0042 the', 5) s;"
+    ).collect()
+    want = bm25_topk(spark, idx, "tok0042 the", k=5,
+                     doc_filter="role = 'assistant'").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got
+
+    with pytest.raises(ValueError, match="FACETS composes"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'the', 5, FACETS='role', "
+                   "SORT='turn_idx desc') s;")
+    with pytest.raises(ValueError, match="SORT applies"):
+        mb.execute("SELECT * FROM SEARCH(tr, '\"the the\"', 5, "
+                   "SORT='turn_idx desc') s;")

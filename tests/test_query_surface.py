@@ -1,0 +1,253 @@
+"""Serving-surface features over the inverted index: search-after
+pagination, field-scoped query sugar (role:/tool:/conv_id:), metadata
+sort (sort_by), faceted match counts, and the per-term scoring explain —
+each checked against a pure-Python recomputation over the same corpus
+(the rank-identity discipline of test_index_bm25).
+
+Reference capability context: the reference engine's SQL surface exposes
+ordering/limits over any relation (sql/.../QueryEngine.java evalQuery);
+faceting/explain are the Lucene-class operations a fulltext engine owes
+its users on top of that.
+"""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+from macrobase_spark.index.build import build_index
+from macrobase_spark.index.bm25 import (TOKEN_PATTERN, bm25_explain,
+                                        bm25_facets, bm25_oracle, bm25_topk,
+                                        bm25_topk_batch)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    df = with_doc_id(synth_transcripts(spark, n_convs=60, seed=42)).cache()
+    out = str(tmp_path_factory.mktemp("qs_index"))
+    build_index(df, out, num_buckets=4, hot_df_threshold=120,
+                hot_sample_frac=0.5)
+    rows = df.select("doc_id", "text", "role", "tool", "turn_idx").collect()
+    docs = [(r["doc_id"], r["text"]) for r in rows]
+    meta = {r["doc_id"]: (r["role"], r["tool"], r["turn_idx"]) for r in rows}
+    return df, out, docs, meta
+
+
+def _match_ids(docs, query, mode="or"):
+    terms = sorted(set(re.findall(TOKEN_PATTERN, query.lower())))
+    ids = set()
+    for d, t in docs:
+        toks = set(re.findall(TOKEN_PATTERN, t.lower()))
+        ok = (all(x in toks for x in terms) if mode == "and"
+              else any(x in toks for x in terms))
+        if ok:
+            ids.add(d)
+    return ids
+
+
+# ---------------------------------------------------------------- after=
+
+def test_search_after_pages_tile_the_ranking(spark, corpus):
+    """Pages fetched via after= concatenate to exactly the one-shot
+    ranking: no duplicates, no gaps, same scores."""
+    _, out, docs, _ = corpus
+    full = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(spark, out, "tok0042 tok0007 the", k=12).collect()]
+    pages, cursor = [], None
+    while len(pages) < len(full):
+        rows = bm25_topk(spark, out, "tok0042 tok0007 the", k=4,
+                         after=cursor).collect()
+        if not rows:
+            break
+        pages.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = rows[-1]  # a previous-page Row IS a valid cursor
+    assert pages == full
+    # and the whole ranking matches the oracle
+    want = bm25_oracle(docs, "tok0042 tok0007 the", k=12)
+    assert [d for d, _ in pages] == [d for d, _ in want]
+
+
+def test_search_after_composes_with_modifiers(spark, corpus):
+    _, out, _, _ = corpus
+    full = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(spark, out, "the -tok0042", k=8,
+                      doc_filter="role = 'assistant'").collect()]
+    p1 = full[:4]
+    # explicit (score, doc_id) tuple cursor form
+    p2 = [(r["doc_id"], r["score"]) for r in
+          bm25_topk(spark, out, "the -tok0042", k=4,
+                    doc_filter="role = 'assistant'",
+                    after=(p1[-1][1], p1[-1][0])).collect()]
+    assert p1 + p2 == full
+
+
+def test_search_after_rejects_sort_by(spark, corpus):
+    _, out, _, _ = corpus
+    with pytest.raises(ValueError, match="does not compose with sort_by"):
+        bm25_topk(spark, out, "the", k=4, after=(1.0, 0),
+                  sort_by="turn_idx desc")
+
+
+# ---------------------------------------------------------- field scopes
+
+def test_field_scope_equals_doc_filter(spark, corpus):
+    _, out, _, _ = corpus
+    got = bm25_topk(spark, out, "role:assistant tok0042 the", k=10).collect()
+    want = bm25_topk(spark, out, "tok0042 the", k=10,
+                     doc_filter="role = 'assistant'").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got
+
+
+def test_field_scope_or_within_and_across_fields(spark, corpus):
+    _, out, _, _ = corpus
+    got = bm25_topk(spark, out,
+                    "role:assistant role:tool tool:sql the", k=10).collect()
+    want = bm25_topk(
+        spark, out, "the", k=10,
+        doc_filter="role IN ('assistant', 'tool') AND tool = 'sql'"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got
+
+
+def test_field_scope_composes_with_explicit_filter(spark, corpus):
+    _, out, _, _ = corpus
+    got = bm25_topk(spark, out, "role:assistant the", k=10,
+                    doc_filter="turn_idx > 2").collect()
+    want = bm25_topk(spark, out, "the", k=10,
+                     doc_filter="turn_idx > 2 AND role = 'assistant'"
+                     ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got
+
+
+def test_field_scope_rejected_in_batch(spark, corpus):
+    _, out, _, _ = corpus
+    with pytest.raises(ValueError, match="field scopes"):
+        bm25_topk_batch(spark, out, {"a": "role:user the", "b": "the"}, k=3)
+
+
+# -------------------------------------------------------------- sort_by
+
+def test_sort_by_metadata_ranks_matches(spark, corpus):
+    """sort_by='turn_idx desc': the k matching docs with the largest
+    turn_idx, ties by ascending doc_id — recomputed from the corpus."""
+    _, out, docs, meta = corpus
+    got = bm25_topk(spark, out, "tok0042 tok0007", k=8,
+                    sort_by="turn_idx desc").collect()
+    assert got[0].asDict().keys() == {"doc_id", "score", "turn_idx"}
+    matched = _match_ids(docs, "tok0042 tok0007")
+    want = sorted(matched, key=lambda d: (-meta[d][2], d))[:8]
+    assert [r["doc_id"] for r in got] == want
+    # the BM25 score still rides along and matches the oracle's score
+    oracle = dict(bm25_oracle(docs, "tok0042 tok0007", k=10 ** 6))
+    for r in got:
+        assert math.isclose(r["score"], oracle[r["doc_id"]], rel_tol=1e-12)
+
+
+def test_sort_by_validation(spark, corpus):
+    _, out, _, _ = corpus
+    with pytest.raises(ValueError, match="not sortable"):
+        bm25_topk(spark, out, "the", k=3, sort_by="nope desc").collect()
+    with pytest.raises(ValueError, match="asc"):
+        bm25_topk(spark, out, "the", k=3, sort_by="turn_idx sideways")
+
+
+# --------------------------------------------------------------- facets
+
+def test_facets_match_python_recount(spark, corpus):
+    _, out, docs, meta = corpus
+    got = {(r["facet"], r["value"]): r["doc_count"] for r in
+           bm25_facets(spark, out, "tok0042 the", ["role", "tool"]).collect()}
+    matched = _match_ids(docs, "tok0042 the")
+    assert got[("__total__", "")] == len(matched)
+    from collections import Counter
+
+    roles = Counter(meta[d][0] for d in matched)
+    tools = Counter(meta[d][1] if meta[d][1] is not None else "(null)"
+                    for d in matched)
+    for v, c in roles.items():
+        assert got[("role", v)] == c
+    for v, c in tools.items():
+        assert got[("tool", v)] == c
+    # no extra rows beyond total + observed values
+    assert len(got) == 1 + len(roles) + len(tools)
+
+
+def test_facets_follow_retrieval_semantics(spark, corpus):
+    """mode='and', exclusions, and field scopes restrict the facet
+    population exactly like they restrict bm25_topk's rankable docs."""
+    _, out, docs, meta = corpus
+    got = {(r["facet"], r["value"]): r["doc_count"] for r in
+           bm25_facets(spark, out, "role:assistant tok0042 tok0007",
+                       ["role"], mode="and").collect()}
+    matched = {d for d in _match_ids(docs, "tok0042 tok0007", mode="and")
+               if meta[d][0] == "assistant"}
+    assert got[("__total__", "")] == len(matched)
+    assert got.get(("role", "assistant"), 0) == len(matched)
+    ex = {(r["facet"], r["value"]): r["doc_count"] for r in
+          bm25_facets(spark, out, "tok0042 -tok0007", ["role"]).collect()}
+    m2 = _match_ids(docs, "tok0042") - _match_ids(docs, "tok0007")
+    assert ex[("__total__", "")] == len(m2)
+
+
+def test_facets_validation(spark, corpus):
+    _, out, _, _ = corpus
+    with pytest.raises(ValueError, match="not docs-metadata"):
+        bm25_facets(spark, out, "the", ["text"])
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_facets(spark, out, "the", [])
+
+
+# -------------------------------------------------------------- explain
+
+def test_explain_reproduces_topk_scores(spark, corpus):
+    """Summing a doc's contribs in ascending-term order reproduces
+    bm25_topk's score at 1e-12, and tf/df match a corpus recount."""
+    _, out, docs, _ = corpus
+    q = "tok0042 tok0007 the"
+    hits = {r["doc_id"]: r["score"] for r in
+            bm25_topk(spark, out, q, k=6).collect()}
+    rows = bm25_explain(spark, out, q, k=6).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(hits)
+    text = dict(docs)
+    n = len(docs)
+    for d, parts in by_doc.items():
+        s = 0.0
+        for p in sorted(parts, key=lambda p: p["term"]):
+            s += p["contrib"]
+            toks = re.findall(TOKEN_PATTERN, text[d].lower())
+            assert p["tf"] == float(toks.count(p["term"]))
+            assert p["dl"] == float(len(toks))
+            df_t = sum(1 for _, t in docs
+                       if p["term"] in re.findall(TOKEN_PATTERN, t.lower()))
+            assert p["df"] == float(df_t)
+            want_idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            assert math.isclose(p["idf"], want_idf, rel_tol=1e-12)
+        assert math.isclose(s, hits[d], rel_tol=1e-12), d
+
+
+def test_explain_boost_and_explicit_ids(spark, corpus):
+    _, out, docs, _ = corpus
+    hit = bm25_topk(spark, out, "tok0042^2 the", k=1).collect()[0]
+    rows = bm25_explain(spark, out, "tok0042^2 the",
+                        doc_ids=[hit["doc_id"]]).collect()
+    boosts = {r["term"]: r["boost"] for r in rows}
+    assert boosts.get("tok0042") == 2.0 and boosts.get("the", 1.0) == 1.0
+    s = sum(r["contrib"] for r in sorted(rows, key=lambda r: r["term"]))
+    assert math.isclose(s, hit["score"], rel_tol=1e-12)
+
+
+def test_explain_empty_cases(spark, corpus):
+    _, out, _, _ = corpus
+    assert bm25_explain(spark, out, "zzzznotaword", k=3).count() == 0
+    assert bm25_explain(spark, out, "", k=3).count() == 0
