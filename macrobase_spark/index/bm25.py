@@ -1435,3 +1435,73 @@ def bm25_explain(
 
     return (cand.mapInPandas(explain_fn, schema=out_schema)
             .orderBy("doc_id", "term"))
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    source_df: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_tf: int = 1,
+    min_df: int = 2,
+    include_self: bool = False,
+    **topk_kwargs,
+) -> DataFrame:
+    """Find documents similar to a seed document (Lucene MoreLikeThis):
+    extract the seed's most informative terms by tf·idf, then run them as
+    an ordinary disjunctive BM25 query.
+
+    `source_df` is the corpus the index was built from (the index stores
+    postings, not text) — the seed text is fetched with a doc_id pushdown
+    filter, so at 100 TB this reads one document's row group. Term
+    selection is driver-side over that ONE document: tf from its token
+    list, df from the index's per-term stats (a bucket-pruned metadata
+    read of just the candidate terms — blobs untouched), ranked by
+    tf·idf with (−tfidf, term) tiebreak so the query is deterministic.
+    Terms below min_tf/min_df are dropped (Lucene's noise gates); the
+    top max_query_terms survive.
+
+    The result is bm25_topk's output for that derived query (every
+    modifier — doc_filter, mode, anomaly, after — passes through via
+    **topk_kwargs); the seed itself is excluded unless include_self=True.
+    Returns (doc_id, score)."""
+    import re
+
+    rows = (source_df.filter(F.col("doc_id") == int(doc_id))
+            .select("text").collect())
+    if not rows:
+        raise ValueError(f"more_like_this: doc_id {doc_id} not found in "
+                         "source_df")
+    toks = re.findall(TOKEN_PATTERN, (rows[0]["text"] or "").lower())
+    tf = Counter(toks)
+    cand = sorted(t for t, c in tf.items() if c >= min_tf)
+    out_schema = "doc_id long, score double"
+    if not cand:
+        return spark.createDataFrame([], out_schema)
+    postings, _, stats = read_index(spark, index_dir)
+    n = stats["n_docs"]
+    if "num_buckets" in stats:
+        from macrobase_spark.index.xxh64 import term_bucket
+
+        buckets = sorted({term_bucket(t, stats["num_buckets"])
+                          for t in cand})
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    df_rows = (postings.filter(F.col("term").isin(cand))
+               .groupBy("term").agg(F.sum("df").alias("df")).collect())
+    dfs = {r["term"]: int(r["df"]) for r in df_rows}
+    ranked = sorted(
+        ((tf[t] * math.log(1.0 + (n - d + 0.5) / (d + 0.5)), t)
+         for t, d in dfs.items() if d >= min_df),
+        key=lambda x: (-x[0], x[1]))
+    terms = sorted(t for _, t in ranked[:max_query_terms])
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    hits = bm25_topk(spark, index_dir, " ".join(terms),
+                     k=k + (0 if include_self else 1), **topk_kwargs)
+    if not include_self:
+        hits = (hits.filter(F.col("doc_id") != int(doc_id))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+    return hits

@@ -217,3 +217,58 @@ def test_bm25_no_tombstone_join_when_none_pending(spark, tmp_path):
     delete_docs(spark, out, [0])
     p1 = _plan(bm25_topk(spark, out, "the call", k=5))
     assert "LeftAnti" in p1
+
+
+def test_bm25_facets_read_no_blobs_and_prune_docs_columns(spark, tmp_path):
+    """Facets are an ids-only operation: the postings scan reads term+blob
+    of the QUERY terms' buckets only (never positions), and the docs join
+    reads just doc_id + the facet columns."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_facets
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_fc")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    p = _plan(bm25_facets(spark, out, "the call", ["role"]))
+    # docs scan pruned to doc_id + facet column — never text-adjacent
+    # metadata like rep_ratio/anomaly
+    docs_schemas = [ln.split("ReadSchema:")[1] for ln in p.split("\n")
+                    if "ReadSchema:" in ln and "role" in ln]
+    assert docs_schemas and all(
+        "anomaly" not in s and "rep_ratio" not in s for s in docs_schemas)
+    # no positional layer touched
+    assert "positions" not in p
+
+
+def test_bm25_sort_by_prunes_docs_to_sort_columns(spark, tmp_path):
+    """sort_by joins only (doc_id, sort columns) from the docs table."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_s")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    p = _plan(bm25_topk(spark, out, "the call", k=5,
+                        sort_by="turn_idx desc"))
+    docs_schemas = [ln.split("ReadSchema:")[1] for ln in p.split("\n")
+                    if "ReadSchema:" in ln and "turn_idx" in ln]
+    assert docs_schemas and all(
+        "role" not in s and "anomaly" not in s for s in docs_schemas)
+    # the metadata sort is the global top-k, not a post-score re-sort
+    assert "TakeOrderedAndProject" in p or "Sort" in p
+
+
+def test_bm25_search_after_keeps_single_term_no_shuffle_shape(spark, tmp_path):
+    """after= only adds a Filter — the single-term fast path still plans
+    without a per-doc aggregation exchange."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_a")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    p = _plan(bm25_topk(spark, out, "the", k=5, after=(99.0, -1)))
+    assert "HashAggregate" not in p

@@ -251,3 +251,56 @@ def test_explain_empty_cases(spark, corpus):
     _, out, _, _ = corpus
     assert bm25_explain(spark, out, "zzzznotaword", k=3).count() == 0
     assert bm25_explain(spark, out, "", k=3).count() == 0
+
+
+# ------------------------------------------------------- more_like_this
+
+def _mlt_expected_terms(docs, seed_id, max_query_terms=25, min_tf=1,
+                        min_df=2):
+    from collections import Counter
+
+    text = dict(docs)[seed_id]
+    tf = Counter(re.findall(TOKEN_PATTERN, text.lower()))
+    n = len(docs)
+    dfs = Counter()
+    for _, t in docs:
+        dfs.update(set(re.findall(TOKEN_PATTERN, t.lower())))
+    ranked = sorted(
+        ((c * math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)), t)
+         for t, c in tf.items() if c >= min_tf and dfs[t] >= min_df),
+        key=lambda x: (-x[0], x[1]))
+    return sorted(t for _, t in ranked[:max_query_terms])
+
+
+def test_more_like_this_matches_derived_query_oracle(spark, corpus):
+    """MLT == bm25 over the deterministically-selected tf·idf terms of
+    the seed, seed excluded, ranks vs the pure-Python oracle."""
+    from macrobase_spark.index.bm25 import more_like_this
+
+    df, out, docs, _ = corpus
+    seed = docs[7][0]
+    got = [(r["doc_id"], r["score"]) for r in
+           more_like_this(spark, out, df, seed, k=8).collect()]
+    terms = _mlt_expected_terms(docs, seed)
+    want = [(d, s) for d, s in
+            bm25_oracle(docs, " ".join(terms), k=9) if d != seed][:8]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    assert got and seed not in [d for d, _ in got]
+
+
+def test_more_like_this_include_self_and_modifiers(spark, corpus):
+    from macrobase_spark.index.bm25 import more_like_this
+
+    df, out, docs, meta = corpus
+    seed = docs[7][0]
+    got = more_like_this(spark, out, df, seed, k=5,
+                         include_self=True).collect()
+    # the seed scores every selected term — it must rank (usually first)
+    assert seed in [r["doc_id"] for r in got]
+    scoped = more_like_this(spark, out, df, seed, k=5,
+                            doc_filter="role = 'assistant'").collect()
+    assert all(meta[r["doc_id"]][0] == "assistant" for r in scoped)
+    with pytest.raises(ValueError, match="not found"):
+        more_like_this(spark, out, df, -999, k=3)
