@@ -772,6 +772,13 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge^2 scan", k=10).select(
             F.lit("boost:merge^2 scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5b: fuzzy token — 'merge~1' expands to every dictionary term
+    # within 1 edit (the oracle expands identically via DuckDB's
+    # levenshtein) and scores as a disjunction with per-term idf
+    legs.append(
+        bm25_topk(spark, cache, "merge~1", k=10).select(
+            F.lit("fuzzy:merge~1").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     # r5b: search-after pagination — page 2 (after=last row of page 1)
     # must equal rows 11-20 of the one-shot ranking (OFFSET in the oracle)
     page1 = bm25_topk(spark, cache, "merge scan row", k=10).collect()

@@ -45,26 +45,39 @@ def _tokenize_query(q: str) -> list[str]:
 import re as _re
 
 # query micro-syntax: `-tok` at a token boundary is an exclusion
-# (MUST_NOT), a trailing `*` is a prefix wildcard, a trailing `^2.5` is a
-# query-time boost (Lucene syntax); a hyphen INSIDE a word ("well-known")
-# is not an exclusion — the lookbehind requires whitespace or
-# start-of-query before the minus
+# (MUST_NOT), a trailing `*` is a prefix wildcard, a trailing `~N` is a
+# fuzzy match within N edits (Lucene FuzzyQuery syntax, N in 1..2), a
+# trailing `^2.5` is a query-time boost; a hyphen INSIDE a word
+# ("well-known") is not an exclusion — the lookbehind requires whitespace
+# or start-of-query before the minus. `*` and `~` are mutually exclusive
+# on one token.
 _BOOST = r"(?:\^[0-9]+(?:\.[0-9]+)?)?"
 _QTOK_RE = _re.compile(
-    r"(?:^|(?<=\s))-" + TOKEN_PATTERN + r"\*?" +
-    r"|" + TOKEN_PATTERN + r"\*?" + _BOOST)
+    r"(?:^|(?<=\s))-" + TOKEN_PATTERN + r"(?:\*|~[12])?" +
+    r"|" + TOKEN_PATTERN + r"(?:\*|~[12])?" + _BOOST)
 
 
-def _parse_query(q: str) -> tuple[list[str], list[str], list[str],
-                                  list[str], dict[str, float]]:
-    """Full query parse → (terms, prefixes, neg_terms, neg_prefixes,
-    boosts). `boosts` maps a term or prefix token (as written, without
-    the `*`) to its multiplier; tokens without `^` are absent (1.0)."""
-    terms: set[str] = set()
-    prefixes: set[str] = set()
-    nterms: set[str] = set()
-    nprefixes: set[str] = set()
-    boosts: dict[str, float] = {}
+class ParsedQuery:
+    """Structured query parse. `boosts` maps a term / prefix / fuzzy
+    token (as written, without its `*`/`~N` suffix) to its multiplier;
+    tokens without `^` are absent (1.0). `fuzzies`/`neg_fuzzies` map the
+    token to its max edit distance."""
+
+    __slots__ = ("terms", "prefixes", "neg_terms", "neg_prefixes",
+                 "boosts", "fuzzies", "neg_fuzzies")
+
+    def __init__(self):
+        self.terms: set[str] = set()
+        self.prefixes: set[str] = set()
+        self.neg_terms: set[str] = set()
+        self.neg_prefixes: set[str] = set()
+        self.boosts: dict[str, float] = {}
+        self.fuzzies: dict[str, int] = {}
+        self.neg_fuzzies: dict[str, int] = {}
+
+
+def _parse_query_full(q: str) -> ParsedQuery:
+    pq = ParsedQuery()
     for tok in _QTOK_RE.findall(q.lower()):
         neg = tok.startswith("-")
         if neg:
@@ -76,27 +89,55 @@ def _parse_query(q: str) -> tuple[list[str], list[str], list[str],
         star = tok.endswith("*")
         if star:
             tok = tok[:-1]
+        fuzz = None
+        if "~" in tok:
+            tok, _, f = tok.partition("~")
+            fuzz = int(f)
         if not tok:
             continue
         if neg:
-            (nprefixes if star else nterms).add(tok)
+            if fuzz is not None:
+                pq.neg_fuzzies[tok] = max(fuzz, pq.neg_fuzzies.get(tok, 0))
+            elif star:
+                pq.neg_prefixes.add(tok)
+            else:
+                pq.neg_terms.add(tok)
+            continue
+        if fuzz is not None:
+            # repeated token with different distances: the wider wins
+            pq.fuzzies[tok] = max(fuzz, pq.fuzzies.get(tok, 0))
+        elif star:
+            pq.prefixes.add(tok)
         else:
-            (prefixes if star else terms).add(tok)
-            if boost is not None:
-                # repeated token with different boosts: the larger wins
-                # (deterministic; Lucene would sum duplicate clauses, but
-                # this engine dedups terms)
-                boosts[tok] = max(boost, boosts.get(tok, 0.0))
-    return (sorted(terms), sorted(prefixes), sorted(nterms),
-            sorted(nprefixes), boosts)
+            pq.terms.add(tok)
+        if boost is not None:
+            # repeated token with different boosts: the larger wins
+            # (deterministic; Lucene would sum duplicate clauses, but
+            # this engine dedups terms)
+            pq.boosts[tok] = max(boost, pq.boosts.get(tok, 0.0))
+    return pq
+
+
+def _parse_query(q: str) -> tuple[list[str], list[str], list[str],
+                                  list[str], dict[str, float]]:
+    """Legacy 5-tuple view of _parse_query_full → (terms, prefixes,
+    neg_terms, neg_prefixes, boosts); fuzzy tokens are NOT included —
+    callers that support fuzzy use _parse_query_full."""
+    pq = _parse_query_full(q)
+    return (sorted(pq.terms), sorted(pq.prefixes), sorted(pq.neg_terms),
+            sorted(pq.neg_prefixes), pq.boosts)
 
 
 def _tokenize_query_wild(q: str) -> tuple[list[str], list[str]]:
     """Positive side of the query only: (exact terms, prefix patterns).
     Exclusion tokens (`-tok`) are dropped — callers that render or expand
-    positives (snippets) must not treat an excluded term as a match."""
-    terms, prefixes, _, _, _ = _parse_query(q)
-    return terms, prefixes
+    positives (snippets) must not treat an excluded term as a match.
+    Fuzzy tokens are reported as their base term (a snippet highlights
+    the exact spelling; ≥1-edit variants of a fuzzy hit are not
+    underlined — they'd need the expansion set, which requires the
+    index)."""
+    pq = _parse_query_full(q)
+    return (sorted(pq.terms | set(pq.fuzzies)), sorted(pq.prefixes))
 
 
 def _expand_prefixes(postings: DataFrame, prefixes: list[str],
@@ -183,6 +224,67 @@ def _sort_columns(sort_by: str):
         cols.append(c.desc() if direction == "desc" else c.asc())
         names.append(toks[0])
     return cols, names
+
+
+def _edit_distance(a: str, b: str, limit: int) -> int:
+    """Levenshtein distance with an early exit above `limit` (returns
+    limit+1). Driver-side only, over dictionary-scan candidates."""
+    if abs(len(a) - len(b)) > limit:
+        return limit + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            cur.append(v)
+            row_min = min(row_min, v)
+        if row_min > limit:
+            return limit + 1
+        prev = cur
+    return prev[-1]
+
+
+def _expand_fuzzy(postings: DataFrame, fuzzies: dict[str, int],
+                  max_expansions: int) -> dict[str, list[str]]:
+    """Expand fuzzy tokens (`tok~N`) against the term dictionary: every
+    indexed term within N edits of the token (Lucene FuzzyQuery's
+    dictionary-intersection rewrite, done as a length-banded levenshtein
+    filter instead of a Levenshtein automaton — the same column-pruned
+    term-only scan as _expand_prefixes, so blobs are never read).
+    Candidate assignment back to tokens happens driver-side with a
+    limit-banded DP. Per-token expansions above max_expansions raise
+    loudly (the TooManyClauses policy); the combined scan is capped at
+    max_expansions·len(fuzzies)."""
+    cond = None
+    for tok, nmax in sorted(fuzzies.items()):
+        c = ((F.length("term") >= len(tok) - nmax)
+             & (F.length("term") <= len(tok) + nmax)
+             & (F.levenshtein(F.col("term"), F.lit(tok)) <= nmax))
+        cond = c if cond is None else (cond | c)
+    cap = max_expansions * len(fuzzies)
+    rows = (postings.filter(cond).select("term").distinct()
+            .limit(cap + 1).collect())
+    if len(rows) > cap:
+        raise ValueError(
+            f"fuzzy token(s) {sorted(fuzzies)!r} expand to more than "
+            f"{cap} dictionary terms combined — tighten the distance or "
+            "raise max_expansions")
+    out: dict[str, list[str]] = {t: [] for t in fuzzies}
+    for r in rows:
+        term = r["term"]
+        for tok, nmax in fuzzies.items():
+            if _edit_distance(tok, term, nmax) <= nmax:
+                out[tok].append(term)
+    for tok in out:
+        if len(out[tok]) > max_expansions:
+            raise ValueError(
+                f"fuzzy token {tok!r}~{fuzzies[tok]} expands to more "
+                f"than {max_expansions} terms — tighten the distance or "
+                "raise max_expansions")
+        out[tok] = sorted(out[tok])
+    return out
 
 
 def _after_cursor(after) -> tuple[float, int]:
@@ -353,6 +455,15 @@ def bm25_topk(
     with every other option; block pruning is disabled when present (an
     exclusion can promote docs from pruned blocks into the top-k).
 
+    ``term~1`` / ``term~2`` are fuzzy tokens (Lucene FuzzyQuery syntax):
+    expanded against the term dictionary to every indexed term within N
+    edits (length-banded levenshtein over the column-pruned term scan,
+    bounded by max_expansions — the TooManyClauses policy) and scored as
+    a disjunction, each expansion with its own idf — the same
+    scoring-boolean rewrite as prefixes. ``-tok~1`` excludes every
+    expansion; ``tok~1^2`` boosts every expansion. Not combinable with
+    mode='and' (same policy as prefixes).
+
     ``term^2`` / ``pre*^1.5`` are query-time boosts (Lucene syntax): the
     term's contribution is multiplied by the boost before the per-doc sum.
     An explicit term boost beats a matching prefix boost; overlapping
@@ -412,19 +523,29 @@ def bm25_topk(
     query, _scope = _split_field_scopes(query)
     doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
-    terms, prefixes, nterms, nprefixes, qboosts = _parse_query(query)
+    pq = _parse_query_full(query)
+    terms, prefixes = sorted(pq.terms), sorted(pq.prefixes)
+    nterms, nprefixes = sorted(pq.neg_terms), sorted(pq.neg_prefixes)
+    qboosts = pq.boosts
     explicit_terms = list(terms)
-    if prefixes:
+    if prefixes or pq.fuzzies:
         if mode == "and":
             raise ValueError(
-                "prefix wildcards are not supported with mode='and' — "
-                "expand the prefix into explicit terms for conjunctive "
+                "prefix wildcards / fuzzy tokens are not supported with "
+                "mode='and' — expand into explicit terms for conjunctive "
                 "retrieval")
+    if prefixes:
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, prefixes,
                                             max_expansions)))
+    fmap: dict[str, list[str]] = {}
+    if pq.fuzzies:
+        fmap = _expand_fuzzy(postings, pq.fuzzies, max_expansions)
+        terms = sorted(set(terms) |
+                       {t for ts in fmap.values() for t in ts})
     # effective per-term boosts: explicit term boost wins; a prefix boost
-    # (pre*^2) covers its expansions; the largest wins on overlap
+    # (pre*^2) or fuzzy boost (tok~1^2) covers its expansions; the
+    # largest wins on overlap
     boosts: dict[str, float] | None = None
     if qboosts:
         boosts = {t: qboosts[t] for t in explicit_terms if t in qboosts}
@@ -433,6 +554,8 @@ def bm25_topk(
                 continue
             pbs = [qboosts[p] for p in prefixes
                    if p in qboosts and t.startswith(p)]
+            pbs += [qboosts[ftok] for ftok, exps in fmap.items()
+                    if ftok in qboosts and t in exps]
             if pbs:
                 boosts[t] = max(pbs)
         boosts = boosts or None
@@ -440,6 +563,10 @@ def bm25_topk(
         nterms = sorted(set(nterms) |
                         set(_expand_prefixes(postings, nprefixes,
                                              max_expansions)))
+    if pq.neg_fuzzies:
+        nfmap = _expand_fuzzy(postings, pq.neg_fuzzies, max_expansions)
+        nterms = sorted(set(nterms) |
+                        {t for ts in nfmap.values() for t in ts})
     n, avgdl = stats["n_docs"], stats["avgdl"]
     # anomaly/filter/exclusion/tombstone modifiers change the final ranking
     # AFTER raw-BM25 scoring (filtering can promote docs from pruned
@@ -729,17 +856,23 @@ def bm25_topk_batch(
             f"queries {scoped!r} use field scopes (role:/tool:/conv_id:) "
             "— batch queries share one doc_filter; pass doc_filter= for "
             "the whole batch or run scoped queries via bm25_topk")
-    parsed = {qid: _parse_query(q) for qid, q in queries.items()}
+    parsed = {qid: _parse_query_full(q) for qid, q in queries.items()}
     out_schema = "query_id string, doc_id long, score double, rank int"
     postings, docs, stats = read_index(spark, index_dir)
-    all_prefixes = sorted({p for _, ps, _, _, _ in parsed.values()
-                           for p in ps})
-    all_nprefixes = sorted({p for _, _, _, ps, _ in parsed.values()
-                            for p in ps})
-    if (all_prefixes or all_nprefixes) and mode == "and":
+    all_prefixes = sorted({p for pq_ in parsed.values()
+                           for p in pq_.prefixes})
+    all_nprefixes = sorted({p for pq_ in parsed.values()
+                            for p in pq_.neg_prefixes})
+    all_fuzzies: dict[str, int] = {}
+    for pq_ in parsed.values():
+        for tok, nv in (*pq_.fuzzies.items(), *pq_.neg_fuzzies.items()):
+            all_fuzzies[tok] = max(nv, all_fuzzies.get(tok, 0))
+    if (all_prefixes or all_nprefixes or
+            any(pq_.fuzzies for pq_ in parsed.values())) and mode == "and":
         raise ValueError(
-            "prefix wildcards are not supported with mode='and' — expand "
-            "the prefix into explicit terms for conjunctive retrieval")
+            "prefix wildcards / fuzzy tokens are not supported with "
+            "mode='and' — expand into explicit terms for conjunctive "
+            "retrieval")
     # one combined dictionary scan for the whole batch; the expansion bound
     # is PER QUERY (consistent with bm25_topk), so the scan cap scales with
     # the distinct-prefix count — if the cap is hit, some single prefix
@@ -749,27 +882,49 @@ def bm25_topk_batch(
         _expand_prefixes(postings, scan_prefixes, max_expansions,
                          total_cap=max_expansions * len(scan_prefixes))
         if scan_prefixes else [])
+    # fuzzy: ONE combined dictionary scan at each token's widest distance,
+    # then per-query re-restriction driver-side (a query using tok~1 when
+    # another uses tok~2 keeps only its own ≤1-edit expansions)
+    fmap_all: dict[str, list[str]] = (
+        _expand_fuzzy(postings, all_fuzzies, max_expansions)
+        if all_fuzzies else {})
+
+    def _fuzzy_terms(fz: dict[str, int]) -> dict[str, list[str]]:
+        return {tok: [t for t in fmap_all[tok]
+                      if _edit_distance(tok, t, nv) <= nv]
+                for tok, nv in fz.items()}
+
     q_terms: dict[str, list[str]] = {}
     q_negs: dict[str, list[str]] = {}
     q_boosts: dict[str, dict[str, float]] = {}
-    for qid, (ts, ps, ns, nps, qb) in parsed.items():
+    for qid, pq_ in parsed.items():
+        ts, ps = sorted(pq_.terms), sorted(pq_.prefixes)
+        ns, nps, qb = (sorted(pq_.neg_terms), sorted(pq_.neg_prefixes),
+                       pq_.boosts)
         ex = {e for e in expansions if any(e.startswith(p) for p in ps)}
         if len(ex) > max_expansions:
             raise ValueError(
                 f"query {qid!r}: prefix wildcard(s) {ps!r} expand to more "
                 f"than {max_expansions} terms — narrow the prefix or raise "
                 "max_expansions")
-        q_terms[qid] = sorted(set(ts) | ex)
+        fex = _fuzzy_terms(pq_.fuzzies)
+        q_terms[qid] = sorted(set(ts) | ex |
+                              {t for l in fex.values() for t in l})
         q_negs[qid] = sorted(
-            set(ns) | {e for e in expansions
-                       if any(e.startswith(p) for p in nps)})
+            set(ns)
+            | {e for e in expansions if any(e.startswith(p) for p in nps)}
+            | {t for l in _fuzzy_terms(pq_.neg_fuzzies).values()
+               for t in l})
         # effective per-term boosts (same precedence as bm25_topk:
-        # explicit term boost wins, then the largest matching prefix boost)
+        # explicit term boost wins, then the largest matching
+        # prefix/fuzzy boost)
         eff = {t: qb[t] for t in ts if t in qb}
         for t in q_terms[qid]:
             if t in eff:
                 continue
             pbs = [qb[p] for p in ps if p in qb and t.startswith(p)]
+            pbs += [qb[tok] for tok, l in fex.items()
+                    if tok in qb and t in l]
             if pbs:
                 eff[t] = max(pbs)
         q_boosts[qid] = eff
@@ -946,21 +1101,36 @@ def bm25_oracle(
         c = Counter(toks)
         tfs[d] = c
         dfs.update(c.keys())
-    terms, prefixes, nterms, nprefixes, qboosts = _parse_query(query)
+    pq = _parse_query_full(query)
+    terms, prefixes = sorted(pq.terms), sorted(pq.prefixes)
+    nterms, nprefixes, qboosts = (sorted(pq.neg_terms),
+                                  sorted(pq.neg_prefixes), pq.boosts)
     explicit = list(terms)
     if prefixes:
         terms = sorted(set(terms) | {t for t in dfs
                                      if any(t.startswith(p)
                                             for p in prefixes)})
+    fmap = {tok: sorted(t for t in dfs
+                        if _edit_distance(tok, t, nv) <= nv)
+            for tok, nv in pq.fuzzies.items()}
+    if fmap:
+        terms = sorted(set(terms) |
+                       {t for ts in fmap.values() for t in ts})
     if nprefixes:
         nterms = sorted(set(nterms) | {t for t in dfs
                                        if any(t.startswith(p)
                                               for p in nprefixes)})
+    if pq.neg_fuzzies:
+        nterms = sorted(set(nterms) | {
+            t for tok, nv in pq.neg_fuzzies.items()
+            for t in dfs if _edit_distance(tok, t, nv) <= nv})
     boosts = {t: qboosts[t] for t in explicit if t in qboosts}
     for t in terms:
         if t not in boosts:
             pbs = [qboosts[p] for p in prefixes
                    if p in qboosts and t.startswith(p)]
+            pbs += [qboosts[ftok] for ftok, exps in fmap.items()
+                    if ftok in qboosts and t in exps]
             if pbs:
                 boosts[t] = max(pbs)
     scores: dict[int, float] = {}
@@ -1266,20 +1436,32 @@ def bm25_facets(
         raise ValueError(
             f"facets: {bad!r} not docs-metadata columns "
             f"(have {sorted(set(docs.columns) - {'doc_id'})})")
-    terms, prefixes, nterms, nprefixes, _ = _parse_query(query)
+    pq = _parse_query_full(query)
+    terms, prefixes = sorted(pq.terms), sorted(pq.prefixes)
+    nterms, nprefixes = sorted(pq.neg_terms), sorted(pq.neg_prefixes)
+    if (prefixes or pq.fuzzies) and mode == "and":
+        raise ValueError(
+            "prefix wildcards / fuzzy tokens are not supported with "
+            "mode='and' — expand into explicit terms for conjunctive "
+            "retrieval")
     if prefixes:
-        if mode == "and":
-            raise ValueError(
-                "prefix wildcards are not supported with mode='and' — "
-                "expand the prefix into explicit terms for conjunctive "
-                "retrieval")
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, prefixes,
                                             max_expansions)))
+    if pq.fuzzies:
+        terms = sorted(set(terms) | {
+            t for ts in _expand_fuzzy(postings, pq.fuzzies,
+                                      max_expansions).values()
+            for t in ts})
     if nprefixes:
         nterms = sorted(set(nterms) |
                         set(_expand_prefixes(postings, nprefixes,
                                              max_expansions)))
+    if pq.neg_fuzzies:
+        nterms = sorted(set(nterms) | {
+            t for ts in _expand_fuzzy(postings, pq.neg_fuzzies,
+                                      max_expansions).values()
+            for t in ts})
     out_schema = "facet string, value string, doc_count long"
     if not terms:
         return spark.createDataFrame([], out_schema)
@@ -1360,12 +1542,18 @@ def bm25_explain(
     doc_filter = _merge_doc_filter(
         topk_kwargs.pop("doc_filter", None), _scope)
     postings, docs, stats = read_index(spark, index_dir)
-    terms, prefixes, nterms, nprefixes, qboosts = _parse_query(query)
+    pq = _parse_query_full(query)
+    terms, prefixes, qboosts = sorted(pq.terms), sorted(pq.prefixes), pq.boosts
     explicit_terms = list(terms)
     if prefixes:
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, prefixes,
                                             max_expansions)))
+    fmap: dict[str, list[str]] = {}
+    if pq.fuzzies:
+        fmap = _expand_fuzzy(postings, pq.fuzzies, max_expansions)
+        terms = sorted(set(terms) |
+                       {t for ts in fmap.values() for t in ts})
     boosts: dict[str, float] = {t: qboosts[t] for t in explicit_terms
                                 if t in qboosts}
     for t in terms:
@@ -1373,6 +1561,8 @@ def bm25_explain(
             continue
         pbs = [qboosts[p] for p in prefixes
                if p in qboosts and t.startswith(p)]
+        pbs += [qboosts[ftok] for ftok, exps in fmap.items()
+                if ftok in qboosts and t in exps]
         if pbs:
             boosts[t] = max(pbs)
     out_schema = ("doc_id long, term string, tf double, dl double, "

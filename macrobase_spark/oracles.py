@@ -768,6 +768,30 @@ SELECT part, doc_id, score FROM (
   SELECT 'phrase:table table' AS part, doc_id, ROUND(s, 6) AS score FROM ph2
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
+-- r5b fuzzy: 'merge~1' = disjunction over every vocabulary term within
+-- 1 edit of 'merge', each with its own idf (same rewrite as prefixes)
+SELECT part, doc_id, score FROM (
+  WITH tff AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM toks WHERE levenshtein(term, 'merge') <= 1
+               GROUP BY doc_id, term),
+  dfsf AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tff GROUP BY term)
+  SELECT 'fuzzy:merge~1' AS part, tff.doc_id,
+         ROUND(SUM(ln(1.0 + (consts.n_docs - dfsf.df + 0.5)
+                      / (dfsf.df + 0.5))
+               * (tff.tf * 2.2)
+               / (tff.tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl.dl / consts.avgdl))), 6)
+         AS score
+  FROM tff JOIN dfsf USING (term) JOIN dl USING (doc_id), consts
+  GROUP BY tff.doc_id, consts.n_docs, consts.avgdl
+  ORDER BY SUM(ln(1.0 + (consts.n_docs - dfsf.df + 0.5) / (dfsf.df + 0.5))
+               * (tff.tf * 2.2)
+               / (tff.tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl.dl / consts.avgdl))) DESC,
+           tff.doc_id ASC
+  LIMIT 10
+) UNION ALL
 -- r5b search-after pagination: page 2 is rows 11-20 of the ranking
 SELECT part, doc_id, score FROM (
   SELECT 'page2:merge scan row' AS part, doc_id, ROUND(s, 6) AS score

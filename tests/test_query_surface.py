@@ -304,3 +304,66 @@ def test_more_like_this_include_self_and_modifiers(spark, corpus):
     assert all(meta[r["doc_id"]][0] == "assistant" for r in scoped)
     with pytest.raises(ValueError, match="not found"):
         more_like_this(spark, out, df, -999, k=3)
+
+
+# ---------------------------------------------------------------- fuzzy
+
+def test_fuzzy_rank_identity(spark, corpus):
+    """tok~1 expands to every dictionary term within 1 edit and scores
+    as a disjunction — rank+score identical to the pure-Python oracle
+    (which expands against the corpus vocabulary independently)."""
+    _, out, docs, _ = corpus
+    for q in ["tok0001~1", "tok0001~1 the", "rare7~2"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=10).collect()]
+        want = bm25_oracle(docs, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), q
+        assert got, q
+    # the 1-edit expansion is strictly wider than the exact term
+    exact = bm25_topk(spark, out, "tok0001", k=10 ** 6).count()
+    fuzzy = bm25_topk(spark, out, "tok0001~1", k=10 ** 6).count()
+    assert fuzzy > exact
+
+
+def test_fuzzy_boost_exclusion_and_batch(spark, corpus):
+    _, out, docs, _ = corpus
+    for q in ["tok0001~1^2 the", "the -tok0001~1"]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=8).collect()]
+        want = bm25_oracle(docs, q, k=8)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), q
+    # batch: same token at two distances in one batch — each query keeps
+    # only its own expansions, bit-identical to the single path
+    qs = {"a": "rare7~1 the", "b": "rare7~2", "c": "the"}
+    batch = bm25_topk_batch(spark, out, qs, k=6).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        single = [(r["doc_id"], r["score"]) for r in
+                  bm25_topk(spark, out, q, k=6).collect()]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_fuzzy_facets_and_guardrails(spark, corpus):
+    from macrobase_spark.index.bm25 import _edit_distance
+
+    _, out, docs, _ = corpus
+    vocab = {t for _, txt in docs
+             for t in re.findall(TOKEN_PATTERN, txt.lower())}
+    exp = {t for t in vocab if _edit_distance("tok0001", t, 1) <= 1}
+    matched = set()
+    for d, txt in docs:
+        if exp & set(re.findall(TOKEN_PATTERN, txt.lower())):
+            matched.add(d)
+    got = {(r["facet"], r["value"]): r["doc_count"] for r in
+           bm25_facets(spark, out, "tok0001~1", ["role"]).collect()}
+    assert got[("__total__", "")] == len(matched)
+    with pytest.raises(ValueError, match="mode='and'"):
+        bm25_topk(spark, out, "tok0001~1 the", k=3, mode="and")
+    with pytest.raises(ValueError, match="more than"):
+        bm25_topk(spark, out, "tok0001~2", k=3, max_expansions=3)
