@@ -772,6 +772,20 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge^2 scan", k=10).select(
             F.lit("boost:merge^2 scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5b: stopword analyzer on its OWN index (the stoplist changes every
+    # stat): stopwords=('a','the') → those terms have no postings and
+    # dl/avgdl/df count survivors; the oracle recomputes all stats over
+    # the filtered token stream. The query keeps 'the' to prove the
+    # query-analyzer drops it symmetrically.
+    stcache = os.path.join(tempfile.gettempdir(),
+                           f"mb_idxstop_{_cache_key(sf, 'documents')}")
+    if not os.path.exists(os.path.join(stcache, "stats.json")):
+        build_index(d, stcache, num_buckets=4, hot_df_threshold=10 ** 9,
+                    stopwords=["a", "the"])
+    legs.append(
+        bm25_topk(spark, stcache, "merge scan row the", k=10).select(
+            F.lit("stop:merge scan row the").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     # r5b: fuzzy token — 'merge~1' expands to every dictionary term
     # within 1 edit (the oracle expands identically via DuckDB's
     # levenshtein) and scores as a disjunction with per-term idf

@@ -524,8 +524,13 @@ def bm25_topk(
     doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
     pq = _parse_query_full(query)
-    terms, prefixes = sorted(pq.terms), sorted(pq.prefixes)
-    nterms, nprefixes = sorted(pq.neg_terms), sorted(pq.neg_prefixes)
+    # index-time stoplist: stoplisted query terms have no postings; drop
+    # them up front so mode='and' requires only indexable terms and a
+    # stopword exclusion is a no-op (Lucene query-analyzer symmetry)
+    _stop = set(stats.get("stopwords", []))
+    terms = sorted(pq.terms - _stop)
+    prefixes = sorted(pq.prefixes)
+    nterms, nprefixes = sorted(pq.neg_terms - _stop), sorted(pq.neg_prefixes)
     qboosts = pq.boosts
     explicit_terms = list(terms)
     if prefixes or pq.fuzzies:
@@ -898,9 +903,10 @@ def bm25_topk_batch(
     q_negs: dict[str, list[str]] = {}
     q_boosts: dict[str, dict[str, float]] = {}
     for qid, pq_ in parsed.items():
-        ts, ps = sorted(pq_.terms), sorted(pq_.prefixes)
-        ns, nps, qb = (sorted(pq_.neg_terms), sorted(pq_.neg_prefixes),
-                       pq_.boosts)
+        _stop = set(stats.get("stopwords", []))
+        ts, ps = sorted(pq_.terms - _stop), sorted(pq_.prefixes)
+        ns, nps, qb = (sorted(pq_.neg_terms - _stop),
+                       sorted(pq_.neg_prefixes), pq_.boosts)
         ex = {e for e in expansions if any(e.startswith(p) for p in ps)}
         if len(ex) > max_expansions:
             raise ValueError(
@@ -1079,6 +1085,7 @@ def bm25_oracle(
     anomaly_weight: float = 0.0,
     mode: str = "or",
     keep_ids: set[int] | None = None,
+    stopwords: set[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact single-threaded reference implementation over (doc_id, text)
     pairs — the rank-identity oracle for tests. Same tokenizer, same float64
@@ -1092,7 +1099,9 @@ def bm25_oracle(
     post-multiplication and precedence as the engine)."""
     import re
 
-    tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
+    stop = set(stopwords or ())
+    tokenized = {d: [t for t in re.findall(TOKEN_PATTERN, t_.lower())
+                     if t not in stop] for d, t_ in docs}
     n = len(tokenized)
     avgdl = sum(len(v) for v in tokenized.values()) / n
     dfs: Counter[str] = Counter()
@@ -1102,6 +1111,8 @@ def bm25_oracle(
         tfs[d] = c
         dfs.update(c.keys())
     pq = _parse_query_full(query)
+    pq.terms -= stop
+    pq.neg_terms -= stop
     terms, prefixes = sorted(pq.terms), sorted(pq.prefixes)
     nterms, nprefixes, qboosts = (sorted(pq.neg_terms),
                                   sorted(pq.neg_prefixes), pq.boosts)
@@ -1211,6 +1222,20 @@ def bm25_phrase_topk(
         raise ValueError(
             f"index at {index_dir!r} has no positional layer — build with "
             "build_index(..., positions=True) to enable phrase queries")
+    # index-time stoplist: stoplisted phrase tokens were never indexed but
+    # surviving tokens keep original positions (gap-preserving analysis).
+    # Drop stoplisted tokens from the chain while keeping the original
+    # span BUDGET: "merge the scan" matches any ordered merge..scan within
+    # span 2 — both "merge X scan" and adjacent "merge scan". This is
+    # span-budget (sloppy-phrase) treatment of the gap, deliberately one
+    # notch looser than Lucene's exact position-increment match; the
+    # brute-force oracle implements the identical rule.
+    _orig_len = len(seq)
+    _stop = set(stats.get("stopwords", []))
+    if _stop:
+        seq = [t for t in seq if t not in _stop]
+        if not seq:
+            return spark.createDataFrame([], out_schema)
     n, avgdl = stats["n_docs"], stats["avgdl"]
     uterms = sorted(set(seq))
     import os as _os
@@ -1281,7 +1306,7 @@ def bm25_phrase_topk(
 
     n_terms = len(uterms)
     seq_local = list(seq)
-    max_span = len(seq) - 1 + max(0, int(slop))
+    max_span = _orig_len - 1 + max(0, int(slop))
 
     @F.pandas_udf("double")
     def phrase_score(parts_col: pd.Series) -> pd.Series:
@@ -1339,24 +1364,34 @@ def bm25_phrase_topk(
 
 def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
                   k: int = 10, slop: int = 0,
-                  keep_ids: set[int] | None = None) -> list[tuple[int, float]]:
+                  keep_ids: set[int] | None = None,
+                  stopwords: set[str] | None = None) -> list[tuple[int, float]]:
     """Single-threaded exact reference for bm25_phrase_topk (same
     tokenizer, same ascending-term float order, same ordered-proximity
     slop semantics — matched by brute force over every start, not the
     greedy chain, so it independently checks the greedy argument).
     keep_ids mirrors doc_filter: restricts the rankable population while
-    corpus stats stay global."""
+    corpus stats stay global. `stopwords` mirrors the index-time
+    stoplist: removed tokens keep their position slot (None — matches
+    nothing) while dl/tf/df count survivors, and stoplisted phrase
+    tokens shrink the chain but not the span budget."""
     import re
 
-    seq = re.findall(TOKEN_PATTERN, phrase.lower())
+    stop = set(stopwords or ())
+    seq_full = re.findall(TOKEN_PATTERN, phrase.lower())
+    seq = [t for t in seq_full if t not in stop]
     if not seq:
         return []
-    tokenized = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in docs}
+    tokenized = {d: [t if t not in stop else None
+                     for t in re.findall(TOKEN_PATTERN, t_.lower())]
+                 for d, t_ in docs}
+    live = {d: [t for t in toks if t is not None]
+            for d, toks in tokenized.items()}
     n = len(tokenized)
-    avgdl = sum(len(v) for v in tokenized.values()) / n
+    avgdl = sum(len(v) for v in live.values()) / n
     dfs: Counter[str] = Counter()
     tfs: dict[int, Counter] = {}
-    for d, toks in tokenized.items():
+    for d, toks in live.items():
         c = Counter(toks)
         tfs[d] = c
         dfs.update(c.keys())
@@ -1367,7 +1402,7 @@ def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
             continue
         if any(dfs.get(t, 0) == 0 or t not in tfs[d] for t in uterms):
             continue
-        max_span = len(seq) - 1 + max(0, int(slop))
+        max_span = len(seq_full) - 1 + max(0, int(slop))
 
         def _matches_from(start: int) -> bool:
             # brute-force DFS over ordered assignments within the span
@@ -1383,7 +1418,7 @@ def phrase_oracle(docs: list[tuple[int, str]], phrase: str,
         if not any(_matches_from(i) for i in range(len(toks))):
             continue
         s = 0.0
-        dl = float(len(toks))
+        dl = float(len(live[d]))
         for t in uterms:
             idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
             tf = float(tfs[d][t])
@@ -1437,8 +1472,9 @@ def bm25_facets(
             f"facets: {bad!r} not docs-metadata columns "
             f"(have {sorted(set(docs.columns) - {'doc_id'})})")
     pq = _parse_query_full(query)
-    terms, prefixes = sorted(pq.terms), sorted(pq.prefixes)
-    nterms, nprefixes = sorted(pq.neg_terms), sorted(pq.neg_prefixes)
+    _stop = set(stats.get("stopwords", []))
+    terms, prefixes = sorted(pq.terms - _stop), sorted(pq.prefixes)
+    nterms, nprefixes = sorted(pq.neg_terms - _stop), sorted(pq.neg_prefixes)
     if (prefixes or pq.fuzzies) and mode == "and":
         raise ValueError(
             "prefix wildcards / fuzzy tokens are not supported with "
@@ -1543,7 +1579,9 @@ def bm25_explain(
         topk_kwargs.pop("doc_filter", None), _scope)
     postings, docs, stats = read_index(spark, index_dir)
     pq = _parse_query_full(query)
-    terms, prefixes, qboosts = sorted(pq.terms), sorted(pq.prefixes), pq.boosts
+    _stop = set(stats.get("stopwords", []))
+    terms, prefixes, qboosts = (sorted(pq.terms - _stop),
+                                sorted(pq.prefixes), pq.boosts)
     explicit_terms = list(terms)
     if prefixes:
         terms = sorted(set(terms) |

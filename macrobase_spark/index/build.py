@@ -357,7 +357,8 @@ def _merge_pos_final(drop_bc=None):
 
 
 def detect_hot_terms(src: DataFrame, sample_frac: float, threshold: int,
-                     doc_id_col: str = "doc_id", text_col: str = "text") -> list[str]:
+                     doc_id_col: str = "doc_id", text_col: str = "text",
+                     stopwords: frozenset | None = None) -> list[str]:
     """Approximate hot-term (heavy-hitter) detection via DOCUMENT sampling —
     the AmortizedMaintenanceCounter role (legacy/.../count/
     AmortizedMaintenanceCounter.java:35-110) re-expressed as a sampled count.
@@ -367,7 +368,7 @@ def detect_hot_terms(src: DataFrame, sample_frac: float, threshold: int,
 
     sampled = src.sample(fraction=min(1.0, sample_frac), seed=1)
     hot = (
-        exploded_postings(sampled, doc_id_col, text_col)
+        exploded_postings(sampled, doc_id_col, text_col, stopwords=stopwords)
         .groupBy("term")
         .count()
         .filter(F.col("count") >= max(1.0, threshold * sample_frac))
@@ -389,6 +390,7 @@ def build_index(
     hot_sample_frac: float = 0.02,
     resume: bool = True,
     positions: bool = False,
+    stopwords: list[str] | None = None,
 ) -> dict:
     """Build the index at `out_dir`; returns the build report (metrics).
 
@@ -402,8 +404,21 @@ def build_index(
     positional-index cost). update_index appends positional segment rows
     for the delta and compact_index merges them, so the layer follows the
     same LSM lifecycle as the main postings.
+
+    `stopwords` is the index-time analyzer stoplist (Lucene StopFilter):
+    matching tokens are dropped BEFORE every stat — they get no postings
+    (the hottest lists simply don't exist, the biggest skew lever at
+    corpus scale), and doc lengths / tf / df / rep_ratio count survivors
+    only. The list is persisted in stats.json; update_index and the
+    query paths read it from there so the analyzer can never diverge
+    between build, maintenance, and querying. In the positional layer,
+    removed tokens leave position GAPS (surviving tokens keep original
+    in-document positions), so a phrase spanning a stopword matches
+    within its original span budget (sloppy-phrase gap treatment — see
+    bm25_phrase_topk).
     """
     spark = df.sparkSession
+    stop = frozenset(w.lower() for w in (stopwords or [])) or None
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.jsonl")
     done: dict[int, dict] = {}
@@ -428,6 +443,17 @@ def build_index(
         # overwrite build: drop the old manifest so its update/compact
         # records can't poison a FUTURE resume over the rebuilt index
         os.remove(manifest_path)
+
+    stats_probe = os.path.join(out_dir, "stats.json")
+    if resume and os.path.exists(stats_probe):
+        with open(stats_probe) as f:
+            _prev_stop = set(json.load(f).get("stopwords", []))
+        if _prev_stop != set(stop or ()):
+            raise ValueError(
+                f"index at {out_dir!r} was built with stopwords "
+                f"{sorted(_prev_stop)!r} but this build passes "
+                f"{sorted(stop or ())!r} — resuming would mix analyzers; "
+                "pass resume=False to rebuild")
 
     t0 = time.time()
     phases: dict[str, float] = {}
@@ -464,7 +490,8 @@ def build_index(
     def _hot():
         try:
             hot_result["terms"] = detect_hot_terms(
-                src, hot_sample_frac, hot_df_threshold, doc_id_col, text_col)
+                src, hot_sample_frac, hot_df_threshold, doc_id_col,
+                text_col, stopwords=stop)
         except Exception as exc:  # surfaced after join
             hot_result["error"] = exc
 
@@ -483,7 +510,7 @@ def build_index(
         # available from the same quantile sketch as the median — so the
         # old dependent second pass (median first, then median of |x−med|)
         # disappears.
-        feats = (turn_features(src, text_col).drop(text_col)
+        feats = (turn_features(src, text_col, stopwords=stop).drop(text_col)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         ll = "log1p(cast(doc_len as double))"
         _tp = time.time()
@@ -535,11 +562,13 @@ def build_index(
                    "len_med": med, "len_mad": mad, "k1": K1, "b": B,
                    "block_size": BLOCK_SIZE, "num_buckets": num_buckets,
                    "version": 1, "salt_partitions": salt_partitions,
+                   "stopwords": sorted(stop or ()),
                    "segmented_buckets": []}, f)
 
     # single fused Arrow pass text → exploded (doc_id, term, tf, dl);
     # persisted only when multiple groups would otherwise re-tokenize
-    postings = exploded_postings(src, doc_id_col, text_col).withColumn(
+    postings = exploded_postings(src, doc_id_col, text_col,
+                                 stopwords=stop).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
     if num_groups > 1:
         postings = postings.persist()
@@ -655,7 +684,8 @@ def build_index(
         pos_root = os.path.join(out_dir, "positions")
         if not (resume and os.path.exists(os.path.join(pos_root, "_SUCCESS"))):
             _tp = time.time()
-            pos_rel = exploded_positional_postings(src, doc_id_col, text_col)
+            pos_rel = exploded_positional_postings(src, doc_id_col,
+                                                   text_col, stopwords=stop)
             pos_salted = pos_rel.withColumn(
                 "salt",
                 F.when(
@@ -995,6 +1025,9 @@ def update_index(
                        os.path.join(out_dir, _UPDATE_INFLIGHT))
         num_buckets = stats["num_buckets"]
         salt_partitions = stats.get("salt_partitions", 8)
+        # the analyzer is an INDEX property: the delta tokenizes with the
+        # stoplist persisted at build time, never a caller-supplied one
+        stop = frozenset(stats.get("stopwords", [])) or None
         version = stats.get("version", 1) + 1
         t0 = time.time()
 
@@ -1009,7 +1042,7 @@ def update_index(
                      if c in df_new.columns and c in base_docs_cols]
         src = df_new.select(doc_id_col, *meta_cols, text_col)
 
-        feats = (turn_features(src, text_col).drop(text_col)
+        feats = (turn_features(src, text_col, stopwords=stop).drop(text_col)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         # O(delta) global stats: the base corpus contributes via the EXACT
         # integer doc-length sum persisted in stats.json (no re-scan of the old
@@ -1054,7 +1087,8 @@ def update_index(
         # both consume this relation — without the pin every update would
         # re-tokenize the whole delta, and a nondeterministic df_new could
         # even write buckets the version gate never stamped stale (r4 review)
-        new_post = (exploded_postings(src, doc_id_col, text_col).withColumn(
+        new_post = (exploded_postings(src, doc_id_col, text_col,
+                                      stopwords=stop).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
             .persist(StorageLevel.MEMORY_AND_DISK))
         touched = [r["bucket"] for r in new_post.select("bucket").distinct().collect()]
@@ -1095,7 +1129,8 @@ def update_index(
                 exploded_positional_postings)
 
             pos_salted = (exploded_positional_postings(src, doc_id_col,
-                                                       text_col)
+                                                       text_col,
+                                                       stopwords=stop)
                           .withColumn(
                 "salt",
                 F.when(

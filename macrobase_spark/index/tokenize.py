@@ -69,9 +69,12 @@ def tokenize_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_tok")
 
 
-def _flat_term_counts(text: pd.Series):
+def _flat_term_counts(text: pd.Series, stopwords: frozenset | None = None):
     """Shared vectorized core: flatten batch tokens, factorize, one np.unique
-    over (row, code) keys → (bounds, urow, ucode, counts, vocab, lens)."""
+    over (row, code) keys → (bounds, urow, ucode, counts, vocab, lens).
+    `stopwords` (the index-time analyzer stoplist) drops matching tokens
+    BEFORE any stat is computed — doc lengths, tf, df, rep_ratio all count
+    surviving tokens only (Lucene StopFilter semantics)."""
     token_lists = text.fillna("").str.lower().str.findall(TOKEN_PATTERN)
     lens = token_lists.str.len().to_numpy(dtype=np.int64)
     n_rows = len(lens)
@@ -79,6 +82,12 @@ def _flat_term_counts(text: pd.Series):
         return None, None, None, None, None, lens
     flat = np.concatenate([np.asarray(x, dtype=object) for x in token_lists])
     row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    if stopwords:
+        keep = ~np.isin(flat, np.asarray(sorted(stopwords), dtype=object))
+        flat, row_idx = flat[keep], row_idx[keep]
+        lens = np.bincount(row_idx, minlength=n_rows)
+        if len(flat) == 0:
+            return None, None, None, None, None, lens
     codes, uniques = pd.factorize(flat)
     vocab = np.asarray(uniques, dtype=object)
     key = row_idx * len(vocab) + codes
@@ -97,27 +106,38 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-@F.pandas_udf(_FEATURES_SCHEMA)
-def turn_features_udf(text: pd.Series) -> pd.DataFrame:
-    """Per-turn features WITHOUT materializing token arrays — the docs-table
-    half of the fused pass (cheap, fully vectorized)."""
-    bounds, _, _, _, _, lens = _flat_term_counts(text)
-    if bounds is None:
+def _turn_features_udf(stopwords: frozenset | None = None):
+    @F.pandas_udf(_FEATURES_SCHEMA)
+    def udf(text: pd.Series) -> pd.DataFrame:
+        bounds, _, _, _, _, lens = _flat_term_counts(text, stopwords)
+        if bounds is None:
+            return pd.DataFrame({"doc_len": lens.astype(np.int32),
+                                 "rep_ratio": np.zeros(len(lens))})
+        n_unique = bounds[1:] - bounds[:-1]
+        rep = np.where(lens > 0, 1.0 - n_unique / np.maximum(lens, 1), 0.0)
         return pd.DataFrame({"doc_len": lens.astype(np.int32),
-                             "rep_ratio": np.zeros(len(lens))})
-    n_unique = bounds[1:] - bounds[:-1]
-    rep = np.where(lens > 0, 1.0 - n_unique / np.maximum(lens, 1), 0.0)
-    return pd.DataFrame({"doc_len": lens.astype(np.int32), "rep_ratio": rep})
+                             "rep_ratio": rep})
+
+    return udf
 
 
-def turn_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("_f", turn_features_udf(F.col(text_col))).select(
+turn_features_udf = _turn_features_udf()
+turn_features_udf.__doc__ = (
+    "Per-turn features WITHOUT materializing token arrays — the "
+    "docs-table half of the fused pass (cheap, fully vectorized).")
+
+
+def turn_features(df: DataFrame, text_col: str = "text",
+                  stopwords: frozenset | None = None) -> DataFrame:
+    udf = _turn_features_udf(stopwords) if stopwords else turn_features_udf
+    return df.withColumn("_f", udf(F.col(text_col))).select(
         "*", "_f.doc_len", "_f.rep_ratio").drop("_f")
 
 
 def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
                       text_col: str = "text",
-                      emit_empty_docs: bool = False) -> DataFrame:
+                      emit_empty_docs: bool = False,
+                      stopwords: frozenset | None = None) -> DataFrame:
     """text → exploded (doc_id, term, tf, dl) in ONE Arrow pass, skipping
     per-row array assembly entirely (the index-build hot path: flat numpy →
     flat output frame, no Python loop over rows OR tokens).
@@ -125,11 +145,14 @@ def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
     emit_empty_docs=True adds a (doc_id, NULL, 0, 0) marker row per token-
     less document so the docs table derived from this relation (the fused
     single-tokenize build) still covers every document; filter
-    `term IS NOT NULL` for the pure postings view."""
+    `term IS NOT NULL` for the pure postings view. `stopwords` drops
+    tokens before any stat (see _flat_term_counts) — a doc whose every
+    token is a stopword counts as token-less."""
 
     def explode(batches):
         for pdf in batches:
-            bounds, urow, ucode, counts, vocab, lens = _flat_term_counts(pdf[text_col])
+            bounds, urow, ucode, counts, vocab, lens = _flat_term_counts(
+                pdf[text_col], stopwords)
             doc_ids = pdf[doc_id_col].to_numpy(np.int64)
             if bounds is None:
                 if emit_empty_docs and len(doc_ids):
@@ -187,12 +210,19 @@ def with_anomaly_score(df: DataFrame, exact: bool = False) -> DataFrame:
 
 
 def exploded_positional_postings(df: DataFrame, doc_id_col: str = "doc_id",
-                                 text_col: str = "text") -> DataFrame:
+                                 text_col: str = "text",
+                                 stopwords: frozenset | None = None
+                                 ) -> DataFrame:
     """text → (doc_id, term, tf, dl, pos array<int>) in one Arrow pass —
     the positional-index feed. Same tokenizer/factorize core as
     exploded_postings, plus each (doc, term)'s ascending token positions,
     extracted with one lexsort over (row, code) keys (no per-token Python).
-    """
+
+    With `stopwords`, dropped tokens leave POSITION GAPS (Lucene
+    StopFilter + position increments): surviving tokens keep their
+    original in-document positions, so a phrase spanning a removed
+    stopword still matches at its original span — while dl/tf count
+    survivors only (consistent with exploded_postings)."""
 
     def explode(batches):
         for pdf in batches:
@@ -209,6 +239,15 @@ def exploded_positional_postings(df: DataFrame, doc_id_col: str = "doc_id",
             row_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
             pos_in_row = np.arange(len(flat), dtype=np.int64) - np.repeat(
                 row_starts, lens)
+            if stopwords:
+                keep = ~np.isin(
+                    flat, np.asarray(sorted(stopwords), dtype=object))
+                flat = flat[keep]
+                row_idx = row_idx[keep]
+                pos_in_row = pos_in_row[keep]  # gaps preserved
+                lens = np.bincount(row_idx, minlength=len(lens))
+                if len(flat) == 0:
+                    continue
             codes2, vocab2 = pd.factorize(flat)
             key = row_idx * len(vocab2) + codes2
             order = np.argsort(key, kind="stable")  # stable → positions

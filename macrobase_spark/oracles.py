@@ -768,6 +768,37 @@ SELECT part, doc_id, score FROM (
   SELECT 'phrase:table table' AS part, doc_id, ROUND(s, 6) AS score FROM ph2
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
+-- r5b stopword analyzer: stoplist ('a','the') — every stat (dl, avgdl,
+-- df) recomputed over the FILTERED token stream; all-stopword docs keep
+-- counting in n_docs with dl 0; the query's 'the' is dropped
+SELECT part, doc_id, score FROM (
+  WITH toksf AS (SELECT doc_id, term FROM toks
+                 WHERE term NOT IN ('a', 'the')),
+  dlf AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toksf
+          GROUP BY doc_id),
+  constsf AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT SUM(dl) FROM dlf)
+                     / (SELECT COUNT(*) FROM documents) AS avgdl),
+  tfs2 AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toksf
+           WHERE term IN ('merge', 'scan', 'row') GROUP BY doc_id, term),
+  dfs2 AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tfs2 GROUP BY term)
+  SELECT 'stop:merge scan row the' AS part, tfs2.doc_id,
+         ROUND(SUM(ln(1.0 + (constsf.n_docs - dfs2.df + 0.5)
+                      / (dfs2.df + 0.5))
+               * (tfs2.tf * 2.2)
+               / (tfs2.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dlf.dl / constsf.avgdl))), 6)
+         AS score
+  FROM tfs2 JOIN dfs2 USING (term) JOIN dlf USING (doc_id), constsf
+  GROUP BY tfs2.doc_id, constsf.n_docs, constsf.avgdl
+  ORDER BY SUM(ln(1.0 + (constsf.n_docs - dfs2.df + 0.5) / (dfs2.df + 0.5))
+               * (tfs2.tf * 2.2)
+               / (tfs2.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dlf.dl / constsf.avgdl))) DESC,
+           tfs2.doc_id ASC
+  LIMIT 10
+) UNION ALL
 -- r5b fuzzy: 'merge~1' = disjunction over every vocabulary term within
 -- 1 edit of 'merge', each with its own idf (same rewrite as prefixes)
 SELECT part, doc_id, score FROM (
