@@ -378,6 +378,40 @@ def detect_hot_terms(src: DataFrame, sample_frac: float, threshold: int,
     return [r["term"] for r in hot]
 
 
+def suggest_stopwords(
+    df: DataFrame,
+    df_frac_threshold: float = 0.4,
+    sample_frac: float = 0.05,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_terms: int = 64,
+) -> list[str]:
+    """Suggest an index-time stoplist from a document sample: terms whose
+    document frequency exceeds `df_frac_threshold` of the sampled docs —
+    the corpus-specific analogue of a hand-curated stopword list (in
+    transcript corpora the role/tool boilerplate tokens, not English
+    function words). Feed the result to build_index(stopwords=...).
+
+    Same sampled pre-pass shape as detect_hot_terms: tokenization touches
+    only sample_frac of the text; the count is per-document (exploded
+    relation is one row per (doc, term)). Returns at most max_terms,
+    most-frequent first (ties by term) — deterministic for a fixed input."""
+    from macrobase_spark.index.tokenize import exploded_postings
+
+    sampled = df.select(doc_id_col, text_col).sample(
+        fraction=min(1.0, sample_frac), seed=1)
+    n = sampled.count()
+    if n == 0:
+        return []
+    rows = (exploded_postings(sampled, doc_id_col, text_col)
+            .groupBy("term").count()
+            .filter(F.col("count") >= df_frac_threshold * n)
+            .orderBy(F.col("count").desc(), F.col("term"))
+            .limit(max_terms)
+            .collect())
+    return [r["term"] for r in rows]
+
+
 def build_index(
     df: DataFrame,
     out_dir: str,

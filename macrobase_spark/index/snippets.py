@@ -174,6 +174,8 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
             .withColumn("index_version", F.lit(sv))
             .withColumn("segmented", F.col("n_rows") > F.col("n_terms"))
             .withColumn("pending_tombstones", F.lit(n_tomb))
+            .withColumn("n_stopwords",
+                        F.lit(len(stats.get("stopwords", []))))
             .withColumn("prunable",
                         (F.col("bucket_version") == F.col("index_version"))
                         & F.lit(n_tomb == 0))

@@ -168,3 +168,31 @@ def test_all_stopword_docs_survive_build(spark, tmp_path):
     got = {r["doc_id"]: r["doc_len"] for r in docs_tbl.collect()}
     assert got == {0: 0, 1: 2, 2: 0}
     assert stats["n_docs"] == 3 and math.isclose(stats["avgdl"], 2 / 3)
+
+
+def test_suggest_stopwords_matches_df_recount(spark):
+    """The suggester returns exactly the terms whose document frequency
+    meets the threshold, most-frequent first — pinned against a python
+    recount of per-document term presence."""
+    from collections import Counter
+
+    from macrobase_spark.index.build import suggest_stopwords
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42))
+    got = suggest_stopwords(df, df_frac_threshold=0.5, sample_frac=1.0)
+    rows = df.select("doc_id", "text").collect()
+    dfs: Counter[str] = Counter()
+    for r in rows:
+        dfs.update(set(re.findall(TOKEN_PATTERN, r["text"].lower())))
+    want = sorted((t for t, c in dfs.items() if c >= 0.5 * len(rows)),
+                  key=lambda t: (-dfs[t], t))
+    assert got == want and got  # non-empty on this corpus (zipf head)
+    assert suggest_stopwords(df.limit(0), sample_frac=1.0) == []
+
+
+def test_index_stats_reports_stoplist_size(spark, stop_corpus):
+    from macrobase_spark.index.snippets import index_stats
+
+    _, out, _, _ = stop_corpus
+    rows = index_stats(spark, out).collect()
+    assert rows and all(r["n_stopwords"] == len(STOP) for r in rows)
