@@ -772,6 +772,24 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge^2 scan", k=10).select(
             F.lit("boost:merge^2 scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5b: sharded search — the corpus split across TWO physical indexes
+    # (doc_id parity), scored with GLOBAL df/avgdl: rank- and score-
+    # identical to the monolithic index, so the oracle is the same
+    # relational BM25 (MultiReader property)
+    from macrobase_spark.index.bm25 import bm25_topk_sharded
+
+    sh = []
+    for par in (0, 1):
+        shd = os.path.join(tempfile.gettempdir(),
+                           f"mb_idxsh{par}_{_cache_key(sf, 'documents')}")
+        if not os.path.exists(os.path.join(shd, "stats.json")):
+            build_index(d.filter(F.col("doc_id") % 2 == par), shd,
+                        num_buckets=4, hot_df_threshold=10 ** 9)
+        sh.append(shd)
+    legs.append(
+        bm25_topk_sharded(spark, sh, "merge scan row", k=10).select(
+            F.lit("shard:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     # r5b: stopword analyzer on its OWN index (the stoplist changes every
     # stat): stopwords=('a','the') → those terms have no postings and
     # dl/avgdl/df count survivors; the oracle recomputes all stats over

@@ -1733,3 +1733,122 @@ def more_like_this(
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
     return hits
+
+
+def bm25_topk_sharded(
+    spark: SparkSession,
+    index_dirs: list[str],
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """Top-k over a corpus SHARDED across several physical indexes
+    (time-partitioned transcript eras, per-tenant shards, rolling
+    windows) — scored with GLOBAL statistics so the ranking is
+    bit-identical to one monolithic index over the union corpus: the
+    Lucene MultiReader / Elasticsearch DFS-query-then-fetch shape.
+
+    Global stats: n_docs and avgdl from the shards' persisted integer
+    counts; per-term df summed across shards by ONE metadata job over
+    the union of the shards' bucket-pruned candidate rows (term+df
+    columns only). Scoring is ONE job over that same union — a doc
+    lives in exactly one shard (caller contract: globally unique
+    doc_ids), so the per-doc ascending-term sum reproduces the
+    monolithic float order exactly (identity pinned in pytest).
+
+    Supports mode='and'/'or', field scopes, exclusions, doc_filter
+    (applied per shard docs table, unioned), stoplists (which must be
+    IDENTICAL across shards — mixing analyzers raises), and pending
+    tombstones per shard. Wildcards / fuzzy / boosts are not supported
+    in v1 — expand them per query via bm25_topk, or pre-expand.
+    Block pruning is disabled (per-shard block-max bounds were computed
+    under per-shard stats)."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if not index_dirs:
+        raise ValueError("index_dirs: pass at least one index")
+    query, _scope = _split_field_scopes(query)
+    doc_filter = _merge_doc_filter(doc_filter, _scope)
+    handles = [read_index(spark, d) for d in index_dirs]
+    stops = [tuple(h[2].get("stopwords", [])) for h in handles]
+    if len(set(stops)) > 1:
+        raise ValueError(
+            "bm25_topk_sharded: shards were built with DIFFERENT "
+            f"stoplists {sorted(set(stops))!r} — global scoring would mix "
+            "analyzers; rebuild with one list")
+    pq = _parse_query_full(query)
+    if pq.prefixes or pq.neg_prefixes or pq.fuzzies or pq.neg_fuzzies \
+            or pq.boosts:
+        raise ValueError(
+            "bm25_topk_sharded: wildcard/fuzzy/boost tokens are not "
+            "supported across shards — pre-expand the query or use "
+            "bm25_topk per shard")
+    _stop = set(stops[0])
+    terms = sorted(pq.terms - _stop)
+    nterms = sorted(pq.neg_terms - _stop)
+    out_schema = "doc_id long, score double"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    n_docs = sum(h[2]["n_docs"] for h in handles)
+    sum_dl = sum(h[2].get("sum_dl",
+                          h[2]["avgdl"] * h[2]["n_docs"]) for h in handles)
+    avgdl = sum_dl / n_docs
+    from macrobase_spark.index.build import tombstone_ids
+    from macrobase_spark.index.xxh64 import term_bucket
+
+    cands, neg_parts, filt_parts, tomb_parts = [], [], [], []
+    for (postings, docs, stats), d in zip(handles, index_dirs):
+        if "num_buckets" in stats:
+            buckets = sorted({term_bucket(t, stats["num_buckets"])
+                              for t in [*terms, *nterms]})
+            postings = postings.filter(F.col("bucket").isin(buckets))
+        cands.append(postings.filter(F.col("term").isin(terms))
+                     .select("term", "df", "blob"))
+        if nterms:
+            neg_parts.append(_term_doc_ids(postings, nterms))
+        if doc_filter is not None:
+            filt_parts.append(
+                docs.filter(F.expr(doc_filter)).select("doc_id"))
+        tomb = tombstone_ids(spark, d)
+        if tomb is not None:
+            tomb_parts.append(tomb)
+    cand_all = cands[0]
+    for c in cands[1:]:
+        cand_all = cand_all.unionByName(c)
+    # ONE global-df metadata job over the union (term+df column pruned)
+    df_rows = cand_all.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    idfs = {r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5)
+                                / (r["df"] + 0.5)) for r in df_rows}
+    # the scorer needs block_max/max_impact columns for its schema; feed
+    # constants that disable pruning (single_term=False, no lambdas)
+    cand_sc = cand_all.withColumn(
+        "max_impact", F.lit(0.0)).withColumn(
+        "block_max", F.array().cast("array<double>"))
+    contrib = cand_sc.mapInPandas(
+        _score_partition(n_docs, avgdl, k, single_term=False, idfs=idfs),
+        schema="doc_id long, term string, contrib double")
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
+            F.count("term").alias("_nt"),
+        )
+    )
+    if mode == "and":
+        scored = scored.filter(F.col("_nt") == len(terms))
+    scored = scored.drop("_nt")
+    for part in neg_parts:
+        scored = scored.join(part, "doc_id", "anti")
+    for part in tomb_parts:
+        scored = scored.join(part, "doc_id", "anti")
+    if filt_parts:
+        keep = filt_parts[0]
+        for p in filt_parts[1:]:
+            keep = keep.unionByName(p)
+        scored = scored.join(keep, "doc_id", "semi")
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -768,6 +768,12 @@ SELECT part, doc_id, score FROM (
   SELECT 'phrase:table table' AS part, doc_id, ROUND(s, 6) AS score FROM ph2
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
+-- r5b sharded search: two physical shards + global stats must reproduce
+-- the monolithic ranking exactly — same scored CTE as the topk leg
+SELECT part, doc_id, score FROM (
+  SELECT 'shard:merge scan row' AS part, doc_id, ROUND(s, 6) AS score
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
 -- r5b stopword analyzer: stoplist ('a','the') — every stat (dl, avgdl,
 -- df) recomputed over the FILTERED token stream; all-stopword docs keep
 -- counting in n_docs with dl 0; the query's 'the' is dropped

@@ -367,3 +367,75 @@ def test_fuzzy_facets_and_guardrails(spark, corpus):
         bm25_topk(spark, out, "tok0001~1 the", k=3, mode="and")
     with pytest.raises(ValueError, match="more than"):
         bm25_topk(spark, out, "tok0001~2", k=3, max_expansions=3)
+
+
+# ------------------------------------------------------- sharded search
+
+@pytest.fixture(scope="module")
+def shards(spark, tmp_path_factory):
+    from macrobase_spark.index.build import build_index
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=40, seed=7)).cache()
+    root = tmp_path_factory.mktemp("shards")
+    full = str(root / "full")
+    s1, s2 = str(root / "s1"), str(root / "s2")
+    build_index(df, full, num_buckets=4, hot_df_threshold=10 ** 9)
+    build_index(df.filter(F.col("doc_id") % 2 == 0), s1, num_buckets=4,
+                hot_df_threshold=10 ** 9)
+    build_index(df.filter(F.col("doc_id") % 2 == 1), s2, num_buckets=2,
+                hot_df_threshold=10 ** 9)
+    return df, full, [s1, s2]
+
+
+def test_sharded_identical_to_monolithic(spark, shards):
+    """Two shards + global stats == one monolithic index, bit-identical
+    ranking (the MultiReader property)."""
+    from macrobase_spark.index.bm25 import bm25_topk_sharded
+
+    _, full, parts = shards
+    for q, kw in [("tok0042 tok0007 the", {}),
+                  ("tok0042 the", {"mode": "and"}),
+                  ("the -tok0042", {}),
+                  ("role:assistant the", {}),
+                  ("tok0001 the", {"doc_filter": "turn_idx > 2"})]:
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk_sharded(spark, parts, q, k=10, **kw).collect()]
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, full, q, k=10, **kw).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), (q, gs, ws)
+        assert got, q
+
+
+def test_sharded_tombstones_and_guardrails(spark, shards):
+    from macrobase_spark.index.build import delete_docs
+    from macrobase_spark.index.bm25 import bm25_topk_sharded
+
+    df, full, parts = shards
+    base = [r["doc_id"] for r in
+            bm25_topk_sharded(spark, parts, "tok0042 the", k=5).collect()]
+    # delete the top hit from whichever shard owns it
+    victim = base[0]
+    delete_docs(spark, parts[victim % 2], [victim])
+    after = [r["doc_id"] for r in
+             bm25_topk_sharded(spark, parts, "tok0042 the", k=5).collect()]
+    assert victim not in after and after
+    with pytest.raises(ValueError, match="wildcard/fuzzy/boost"):
+        bm25_topk_sharded(spark, parts, "tok00* the", k=5)
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk_sharded(spark, [], "the", k=5)
+
+
+def test_sharded_rejects_mixed_stoplists(spark, tmp_path):
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk_sharded
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=10, seed=3))
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(df.filter(F.col("doc_id") % 2 == 0), a, num_buckets=2,
+                hot_df_threshold=10 ** 9)
+    build_index(df.filter(F.col("doc_id") % 2 == 1), b, num_buckets=2,
+                hot_df_threshold=10 ** 9, stopwords=["the"])
+    with pytest.raises(ValueError, match="DIFFERENT\\s+stoplists"):
+        bm25_topk_sharded(spark, [a, b], "tok0001", k=3)
