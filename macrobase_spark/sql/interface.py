@@ -197,7 +197,13 @@ class MacroBaseSQL:
 
         The SEARCH relation has columns (doc_id, score), ranked by BM25
         over the index (k defaults to 10); it stays a lazy DataFrame, so
-        joins/filters around it plan normally."""
+        joins/filters around it plan normally.
+
+        `index_dir` may be a LIST of index directories: SEARCH then runs
+        bm25_topk_sharded over them with global statistics (rank-
+        identical to a monolithic index; see its docstring). Sharded
+        attachments support the plain query form plus MATCH/FILTER and
+        field scopes — phrase/SNIPPET/SORT/FACETS/ANOMALY_* raise."""
         self._indexes[name] = index_dir
 
     def execute(self, text: str) -> DataFrame | None:
@@ -356,6 +362,24 @@ class MacroBaseSQL:
                     slop = int(float(om.group("val")))
             phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
             view = self._fresh_view("search")
+            target = self._indexes[name]
+            if isinstance(target, (list, tuple)):
+                if (phrase or snippet_view is not None
+                        or sort_spec is not None or facet_spec is not None
+                        or anomaly_max is not None or anomaly_weight
+                        or slop is not None):
+                    raise ValueError(
+                        "SEARCH over a sharded attachment supports the "
+                        "plain query form plus MATCH/FILTER and field "
+                        "scopes — not phrase/SNIPPET/SORT/FACETS/"
+                        "ANOMALY_*/SLOP")
+                from macrobase_spark.index.bm25 import bm25_topk_sharded
+
+                bm25_topk_sharded(
+                    self.spark, list(target), q, k=k,
+                    mode="and" if match == "ALL" else "or",
+                    doc_filter=doc_filter).createOrReplaceTempView(view)
+                return view
             if facet_spec is not None:
                 if (phrase or snippet_view is not None
                         or sort_spec is not None

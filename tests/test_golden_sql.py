@@ -531,3 +531,39 @@ def test_search_sort_facets_and_scopes(spark, tmp_path):
     with pytest.raises(ValueError, match="SORT applies"):
         mb.execute("SELECT * FROM SEARCH(tr, '\"the the\"', 5, "
                    "SORT='turn_idx desc') s;")
+
+
+def test_search_sharded_attachment(spark, tmp_path):
+    """attach_index(name, [dir1, dir2]): SEARCH routes to
+    bm25_topk_sharded (global stats — identical to a monolithic index);
+    unsupported option combos fail loudly."""
+    from pyspark.sql import functions as F
+
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=30, seed=42)).cache()
+    full = str(tmp_path / "m_full")
+    s1, s2 = str(tmp_path / "m_s1"), str(tmp_path / "m_s2")
+    build_index(t, full, num_buckets=4, hot_df_threshold=10 ** 9)
+    build_index(t.filter(F.col("doc_id") % 2 == 0), s1, num_buckets=2,
+                hot_df_threshold=10 ** 9)
+    build_index(t.filter(F.col("doc_id") % 2 == 1), s2, num_buckets=2,
+                hot_df_threshold=10 ** 9)
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", [s1, s2])
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'role:assistant tok0042 the', 6, "
+        "MATCH=ANY) s;").collect()
+    want = bm25_topk(spark, full, "tok0042 the", k=6,
+                     doc_filter="role = 'assistant'").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got
+    with pytest.raises(ValueError, match="sharded attachment"):
+        mb.execute("SELECT * FROM SEARCH(tr, '\"a b\"', 5) s;")
+    with pytest.raises(ValueError, match="sharded attachment"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'the', 5, FACETS='role') s;")
