@@ -619,14 +619,27 @@ def q20_window_sessionize(spark, sf):
 
 
 def q21_ngram_jaccard(spark, sf):
-    """Exact 3-gram Jaccard near-dup pairs over a document subset (§ dedup)."""
+    """Composite n-gram gate: exact 2-gram Jaccard near-dup pairs over a
+    document subset (§ dedup) PLUS (r5b) train/eval decontamination — the
+    13-gram-collision rule at n=6 over (train: doc_id<200, eval:
+    doc_id<10 ⊆ train, so every eval doc leaks into itself at overlap
+    1.0 plus chance collisions); the oracle recomputes shared-distinct-
+    shingle counts and overlap fractions in DuckDB."""
     from macrobase_spark.pipelines import ngram_jaccard_pairs
+    from macrobase_spark.pipelines.decontam import find_contamination
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.05)
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.05).select(
+        F.lit("jac").alias("part"), "id_a", "id_b",
+        F.round("jaccard", 6).alias("metric"))
+    train = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    ev = _t(spark, sf, "documents").filter(F.col("doc_id") < 10)
+    cont = find_contamination(train, ev, n=6).select(
+        F.lit("contam").alias("part"),
+        F.col("train_id").alias("id_a"),
+        F.col("eval_id").alias("id_b"),
+        F.round("overlap", 6).alias("metric"))
+    return pairs.unionByName(cont).orderBy("part", "id_a", "id_b")
 
 
 def q22_diff_mean(spark, sf):

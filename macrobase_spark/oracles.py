@@ -527,14 +527,44 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS DOUBLE) AS i
   FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT 'jac' AS part, id_a, id_b,
+         ROUND(i / (sa.sz + sb.sz - i), 6) AS metric
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.05
+),
+-- r5b decontamination leg: 6-gram collision rule, train doc_id<200,
+-- eval doc_id<10 (a subset of train); shared = distinct shared
+-- shingles, overlap = shared / eval doc's distinct-shingle count
+td AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 200),
+tsh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 6
+              THEN list_distinct(list_transform(range(0, len(toks) - 6 + 1),
+                                 i -> array_to_string(toks[i + 1 : i + 6], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM td
+),
+te AS (SELECT doc_id AS train_id, unnest(shs) AS sh FROM tsh),
+ee AS (SELECT doc_id AS eval_id, unnest(shs) AS sh FROM tsh
+       WHERE doc_id < 10),
+esz AS (SELECT eval_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM ee
+        GROUP BY eval_id),
+cinter AS (SELECT train_id, eval_id, COUNT(*) AS shared
+           FROM te JOIN ee USING (sh) GROUP BY train_id, eval_id),
+contam AS (
+  SELECT 'contam' AS part, train_id AS id_a, eval_id AS id_b,
+         ROUND(shared / esz.sz, 6) AS metric
+  FROM cinter JOIN esz USING (eval_id)
+  WHERE shared >= 1
 )
-SELECT id_a, id_b,
-       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sz sa ON sa.doc_id = id_a
-JOIN sz sb ON sb.doc_id = id_b
-WHERE i / (sa.sz + sb.sz - i) >= 0.05
-ORDER BY id_a, id_b
+SELECT part, id_a, id_b, metric FROM jac
+UNION ALL
+SELECT part, id_a, id_b, metric FROM contam
+ORDER BY part, id_a, id_b
 """
 
 ORACLES["q22_diff_mean"] = """

@@ -18,3 +18,5 @@ from macrobase_spark.pipelines.similarity import (  # noqa: F401
     lsh_query,
 )
 from macrobase_spark.pipelines.runner import run_pipeline  # noqa: F401
+from macrobase_spark.pipelines.decontam import (  # noqa: F401
+    find_contamination, drop_contaminated)

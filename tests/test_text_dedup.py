@@ -935,3 +935,76 @@ def test_dedup_clusters_checkpoint_dir(spark, tmp_path):
     assert {r["cluster_id"] for r in got} == {0}
     found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
     assert found, "no reliable checkpoint files written under checkpoint_dir"
+
+
+# ------------------------------------------------------- decontamination
+
+def test_find_contamination_13gram_rule(spark):
+    """Classic any-13-gram-collision rule, pinned against a python
+    recount: shared counts, eval sizes, overlap fractions exact."""
+    import re
+
+    from macrobase_spark.pipelines.decontam import (drop_contaminated,
+                                                    find_contamination)
+
+    leak = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet grey town tonight")
+    train_rows = [
+        (0, "clean document about spark joins and shuffles with "
+            "nothing shared beyond ordinary words"),
+        (1, f"prefix text then {leak} and a suffix"),
+        (2, f"{leak}"),
+        (3, "short one"),
+    ]
+    eval_rows = [
+        (100, f"eval question contains {leak} exactly"),
+        (101, "totally unrelated eval item about databases and btrees"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {(r["train_id"], r["eval_id"]): (r["shared"], r["eval_sz"],
+                                           r["overlap"])
+           for r in find_contamination(train, ev, n=13).collect()}
+
+    def sh13(t):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        if len(toks) < 13:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 13]) for i in range(len(toks) - 12)}
+
+    want = {}
+    for tid, tt in train_rows:
+        for eid, et in eval_rows:
+            shared = len(sh13(tt) & sh13(et))
+            if shared >= 1:
+                want[(tid, eid)] = (shared, len(sh13(et)),
+                                    shared / len(sh13(et)))
+    assert set(got) == set(want) and want
+    for k, (s, z, o) in want.items():
+        gs, gz, go = got[k]
+        assert (gs, gz) == (s, z) and abs(go - o) < 1e-12, k
+    # docs 1 and 2 leak into eval 100; 0 and 3 are clean
+    assert {t for t, _ in got} == {1, 2}
+
+    clean = drop_contaminated(train, ev, n=13)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [0, 3]
+
+
+def test_contamination_thresholds_and_hot_guard(spark):
+    from macrobase_spark.pipelines.decontam import find_contamination
+
+    boiler = "standard header text repeated across every training document here now"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail") for i in range(6)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(0, boiler)], "doc_id long, text string")
+    # the boilerplate shingle hits every train doc → hot guard drops it
+    got = find_contamination(train, ev, n=10, max_train_df=3).collect()
+    assert got == []
+    # without the guard the same call flags everything
+    got2 = find_contamination(train, ev, n=10, max_train_df=10 ** 9).collect()
+    assert len(got2) == 6
+    # min_overlap filters partial matches
+    got3 = find_contamination(train, ev, n=10, max_train_df=10 ** 9,
+                              min_overlap=2.0).collect()
+    assert got3 == []
