@@ -8,5 +8,7 @@ from macrobase_spark.index.build import (build_index, delete_docs,  # noqa: F401
                                          read_index, suggest_stopwords)
 from macrobase_spark.index.bm25 import (bm25_topk, bm25_oracle,  # noqa: F401
                                         bm25_facets, bm25_explain,
-                                        more_like_this, bm25_topk_sharded)
+                                        more_like_this, bm25_topk_sharded,
+                                        bm25_phrase_topk,
+                                        bm25_phrase_topk_batch)
 from macrobase_spark.index.snippets import highlight_topk, index_stats  # noqa: F401

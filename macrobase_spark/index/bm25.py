@@ -1852,3 +1852,160 @@ def bm25_topk_sharded(
             keep = keep.unionByName(p)
         scored = scored.join(keep, "doc_id", "semi")
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def bm25_phrase_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: dict[str, str] | list[str],
+    k: int = 10,
+    slop: int = 0,
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """Top-k for MANY phrase queries in one positional scan — the batch
+    twin of bm25_phrase_topk (same span-budget semantics, same
+    ascending-term scores, pytest-pinned bit-identical per query):
+    one bucket/row-group-pruned decode over the union of every phrase's
+    terms, one per-doc gather, then a vectorized verify that evaluates
+    every phrase whose terms a document carries. Returns (query_id,
+    doc_id, score, rank).
+
+    Candidate pre-filtering (the single path's rarest-term doc set) is
+    skipped — the batch amortizes one full decode of the union terms
+    across all phrases, which is the serving shape when phrases share
+    vocabulary. slop and doc_filter apply to every phrase in the batch."""
+    import re
+
+    from pyspark.sql import Window as W
+
+    from macrobase_spark.index.codec import decode_positional
+
+    if isinstance(phrases, list):
+        phrases = {str(i): p for i, p in enumerate(phrases)}
+    out_schema = "query_id string, doc_id long, score double, rank int"
+    _, docs, stats = read_index(spark, index_dir)
+    if not stats.get("has_positions"):
+        raise ValueError(
+            f"index at {index_dir!r} has no positional layer — build with "
+            "build_index(..., positions=True) to enable phrase queries")
+    _stop = set(stats.get("stopwords", []))
+    seqs: dict[str, list[str]] = {}
+    spans: dict[str, int] = {}
+    for qid, p in phrases.items():
+        seq_full = re.findall(TOKEN_PATTERN, p.lower())
+        seq = [t for t in seq_full if t not in _stop]
+        if seq:
+            seqs[qid] = seq
+            spans[qid] = len(seq_full) - 1 + max(0, int(slop))
+    if not seqs:
+        return spark.createDataFrame([], out_schema)
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    all_terms = sorted({t for s in seqs.values() for t in s})
+    import os as _os
+
+    pos_df = spark.read.parquet(_os.path.join(index_dir, "positions"))
+    from macrobase_spark.index.xxh64 import term_bucket
+
+    buckets = sorted({term_bucket(t, stats["num_buckets"])
+                      for t in all_terms})
+    pos_df = (pos_df.filter(F.col("bucket").isin(buckets))
+              .filter(F.col("term").isin(all_terms)))
+    meta = pos_df.select("term", "df").collect()
+    dfs: dict[str, int] = {}
+    for r in meta:
+        dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+    # a phrase with an unindexed term can never match — drop it up front
+    live = {qid: s for qid, s in seqs.items()
+            if all(t in dfs for t in s)}
+    if not live:
+        return spark.createDataFrame([], out_schema)
+    idf = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+           for t, d in dfs.items()}
+
+    def decode_score(batches):
+        for pdf in batches:
+            frames = []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                ids, tfs, dls, flat = decode_positional(blob)
+                if len(ids) == 0:
+                    continue
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                contrib = idf[term] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl))
+                starts = np.concatenate(
+                    ([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+                frames.append(pd.DataFrame({
+                    "doc_id": ids.astype(np.int64),
+                    "term": term,
+                    "contrib": contrib,
+                    "pos": [flat[s:s + int(t_)].astype(np.int32).tolist()
+                            for s, t_ in zip(starts, tfs)],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    parts = pos_df.select("term", "blob").mapInPandas(
+        decode_score,
+        schema="doc_id long, term string, contrib double, pos array<int>")
+    gathered = parts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("term", "contrib", "pos")).alias("parts"))
+
+    live_local = {qid: list(s) for qid, s in live.items()}
+    spans_local = dict(spans)
+
+    def verify(pdf_iter):
+        for pdf in pdf_iter:
+            out_q, out_d, out_s = [], [], []
+            for doc_id, plist in zip(pdf["doc_id"], pdf["parts"]):
+                by_term = {p["term"]: p for p in plist}
+                for qid, seq_local in live_local.items():
+                    pos_sets = {}
+                    ok = True
+                    for t in set(seq_local):
+                        if t not in by_term:
+                            ok = False
+                            break
+                        pos_sets[t] = np.asarray(by_term[t]["pos"],
+                                                 dtype=np.int64)
+                    if not ok:
+                        continue
+                    starts = pos_sets[seq_local[0]]
+                    cur = starts
+                    alive = np.ones(len(starts), dtype=bool)
+                    for j in range(1, len(seq_local)):
+                        nxt = pos_sets[seq_local[j]]
+                        idx = np.searchsorted(nxt, cur, side="right")
+                        alive &= idx < len(nxt)
+                        if not alive.any():
+                            break
+                        cur = nxt[np.minimum(idx, len(nxt) - 1)]
+                    if not (alive
+                            & (cur - starts <= spans_local[qid])).any():
+                        continue
+                    s = 0.0
+                    for t in sorted(set(seq_local)):
+                        s += float(by_term[t]["contrib"])
+                    out_q.append(qid)
+                    out_d.append(int(doc_id))
+                    out_s.append(s)
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q, "doc_id": out_d,
+                                    "score": out_s})
+
+    scored = gathered.mapInPandas(
+        verify, schema="query_id string, doc_id long, score double")
+    from macrobase_spark.index.build import tombstone_ids
+
+    tomb = tombstone_ids(spark, index_dir)
+    if tomb is not None:
+        scored = scored.join(tomb, "doc_id", "anti")
+    if doc_filter is not None:
+        scored = scored.join(
+            docs.filter(F.expr(doc_filter)).select("doc_id"),
+            "doc_id", "semi")
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))

@@ -236,3 +236,41 @@ def test_phrase_doc_filter_rank_identity(spark, pos_index):
     assert [g[0] for g in got] == [w[0] for w in want]
     assert all(abs(g[1] - w[1]) < 1e-12 for g, w in zip(got, want))
     assert all(d in keep for d, _ in got)
+
+
+def test_phrase_batch_matches_single(spark, tmp_path):
+    """bm25_phrase_topk_batch: every query's (doc_id, score) sequence is
+    bit-identical to the single-phrase path; unindexed-term phrases and
+    stoplisted-away phrases return nothing; slop/doc_filter apply
+    batch-wide."""
+    from pyspark.sql import functions as F
+
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.bm25 import (bm25_phrase_topk,
+                                            bm25_phrase_topk_batch)
+    from macrobase_spark.index.build import build_index
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=40, seed=42)).cache()
+    out = str(tmp_path / "phb_idx")
+    build_index(t, out, num_buckets=4, hot_df_threshold=10 ** 9,
+                positions=True)
+    qs = {"a": "tok0000 tok0000", "b": "the call", "c": "merge zzz gone",
+          "d": "tok0001 tok0000"}
+    batch = bm25_phrase_topk_batch(spark, out, qs, k=6).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, p in qs.items():
+        single = [(r["doc_id"], r["score"]) for r in
+                  bm25_phrase_topk(spark, out, p, k=6).collect()]
+        assert by_q.get(qid, []) == single, qid
+    assert by_q.get("a") and "c" not in by_q
+    # slop + doc_filter compose batch-wide, still identical per query
+    batch2 = bm25_phrase_topk_batch(
+        spark, out, {"a": "the the"}, k=6, slop=2,
+        doc_filter="role = 'assistant'").collect()
+    single2 = [(r["doc_id"], r["score"]) for r in
+               bm25_phrase_topk(spark, out, "the the", k=6, slop=2,
+                                doc_filter="role = 'assistant'").collect()]
+    assert [(r["doc_id"], r["score"]) for r in
+            sorted(batch2, key=lambda r: r["rank"])] == single2
