@@ -173,28 +173,39 @@ def _expand_prefixes(postings: DataFrame, prefixes: list[str],
 # charset (no quotes), so inlining into the SQL predicate is injection-safe.
 _SCOPE_FIELDS = ("conv_id", "role", "tool")
 _FIELD_SCOPE_RE = _re.compile(
-    r"(?:^|(?<=\s))(" + "|".join(_SCOPE_FIELDS) + r"):([A-Za-z0-9_.\-]+)")
+    r"(?:^|(?<=\s))(-?)(" + "|".join(_SCOPE_FIELDS) +
+    r"):([A-Za-z0-9_.\-]+)")
 
 
 def _split_field_scopes(q: str) -> tuple[str, str | None]:
     """Strip `field:value` tokens from the query and render them as a SQL
     predicate over the docs metadata: same-field values OR together
     (role:user role:tool = either), distinct fields AND (Lucene's implicit
-    per-field disjunction under a conjunctive filter)."""
+    per-field disjunction under a conjunctive filter). `-field:value`
+    negates (MUST_NOT the scope): same-field negatives AND together as a
+    NOT IN — a NULL metadata value never matches a positive scope and
+    never survives a negative one (SQL three-valued logic is deliberately
+    NOT papered over; transcripts carry NULL tool for non-tool turns)."""
     scopes: dict[str, set[str]] = {}
+    neg_scopes: dict[str, set[str]] = {}
 
     def _take(m: "_re.Match[str]") -> str:
-        scopes.setdefault(m.group(1).lower(), set()).add(m.group(2))
+        target = neg_scopes if m.group(1) else scopes
+        target.setdefault(m.group(2).lower(), set()).add(m.group(3))
         return ""
 
     stripped = _FIELD_SCOPE_RE.sub(_take, q)
-    if not scopes:
+    if not scopes and not neg_scopes:
         return q, None
     preds = []
     for f in sorted(scopes):
         vs = sorted(scopes[f])
         preds.append(f"{f} = '{vs[0]}'" if len(vs) == 1 else
                      f"{f} IN (" + ", ".join(f"'{v}'" for v in vs) + ")")
+    for f in sorted(neg_scopes):
+        vs = sorted(neg_scopes[f])
+        preds.append(f"{f} <> '{vs[0]}'" if len(vs) == 1 else
+                     f"{f} NOT IN (" + ", ".join(f"'{v}'" for v in vs) + ")")
     return stripped, " AND ".join(preds)
 
 

@@ -439,3 +439,25 @@ def test_sharded_rejects_mixed_stoplists(spark, tmp_path):
                 hot_df_threshold=10 ** 9, stopwords=["the"])
     with pytest.raises(ValueError, match="DIFFERENT\\s+stoplists"):
         bm25_topk_sharded(spark, [a, b], "tok0001", k=3)
+
+
+def test_negative_field_scope(spark, corpus):
+    """-role:user excludes the scope (NOT the term 'role'): equals an
+    explicit <> filter; NULL metadata never survives the negative (SQL
+    three-valued logic, documented)."""
+    _, out, _, _ = corpus
+    got = bm25_topk(spark, out, "-role:user tok0042 the", k=10).collect()
+    want = bm25_topk(spark, out, "tok0042 the", k=10,
+                     doc_filter="role <> 'user'").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    assert got
+    # mixed positive + negative across fields
+    got2 = bm25_topk(spark, out, "role:assistant -tool:sql the",
+                     k=10).collect()
+    want2 = bm25_topk(spark, out, "the", k=10,
+                      doc_filter="role = 'assistant' AND tool <> 'sql'"
+                      ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got2] == \
+           [(r["doc_id"], r["score"]) for r in want2]
+    assert got2
