@@ -1443,10 +1443,11 @@ def bm25_facets(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    facets: list[str],
+    facets: list[str] | None = None,
     mode: str = "or",
     doc_filter: str | None = None,
     max_expansions: int = 128,
+    ranges: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """Facet counts over ALL matching documents (not just the top-k) —
     the Lucene/Elasticsearch faceting shape: for each facet column (a
@@ -1469,15 +1470,34 @@ def bm25_facets(
 
     Returns (facet string, value string, doc_count long), ordered by
     (facet, doc_count desc, value) with '__total__' first. NULL metadata
-    values count under the '(null)' bucket."""
+    values count under the '(null)' bucket.
+
+    `ranges` adds numeric range facets (Lucene range faceting) over
+    numeric docs columns (anomaly, doc_len, turn_idx, …): for
+    ``ranges={"anomaly": [0, 0.25, 0.5, 1.0]}`` each matching doc counts
+    into its half-open bucket ``[lo,hi)`` (the LAST bucket is closed —
+    ``[lo,hi]`` — so the top boundary value is not silently dropped);
+    values outside every bucket land in '(out)', NULLs in '(null)'.
+    Bucket labels render with 6-digit precision stripped of trailing
+    zeros."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    if not facets:
-        raise ValueError("facets: pass at least one docs metadata column")
+    facets = facets or []
+    ranges = ranges or {}
+    if not facets and not ranges:
+        raise ValueError(
+            "facets: pass at least one docs metadata column (facets=) "
+            "or numeric range spec (ranges=)")
+    for col, edges in ranges.items():
+        if len(edges) < 2 or sorted(edges) != list(edges)                 or len(set(edges)) != len(edges):
+            raise ValueError(
+                f"ranges[{col!r}]: need >= 2 strictly increasing edges, "
+                f"got {edges!r}")
     query, _scope = _split_field_scopes(query)
     doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
-    bad = [c for c in facets if c not in docs.columns or c == "doc_id"]
+    bad = [c for c in [*facets, *ranges]
+           if c not in docs.columns or c == "doc_id"]
     if bad:
         raise ValueError(
             f"facets: {bad!r} not docs-metadata columns "
@@ -1541,16 +1561,36 @@ def bm25_facets(
         matched = matched.join(
             docs.filter(F.expr(doc_filter)).select("doc_id"),
             "doc_id", "semi")
-    fcols = list(dict.fromkeys(facets))
+    fcols = list(dict.fromkeys([*facets, *ranges]))
     meta = matched.join(docs.select("doc_id", *fcols), "doc_id")
     parts = [matched.agg(F.count("*").alias("doc_count")).select(
         F.lit("__total__").alias("facet"), F.lit("").alias("value"),
         "doc_count")]
-    for f in fcols:
+    for f in dict.fromkeys(facets):
         parts.append(
             meta.groupBy(
                 F.coalesce(F.col(f).cast("string"), F.lit("(null)"))
                 .alias("value"))
+            .agg(F.count("*").alias("doc_count"))
+            .select(F.lit(f).alias("facet"), "value", "doc_count"))
+
+    def _edge(x: float) -> str:
+        s = f"{float(x):.6f}".rstrip("0").rstrip(".")
+        return s if s else "0"
+
+    for f, edges in ranges.items():
+        c = F.col(f).cast("double")
+        lab = F.when(c.isNull(), F.lit("(null)"))
+        for lo, hi in zip(edges, edges[1:]):
+            label = f"[{_edge(lo)},{_edge(hi)}" + (
+                "]" if hi == edges[-1] else ")")
+            cond = ((c >= float(lo)) & (c <= float(hi))
+                    if hi == edges[-1] else
+                    (c >= float(lo)) & (c < float(hi)))
+            lab = lab.when(cond, F.lit(label))
+        lab = lab.otherwise(F.lit("(out)"))
+        parts.append(
+            meta.groupBy(lab.alias("value"))
             .agg(F.count("*").alias("doc_count"))
             .select(F.lit(f).alias("facet"), "value", "doc_count"))
     out = parts[0]

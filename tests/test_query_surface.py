@@ -461,3 +461,46 @@ def test_negative_field_scope(spark, corpus):
     assert [(r["doc_id"], r["score"]) for r in got2] == \
            [(r["doc_id"], r["score"]) for r in want2]
     assert got2
+
+
+def test_range_facets_match_python_recount(spark, corpus):
+    """ranges= numeric facets: half-open buckets, closed last bucket,
+    (out)/(null) handling — recounted in python over the match set."""
+    df, out, docs, meta = corpus
+    anom = {r["doc_id"]: (r["anomaly"], r["turn_idx"]) for r in
+            spark.read.parquet(out + "/docs.parquet")
+            .select("doc_id", "anomaly", "turn_idx").collect()}
+    got = {(r["facet"], r["value"]): r["doc_count"] for r in
+           bm25_facets(spark, out, "tok0042 the",
+                       ranges={"anomaly": [0.0, 0.25, 0.5, 1.0],
+                               "turn_idx": [0, 3, 6]}).collect()}
+    matched = _match_ids(docs, "tok0042 the")
+    assert got[("__total__", "")] == len(matched)
+
+    def bucket(v, edges):
+        if v is None:
+            return "(null)"
+        for lo, hi in zip(edges, edges[1:]):
+            last = hi == edges[-1]
+            if (lo <= v <= hi) if last else (lo <= v < hi):
+                def e(x):
+                    s = f"{float(x):.6f}".rstrip("0").rstrip(".")
+                    return s or "0"
+                return f"[{e(lo)},{e(hi)}" + ("]" if last else ")")
+        return "(out)"
+
+    from collections import Counter
+
+    want_a = Counter(bucket(anom[d][0], [0.0, 0.25, 0.5, 1.0])
+                     for d in matched)
+    want_t = Counter(bucket(anom[d][1], [0, 3, 6]) for d in matched)
+    for v, c in want_a.items():
+        assert got[("anomaly", v)] == c, v
+    for v, c in want_t.items():
+        assert got[("turn_idx", v)] == c, v
+    # turn_idx beyond 6 lands in (out)
+    assert ("turn_idx", "(out)") in got
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bm25_facets(spark, out, "the", ranges={"anomaly": [1.0, 0.0]})
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_facets(spark, out, "the")
