@@ -504,3 +504,41 @@ def test_range_facets_match_python_recount(spark, corpus):
         bm25_facets(spark, out, "the", ranges={"anomaly": [1.0, 0.0]})
     with pytest.raises(ValueError, match="at least one"):
         bm25_facets(spark, out, "the")
+
+
+def test_randomized_micro_syntax_rank_identity(spark, corpus):
+    """Seeded random sweep over the query micro-syntax surface: random
+    combinations of plain terms, exclusions, prefix wildcards, boosts,
+    and fuzzy tokens must stay rank+score identical to the pure-Python
+    oracle (both engines parse independently)."""
+    import random
+
+    _, out, docs, _ = corpus
+    rng = random.Random(2026)
+    vocab = ["tok0001", "tok0042", "tok0007", "the", "rare7",
+             "tok0100", "call", "tok0009"]
+    n_checked = 0
+    for _trial in range(14):
+        toks = []
+        for _ in range(rng.randint(1, 4)):
+            t = rng.choice(vocab)
+            deco = rng.random()
+            if deco < 0.15:
+                t = "-" + t
+            elif deco < 0.30:
+                # prefix long enough to stay under max_expansions
+                t = (t[:6] if len(t) > 6 else t) + "*"
+            elif deco < 0.45:
+                t = f"{t}^{rng.choice(['1.5', '2', '3'])}"
+            elif deco < 0.55:
+                t = t + "~1"
+            toks.append(t)
+        q = " ".join(toks)
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, q, k=8).collect()]
+        want = bm25_oracle(docs, q, k=8)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), q
+        n_checked += 1 if got else 0
+    assert n_checked >= 8  # the sweep must mostly produce non-empty hits
