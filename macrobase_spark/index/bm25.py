@@ -1448,6 +1448,7 @@ def bm25_facets(
     doc_filter: str | None = None,
     max_expansions: int = 128,
     ranges: dict[str, list[float]] | None = None,
+    metrics: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Facet counts over ALL matching documents (not just the top-k) —
     the Lucene/Elasticsearch faceting shape: for each facet column (a
@@ -1479,7 +1480,13 @@ def bm25_facets(
     ``[lo,hi]`` — so the top boundary value is not silently dropped);
     values outside every bucket land in '(out)', NULLs in '(null)'.
     Bucket labels render with 6-digit precision stripped of trailing
-    zeros."""
+    zeros.
+
+    `metrics` adds numeric aggregations over each bucket (and the
+    __total__ row) — the Elasticsearch sub-aggregation shape:
+    ``metrics={"anomaly": ["avg", "max"]}`` appends `anomaly_avg` /
+    `anomaly_max` columns computed over the matching docs in each
+    bucket (fns: avg, min, max, sum)."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     facets = facets or []
@@ -1488,6 +1495,14 @@ def bm25_facets(
         raise ValueError(
             "facets: pass at least one docs metadata column (facets=) "
             "or numeric range spec (ranges=)")
+    _METRIC_FNS = ("avg", "min", "max", "sum")
+    metrics = metrics or {}
+    for col, fns in metrics.items():
+        bad_fns = [f for f in fns if f not in _METRIC_FNS]
+        if bad_fns:
+            raise ValueError(
+                f"metrics[{col!r}]: unsupported fn(s) {bad_fns!r} — "
+                f"supported: {_METRIC_FNS}")
     for col, edges in ranges.items():
         if len(edges) < 2 or sorted(edges) != list(edges)                 or len(set(edges)) != len(edges):
             raise ValueError(
@@ -1496,7 +1511,7 @@ def bm25_facets(
     query, _scope = _split_field_scopes(query)
     doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
-    bad = [c for c in [*facets, *ranges]
+    bad = [c for c in [*facets, *ranges, *metrics]
            if c not in docs.columns or c == "doc_id"]
     if bad:
         raise ValueError(
@@ -1529,7 +1544,9 @@ def bm25_facets(
             t for ts in _expand_fuzzy(postings, pq.neg_fuzzies,
                                       max_expansions).values()
             for t in ts})
-    out_schema = "facet string, value string, doc_count long"
+    out_schema = "facet string, value string, doc_count long" + "".join(
+        f", {col}_{fn} double"
+        for col, fns in sorted(metrics.items()) for fn in fns)
     if not terms:
         return spark.createDataFrame([], out_schema)
     if "num_buckets" in stats:
@@ -1561,18 +1578,27 @@ def bm25_facets(
         matched = matched.join(
             docs.filter(F.expr(doc_filter)).select("doc_id"),
             "doc_id", "semi")
-    fcols = list(dict.fromkeys([*facets, *ranges]))
+    fcols = list(dict.fromkeys([*facets, *ranges, *metrics]))
     meta = matched.join(docs.select("doc_id", *fcols), "doc_id")
-    parts = [matched.agg(F.count("*").alias("doc_count")).select(
+    aggs = [F.count("*").alias("doc_count")]
+    mcols = []
+    for col, fns in sorted(metrics.items()):
+        for fn in fns:
+            name = f"{col}_{fn}"
+            aggs.append(getattr(F, fn)(F.col(col).cast("double"))
+                        .alias(name))
+            mcols.append(name)
+    parts = [meta.agg(*aggs).select(
         F.lit("__total__").alias("facet"), F.lit("").alias("value"),
-        "doc_count")]
+        "doc_count", *mcols)]
     for f in dict.fromkeys(facets):
         parts.append(
             meta.groupBy(
                 F.coalesce(F.col(f).cast("string"), F.lit("(null)"))
                 .alias("value"))
-            .agg(F.count("*").alias("doc_count"))
-            .select(F.lit(f).alias("facet"), "value", "doc_count"))
+            .agg(*aggs)
+            .select(F.lit(f).alias("facet"), "value", "doc_count",
+                    *mcols))
 
     def _edge(x: float) -> str:
         s = f"{float(x):.6f}".rstrip("0").rstrip(".")
@@ -1591,8 +1617,9 @@ def bm25_facets(
         lab = lab.otherwise(F.lit("(out)"))
         parts.append(
             meta.groupBy(lab.alias("value"))
-            .agg(F.count("*").alias("doc_count"))
-            .select(F.lit(f).alias("facet"), "value", "doc_count"))
+            .agg(*aggs)
+            .select(F.lit(f).alias("facet"), "value", "doc_count",
+                    *mcols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

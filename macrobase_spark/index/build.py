@@ -1553,6 +1553,16 @@ def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame,
         postings = spark.createDataFrame(
             [], _POSTINGS_SCHEMA + ", bucket int")
     docs = spark.read.parquet(os.path.join(out_dir, "docs.parquet"))
+    # the engine's kernels (scoring AND the build-time block-max impact
+    # metadata) hard-code k1/b per the spec; an index whose stats claim
+    # different parameters (hand-edited, foreign writer) would silently
+    # score wrong — refuse loudly instead
+    if (stats.get("k1", K1), stats.get("b", B)) != (K1, B):
+        raise ValueError(
+            f"index at {out_dir!r} declares k1={stats.get('k1')} "
+            f"b={stats.get('b')} but this engine scores with k1={K1} "
+            f"b={B} — rebuild the index (block-max metadata bakes these "
+            "in; they are not query-time knobs)")
     # evict superseded entries for the same (app, path): cross-process
     # updates bump the mtime key every epoch and would otherwise grow the
     # cache (and pin old DataFrames) for the life of a query server

@@ -542,3 +542,39 @@ def test_randomized_micro_syntax_rank_identity(spark, corpus):
             assert math.isclose(gs, ws, rel_tol=1e-12), q
         n_checked += 1 if got else 0
     assert n_checked >= 8  # the sweep must mostly produce non-empty hits
+
+
+def test_facet_metrics_match_python_recount(spark, corpus):
+    """metrics= sub-aggregations: per-bucket avg/max over matching docs,
+    on value facets, range facets, and the __total__ row."""
+    from collections import defaultdict
+
+    df, out, docs, meta = corpus
+    dmeta = {r["doc_id"]: (r["anomaly"], r["doc_len"]) for r in
+             spark.read.parquet(out + "/docs.parquet")
+             .select("doc_id", "anomaly", "doc_len").collect()}
+    rows = bm25_facets(spark, out, "tok0042 the", ["role"],
+                       metrics={"anomaly": ["avg", "max"],
+                                "doc_len": ["sum"]}).collect()
+    got = {(r["facet"], r["value"]):
+           (r["doc_count"], r["anomaly_avg"], r["anomaly_max"],
+            r["doc_len_sum"]) for r in rows}
+    matched = _match_ids(docs, "tok0042 the")
+    by_role = defaultdict(list)
+    for d in matched:
+        by_role[meta[d][0]].append(d)
+    tot = got[("__total__", "")]
+    assert tot[0] == len(matched)
+    assert abs(tot[1] - sum(dmeta[d][0] for d in matched)
+               / len(matched)) < 1e-9
+    assert tot[2] == max(dmeta[d][0] for d in matched)
+    assert tot[3] == float(sum(dmeta[d][1] for d in matched))
+    for role, ds in by_role.items():
+        c, a, m, s = got[("role", role)]
+        assert c == len(ds)
+        assert abs(a - sum(dmeta[d][0] for d in ds) / len(ds)) < 1e-9
+        assert m == max(dmeta[d][0] for d in ds)
+        assert s == float(sum(dmeta[d][1] for d in ds))
+    with pytest.raises(ValueError, match="unsupported fn"):
+        bm25_facets(spark, out, "the", ["role"],
+                    metrics={"anomaly": ["median"]})
