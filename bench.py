@@ -231,6 +231,22 @@ def main():
     queries["bm25_batch_all"] = round(batch_sec, 3)
     bm25_batch_qps = len(BM25_QUERIES) / batch_sec
 
+    # --- r5 serving ops over the same index (warm) ------------------------
+    from macrobase_spark.index.bm25 import bm25_facets, more_like_this
+
+    bm25_facets(spark, idx, "warmup the", ["role"]).collect()
+    t0 = time.time()
+    bm25_facets(spark, idx, "call tool the", ["role", "tool"],
+                ranges={"anomaly": [0.0, 0.25, 0.5, 1.0]}).collect()
+    queries["bm25_facets"] = round(time.time() - t0, 3)
+    src_path, _ = _transcripts_parquet(spark)
+    src_df = spark.read.parquet(src_path)
+    seed_id = src_df.select("doc_id").first()["doc_id"]
+    more_like_this(spark, idx, src_df, seed_id, k=10).collect()  # warm
+    t0 = time.time()
+    more_like_this(spark, idx, src_df, seed_id, k=10).collect()
+    queries["bm25_more_like_this"] = round(time.time() - t0, 3)
+
     # --- headline relational / DIFF / text queries at SF_DIR --------------
     import __spark_entry__ as entry
 
