@@ -578,3 +578,15 @@ def test_facet_metrics_match_python_recount(spark, corpus):
     with pytest.raises(ValueError, match="unsupported fn"):
         bm25_facets(spark, out, "the", ["role"],
                     metrics={"anomaly": ["median"]})
+
+
+def test_sort_by_multiple_columns(spark, corpus):
+    """sort_by accepts a comma list: 'role asc, turn_idx desc' with the
+    doc_id tiebreak — recounted from the corpus."""
+    _, out, docs, meta = corpus
+    got = bm25_topk(spark, out, "tok0042 tok0007", k=10,
+                    sort_by="role asc, turn_idx desc").collect()
+    matched = _match_ids(docs, "tok0042 tok0007")
+    want = sorted(matched, key=lambda d: (meta[d][0], -meta[d][2], d))[:10]
+    assert [r["doc_id"] for r in got] == want
+    assert set(got[0].asDict()) == {"doc_id", "score", "role", "turn_idx"}
