@@ -2087,3 +2087,82 @@ def bm25_phrase_topk_batch(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank"))
+
+
+def bm25_count(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "or",
+    doc_filter: str | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Number of documents matching the query under full retrieval
+    semantics (mode / exclusions / field scopes / doc_filter /
+    tombstones) — a one-row (n_matches long) relation, computed on the
+    ids-only path (no scores, no positions, and unlike bm25_facets no
+    docs-metadata join unless a doc filter requires one)."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    query, _scope = _split_field_scopes(query)
+    doc_filter = _merge_doc_filter(doc_filter, _scope)
+    postings, docs, stats = read_index(spark, index_dir)
+    pq = _parse_query_full(query)
+    _stop = set(stats.get("stopwords", []))
+    terms = sorted(pq.terms - _stop)
+    nterms = sorted(pq.neg_terms - _stop)
+    if pq.prefixes:
+        if mode == "and":
+            raise ValueError(
+                "prefix wildcards / fuzzy tokens are not supported with "
+                "mode='and' — expand into explicit terms for conjunctive "
+                "retrieval")
+        terms = sorted(set(terms) |
+                       set(_expand_prefixes(postings, sorted(pq.prefixes),
+                                            max_expansions)))
+    if pq.fuzzies:
+        if mode == "and":
+            raise ValueError(
+                "prefix wildcards / fuzzy tokens are not supported with "
+                "mode='and' — expand into explicit terms for conjunctive "
+                "retrieval")
+        terms = sorted(set(terms) | {
+            t for ts in _expand_fuzzy(postings, pq.fuzzies,
+                                      max_expansions).values() for t in ts})
+    if pq.neg_prefixes:
+        nterms = sorted(set(nterms) |
+                        set(_expand_prefixes(postings,
+                                             sorted(pq.neg_prefixes),
+                                             max_expansions)))
+    if pq.neg_fuzzies:
+        nterms = sorted(set(nterms) | {
+            t for ts in _expand_fuzzy(postings, pq.neg_fuzzies,
+                                      max_expansions).values() for t in ts})
+    if not terms:
+        return spark.createDataFrame([(0,)], "n_matches long")
+    if "num_buckets" in stats:
+        from macrobase_spark.index.xxh64 import term_bucket
+
+        buckets = sorted({term_bucket(t, stats["num_buckets"])
+                          for t in [*terms, *nterms]})
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    if mode == "and":
+        matched = (_term_doc_ids(postings, terms, with_term=True)
+                   .groupBy("doc_id")
+                   .agg(F.countDistinct("term").alias("_nt"))
+                   .filter(F.col("_nt") == len(terms)).select("doc_id"))
+    else:
+        matched = _term_doc_ids(postings, terms).distinct()
+    if nterms:
+        matched = matched.join(_term_doc_ids(postings, nterms),
+                               "doc_id", "anti")
+    from macrobase_spark.index.build import tombstone_ids
+
+    tomb = tombstone_ids(spark, index_dir)
+    if tomb is not None:
+        matched = matched.join(tomb, "doc_id", "anti")
+    if doc_filter is not None:
+        matched = matched.join(
+            docs.filter(F.expr(doc_filter)).select("doc_id"),
+            "doc_id", "semi")
+    return matched.agg(F.count("*").alias("n_matches"))

@@ -590,3 +590,20 @@ def test_sort_by_multiple_columns(spark, corpus):
     want = sorted(matched, key=lambda d: (meta[d][0], -meta[d][2], d))[:10]
     assert [r["doc_id"] for r in got] == want
     assert set(got[0].asDict()) == {"doc_id", "score", "role", "turn_idx"}
+
+
+def test_bm25_count_matches_facet_total(spark, corpus):
+    from macrobase_spark.index.bm25 import bm25_count
+
+    _, out, docs, _ = corpus
+    for q, kw in [("tok0042 the", {}),
+                  ("tok0042 tok0007", {"mode": "and"}),
+                  ("role:assistant tok0042 -tok0007", {}),
+                  ("zzznotaword", {})]:
+        n = bm25_count(spark, out, q, **kw).collect()[0]["n_matches"]
+        if q == "zzznotaword":
+            assert n == 0
+            continue
+        tot = {(r["facet"], r["value"]): r["doc_count"] for r in
+               bm25_facets(spark, out, q, ["role"], **kw).collect()}
+        assert n == tot[("__total__", "")], q
