@@ -433,6 +433,7 @@ def bm25_topk(
     max_expansions: int = 128,
     after: tuple[float, int] | None = None,
     sort_by: str | None = None,
+    collapse: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for the query. Optional anomaly modifier:
     filter docs with anomaly > anomaly_max, and/or down-weight the score by
@@ -525,12 +526,24 @@ def bm25_topk(
     matching doc competes (block pruning is disabled — a low-scoring
     match can win a metadata sort), ties break by ascending doc_id, and
     the BM25 score still rides along in the output together with the
-    sort columns."""
+    sort columns.
+
+    ``collapse="conv_id"`` is field collapsing (Elasticsearch collapse /
+    Lucene grouping): only the best-ranked doc per collapse-key value
+    survives — one turn per conversation in a transcript corpus — and
+    the top-k then ranks the group winners; the collapse column rides
+    along in the output. Collapsing happens BEFORE the after= cursor so
+    pages never show a group twice. Pruning is disabled (a group winner
+    can sit below the uncollapsed kth score); not combinable with
+    sort_by in v1."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if after is not None and sort_by is not None:
         raise ValueError("after= is a score-order cursor — it does not "
                          "compose with sort_by")
+    if collapse is not None and sort_by is not None:
+        raise ValueError("collapse does not compose with sort_by (v1) — "
+                         "collapse ranks group winners by score")
     query, _scope = _split_field_scopes(query)
     doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
@@ -594,7 +607,8 @@ def bm25_topk(
     tomb = tombstone_ids(spark, index_dir)
     allow_prune = (anomaly_max is None and not anomaly_weight
                    and doc_filter is None and not nterms and tomb is None
-                   and after is None and sort_by is None)
+                   and after is None and sort_by is None
+                   and collapse is None)
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -736,6 +750,18 @@ def bm25_topk(
         out = scored.join(docs.select("doc_id", *dict.fromkeys(names)),
                           "doc_id")
         return out.orderBy(*cols, F.col("doc_id").asc()).limit(k)
+    if collapse is not None:
+        from pyspark.sql import Window as W
+
+        if collapse not in docs.columns or collapse == "doc_id":
+            raise ValueError(
+                f"collapse: {collapse!r} not a docs-metadata column "
+                f"(have {sorted(set(docs.columns) - {'doc_id'})})")
+        scored = scored.join(docs.select("doc_id", collapse), "doc_id")
+        cw = W.partitionBy(collapse).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        scored = (scored.withColumn("_rn", F.row_number().over(cw))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
     if after is not None:
         s0, d0 = _after_cursor(after)
         # strict ranking-order cursor: (score desc, doc_id asc) position

@@ -107,6 +107,15 @@ def highlight_topk(
         hits = bm25_topk(spark, index_dir, query, k=k,
                          **topk_kwargs).collect()
         terms, prefixes = _tokenize_query_wild(query)
+    # on a stopworded index, stoplisted query tokens contribute nothing
+    # to the ranking — highlighting them (and counting them in n_matched)
+    # would misreport what actually matched
+    from macrobase_spark.index.build import read_index
+
+    _, _, _stats = read_index(spark, index_dir)
+    _stop = set(_stats.get("stopwords", []))
+    if _stop:
+        terms = [t for t in terms if t not in _stop]
     tset, plist = set(terms), sorted(prefixes)
     out_schema = ("doc_id long, score double, snippet string, "
                   "n_matched int")

@@ -607,3 +607,34 @@ def test_bm25_count_matches_facet_total(spark, corpus):
         tot = {(r["facet"], r["value"]): r["doc_count"] for r in
                bm25_facets(spark, out, q, ["role"], **kw).collect()}
         assert n == tot[("__total__", "")], q
+
+
+def test_collapse_best_turn_per_conversation(spark, corpus):
+    """collapse='conv_id': one (best-scoring) turn per conversation,
+    ranked among group winners — recounted from the oracle ranking; the
+    after= cursor pages the COLLAPSED ranking without repeating groups."""
+    df, out, docs, _ = corpus
+    conv = {r["doc_id"]: r["conv_id"] for r in
+            df.select("doc_id", "conv_id").collect()}
+    got = bm25_topk(spark, out, "tok0042 tok0007 the", k=8,
+                    collapse="conv_id").collect()
+    assert set(got[0].asDict()) == {"doc_id", "score", "conv_id"}
+    full = bm25_oracle(docs, "tok0042 tok0007 the", k=10 ** 6)
+    winners, seen = [], set()
+    for d, s in full:  # oracle is ranking order: first hit per conv wins
+        if conv[d] not in seen:
+            seen.add(conv[d])
+            winners.append((d, s))
+    assert [(r["doc_id"], r["score"]) for r in got] == winners[:8]
+    # distinct conversations on the page
+    assert len({r["conv_id"] for r in got}) == len(got)
+    # paging the collapsed ranking never repeats a conversation
+    p2 = bm25_topk(spark, out, "tok0042 tok0007 the", k=8,
+                   collapse="conv_id", after=got[-1]).collect()
+    assert [(r["doc_id"], r["score"]) for r in p2] == winners[8:16]
+    assert not ({r["conv_id"] for r in p2} & {r["conv_id"] for r in got})
+    with pytest.raises(ValueError, match="not compose with sort_by|sort_by"):
+        bm25_topk(spark, out, "the", k=3, collapse="conv_id",
+                  sort_by="turn_idx desc")
+    with pytest.raises(ValueError, match="not a docs-metadata"):
+        bm25_topk(spark, out, "the", k=3, collapse="nope").collect()

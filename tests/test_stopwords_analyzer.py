@@ -196,3 +196,16 @@ def test_index_stats_reports_stoplist_size(spark, stop_corpus):
     _, out, _, _ = stop_corpus
     rows = index_stats(spark, out).collect()
     assert rows and all(r["n_stopwords"] == len(STOP) for r in rows)
+
+
+def test_highlight_skips_stoplisted_query_tokens(spark, stop_corpus):
+    """On a stopworded index, 'the' in the query neither highlights nor
+    counts toward n_matched — the snippet reports what actually ranked."""
+    from macrobase_spark.index.snippets import highlight_topk
+
+    df, out, _, _ = stop_corpus
+    rows = highlight_topk(spark, out, df, "the rare7", k=3).collect()
+    assert rows
+    for r in rows:
+        assert "**the**" not in (r["snippet"] or "")
+        assert r["n_matched"] <= 1  # only rare7 can match
