@@ -2192,3 +2192,62 @@ def bm25_count(
             docs.filter(F.expr(doc_filter)).select("doc_id"),
             "doc_id", "semi")
     return matched.agg(F.count("*").alias("n_matches"))
+
+
+def hybrid_topk(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    depth: int = 60,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    **topk_kwargs,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion: run
+    BM25 top-`depth` over the index AND exact cosine top-`depth` of
+    `query_vec` against the `vectors` table (id_col must be the same
+    doc_id space), then fuse with the standard RRF formula
+
+        rrf(d) = Σ_runs 1 / (rrf_k + rank_run(d))
+
+    (docs absent from a run contribute nothing for it — the
+    rank-fusion default). Returns (doc_id, rrf_score, bm25_rank,
+    cos_rank) top-k by (rrf desc, doc_id asc) — deterministic because
+    both input rankings are. Every bm25_topk option (mode, doc_filter,
+    field scopes, …) passes through via **topk_kwargs and restricts the
+    LEXICAL run only; the semantic run is pure nearest-neighbor.
+
+    Both runs are `depth`-bounded (the serving pattern: fuse two cheap
+    deep-ish lists rather than score the union exactly); the fusion
+    itself is driver-free — a full-outer join of two k-scale relations."""
+    from pyspark.sql import Window as W
+
+    from macrobase_spark.pipelines.similarity import cosine_topk_bruteforce
+
+    lex = (bm25_topk(spark, index_dir, query, k=depth, **topk_kwargs)
+           .select("doc_id",
+                   F.row_number().over(
+                       W.orderBy(F.col("score").desc(),
+                                 F.col("doc_id").asc()))
+                   .alias("bm25_rank")))
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])],
+        f"q_id long, q_vec array<double>")
+    sem = (cosine_topk_bruteforce(vectors, qdf, k=depth, id_col=id_col,
+                                  vec_col=vec_col)
+           .select(F.col(id_col).alias("doc_id"),
+                   F.col("rank").alias("cos_rank")))
+    fused = (lex.join(sem, "doc_id", "full")
+             .withColumn(
+                 "rrf_score",
+                 F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("cos_rank")),
+                              F.lit(0.0))))
+    return (fused.select("doc_id", "rrf_score", "bm25_rank", "cos_rank")
+            .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+            .limit(k))

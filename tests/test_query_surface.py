@@ -638,3 +638,45 @@ def test_collapse_best_turn_per_conversation(spark, corpus):
                   sort_by="turn_idx desc")
     with pytest.raises(ValueError, match="not a docs-metadata"):
         bm25_topk(spark, out, "the", k=3, collapse="nope").collect()
+
+
+def test_hybrid_rrf_matches_python_fusion(spark, corpus):
+    """RRF fusion of the BM25 ranking and an exact cosine ranking equals
+    the python recount (ranks from the two oracles, same formula)."""
+    import numpy as np
+
+    from macrobase_spark.index.bm25 import hybrid_topk
+
+    _, out, docs, _ = corpus
+    rng = np.random.default_rng(11)
+    ids = [d for d, _ in docs]
+    vecs = {d: rng.standard_normal(8).tolist() for d in ids}
+    emb = spark.createDataFrame(
+        [(d, vecs[d]) for d in ids], "doc_id long, embedding array<double>")
+    qv = rng.standard_normal(8).tolist()
+
+    got = hybrid_topk(spark, out, emb, "tok0042 tok0007 the", qv,
+                      k=10, depth=25).collect()
+
+    lex = [d for d, _ in bm25_oracle(docs, "tok0042 tok0007 the", k=25)]
+    qn = np.asarray(qv)
+
+    def cos(d):
+        v = np.asarray(vecs[d])
+        return float(v @ qn / (np.linalg.norm(v) * np.linalg.norm(qn)))
+
+    sem = sorted(ids, key=lambda d: (-cos(d), d))[:25]
+    rrf = {}
+    for r, d in enumerate(lex, 1):
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (60 + r)
+    for r, d in enumerate(sem, 1):
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (60 + r)
+    want = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["doc_id"], round(r["rrf_score"], 12)) for r in got] == \
+           [(d, round(s, 12)) for d, s in want]
+    # both rank columns populated where the doc appeared in that run
+    for r in got:
+        if r["doc_id"] in lex:
+            assert r["bm25_rank"] == lex.index(r["doc_id"]) + 1
+        if r["doc_id"] in sem:
+            assert r["cos_rank"] == sem.index(r["doc_id"]) + 1
