@@ -785,6 +785,21 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge^2 scan", k=10).select(
             F.lit("boost:merge^2 scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5b: hybrid retrieval — RRF fusion of the BM25 ranking with an
+    # exact cosine ranking over the embeddings table (vec_id aligns with
+    # doc_id); query vector = doc 0's embedding (deterministic). The
+    # oracle recomputes both rankings and the fusion in DuckDB.
+    from macrobase_spark.index.bm25 import hybrid_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding")
+          .collect()[0]["embedding"]]
+    legs.append(
+        hybrid_topk(spark, cache, emb, "merge scan row", qv, k=10,
+                    depth=30, id_col="vec_id").select(
+            F.lit("hybrid:merge scan row").alias("part"),
+            "doc_id", F.round("rrf_score", 6).alias("score")))
     # r5b: sharded search — the corpus split across TWO physical indexes
     # (doc_id parity), scored with GLOBAL df/avgdl: rank- and score-
     # identical to the monolithic index, so the oracle is the same

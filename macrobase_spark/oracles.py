@@ -798,6 +798,39 @@ SELECT part, doc_id, score FROM (
   SELECT 'phrase:table table' AS part, doc_id, ROUND(s, 6) AS score FROM ph2
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
+-- r5b hybrid retrieval: RRF over (BM25 rank ≤30, cosine rank ≤30);
+-- query vector = doc 0's embedding; absent-run docs contribute 0
+SELECT part, doc_id, score FROM (
+  WITH lexr AS (
+    SELECT doc_id, br FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS br
+      FROM scored ORDER BY s DESC, doc_id ASC LIMIT 30)
+  ),
+  qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+  semr AS (
+    SELECT doc_id, cr FROM (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(
+                 embedding::DOUBLE[], (SELECT v FROM qv)) DESC,
+               vec_id ASC) AS cr
+      FROM embeddings
+      ORDER BY list_cosine_similarity(
+                 embedding::DOUBLE[], (SELECT v FROM qv)) DESC,
+               vec_id ASC
+      LIMIT 30)
+  )
+  SELECT 'hybrid:merge scan row' AS part,
+         COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + br), 0)
+               + COALESCE(1.0 / (60 + cr), 0), 6) AS score
+  FROM lexr FULL JOIN semr ON lexr.doc_id = semr.doc_id
+  ORDER BY COALESCE(1.0 / (60 + br), 0)
+           + COALESCE(1.0 / (60 + cr), 0) DESC,
+           COALESCE(lexr.doc_id, semr.doc_id) ASC
+  LIMIT 10
+) UNION ALL
 -- r5b sharded search: two physical shards + global stats must reproduce
 -- the monolithic ranking exactly — same scored CTE as the topk leg
 SELECT part, doc_id, score FROM (
