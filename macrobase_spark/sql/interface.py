@@ -147,13 +147,14 @@ _SEARCH_RE = re.compile(
     r"(?:,\s*(?P<k>\d+)\s*)?"
     r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*[0-9.eE+-]+"
     r"|MATCH\s*=\s*(?:ALL|ANY)"
-    r"|SNIPPET\s*=\s*\w+"
+    r"|(?:SNIPPET|COLLAPSE)\s*=\s*\w+"
+    r"|COUNT"
     r"|(?:FILTER|SORT|FACETS)\s*=\s*'(?:[^']|'')*')\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
     r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER|SNIPPET"
-    r"|SORT|FACETS)\s*=\s*"
-    r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY|\w+)",
+    r"|SORT|FACETS|COLLAPSE|COUNT)(?:\s*=\s*"
+    r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY|\w+))?",
     re.IGNORECASE)
 
 
@@ -337,9 +338,17 @@ class MacroBaseSQL:
             q = m.group("q")
             anomaly_max, anomaly_weight, slop, match = None, 0.0, None, None
             doc_filter, snippet_view, sort_spec, facet_spec = (None,) * 4
+            collapse_col, count_flag = None, False
             for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
                 key = om.group("key").upper()
-                if key == "ANOMALY_MAX":
+                if key == "COUNT":
+                    count_flag = True
+                    continue
+                if om.group("val") is None:
+                    raise ValueError(f"SEARCH: {key} requires a value")
+                if key == "COLLAPSE":
+                    collapse_col = om.group("val")
+                elif key == "ANOMALY_MAX":
                     anomaly_max = float(om.group("val"))
                 elif key == "ANOMALY_WEIGHT":
                     anomaly_weight = float(om.group("val"))
@@ -363,6 +372,29 @@ class MacroBaseSQL:
             phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
             view = self._fresh_view("search")
             target = self._indexes[name]
+            if count_flag:
+                if (phrase or snippet_view is not None
+                        or sort_spec is not None or facet_spec is not None
+                        or anomaly_max is not None or anomaly_weight
+                        or slop is not None or collapse_col is not None
+                        or isinstance(target, (list, tuple))):
+                    raise ValueError(
+                        "SEARCH: COUNT composes with MATCH/FILTER and "
+                        "field scopes only")
+                from macrobase_spark.index.bm25 import bm25_count
+
+                bm25_count(
+                    self.spark, target, q,
+                    mode="and" if match == "ALL" else "or",
+                    doc_filter=doc_filter).createOrReplaceTempView(view)
+                return view
+            if collapse_col is not None and (
+                    phrase or snippet_view is not None
+                    or facet_spec is not None
+                    or isinstance(target, (list, tuple))):
+                raise ValueError(
+                    "SEARCH: COLLAPSE applies to plain bag-of-words "
+                    "queries on a single index")
             if isinstance(target, (list, tuple)):
                 if (phrase or snippet_view is not None
                         or sort_spec is not None or facet_spec is not None
@@ -447,6 +479,7 @@ class MacroBaseSQL:
                       anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
                       mode="and" if match == "ALL" else "or",
                       doc_filter=doc_filter, sort_by=sort_spec,
+                      collapse=collapse_col,
                       ).createOrReplaceTempView(view)
             return view
 

@@ -567,3 +567,40 @@ def test_search_sharded_attachment(spark, tmp_path):
         mb.execute("SELECT * FROM SEARCH(tr, '\"a b\"', 5) s;")
     with pytest.raises(ValueError, match="sharded attachment"):
         mb.execute("SELECT * FROM SEARCH(tr, 'the', 5, FACETS='role') s;")
+
+
+def test_search_count_and_collapse_options(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_count, bm25_topk
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=30, seed=42)).cache()
+    idx = str(tmp_path / "cc_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=10 ** 9)
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'tok0042 the', 5, COUNT) s;").collect()
+    want = bm25_count(spark, idx, "tok0042 the").collect()
+    assert [r["n_matches"] for r in got] == [r["n_matches"] for r in want]
+    assert got[0]["n_matches"] > 0
+
+    got = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'tok0042 the', 5, COLLAPSE=conv_id) s;"
+    ).collect()
+    want = bm25_topk(spark, idx, "tok0042 the", k=5,
+                     collapse="conv_id").collect()
+    assert [(r["doc_id"], r["score"], r["conv_id"]) for r in got] == \
+           [(r["doc_id"], r["score"], r["conv_id"]) for r in want]
+    assert got
+
+    with pytest.raises(ValueError, match="COUNT composes"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'the', 5, COUNT, "
+                   "SORT='turn_idx desc') s;")
+    with pytest.raises(ValueError, match="COLLAPSE applies"):
+        mb.execute("SELECT * FROM SEARCH(tr, '\"the the\"', 5, "
+                   "COLLAPSE=conv_id) s;")
