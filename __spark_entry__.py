@@ -1562,7 +1562,10 @@ def q50_bm25_batch(spark, sf):
                     positions=True)
     res = bm25_topk_batch(
         spark, cache,
-        {"q1": "merge scan row", "q2": "index", "q3": "table join"}, k=5)
+        {"q1": "merge scan row", "q2": "index", "q3": "table join",
+         # r5b: micro-syntax THROUGH the batch path — per-query boost +
+         # exclusion (q4) and prefix expansion (q5), oracled in SQL
+         "q4": "merge^2 -scan", "q5": "tabl*"}, k=5)
     return res.select("query_id", "doc_id",
                       F.round("score", 6).alias("score"), "rank").orderBy(
         "query_id", "rank")

@@ -960,6 +960,29 @@ scored AS (
   FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
   WHERE tf.term IN ('join', 'table')
   GROUP BY tf.doc_id
+  UNION ALL
+  -- r5b: per-query boost + exclusion through the batch path
+  SELECT 'q4' AS query_id, tf.doc_id,
+         SUM((ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl)))
+             * 2.0) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term = 'merge'
+    AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
+  GROUP BY tf.doc_id
+  UNION ALL
+  -- r5b: prefix expansion through the batch path
+  SELECT 'q5' AS query_id, t5.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - d5.df + 0.5) / (d5.df + 0.5))
+             * (t5.tf * 2.2)
+             / (t5.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+        WHERE term LIKE 'tabl%' GROUP BY doc_id, term) t5
+  JOIN (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM toks WHERE term LIKE 'tabl%' GROUP BY term) d5 USING (term)
+  JOIN dl USING (doc_id), consts
+  GROUP BY t5.doc_id
 ),
 ranked AS (
   SELECT query_id, doc_id, s,
