@@ -2197,7 +2197,7 @@ def bm25_count(
 def hybrid_topk(
     spark: SparkSession,
     index_dir: str,
-    vectors: DataFrame,
+    vectors: DataFrame | None,
     query: str,
     query_vec: list[float],
     k: int = 10,
@@ -2205,6 +2205,9 @@ def hybrid_topk(
     rrf_k: int = 60,
     id_col: str = "doc_id",
     vec_col: str = "embedding",
+    ann_index: str | None = None,
+    ann_kind: str = "ivf",
+    n_probe: int = 4,
     **topk_kwargs,
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval via reciprocal-rank fusion: run
@@ -2223,7 +2226,15 @@ def hybrid_topk(
 
     Both runs are `depth`-bounded (the serving pattern: fuse two cheap
     deep-ish lists rather than score the union exactly); the fusion
-    itself is driver-free — a full-outer join of two k-scale relations."""
+    itself is driver-free — a full-outer join of two k-scale relations.
+
+    The semantic run scans the `vectors` table exactly (brute force) —
+    OR, with ``ann_index=`` set, queries a PERSISTED ANN index instead
+    (`ann_kind` 'ivf' or 'lsh' — pipelines.similarity ivf_build/
+    lsh_build output; `vectors` is then ignored and may be None): the
+    100 TB semantic leg, cell/bucket-pruned instead of scanned. At
+    full probe (n_probe = the index's n_centroids) IVF is exact, so
+    ANN-hybrid equals brute-hybrid bit-for-bit — pytest-pinned."""
     from pyspark.sql import Window as W
 
     from macrobase_spark.pipelines.similarity import cosine_topk_bruteforce
@@ -2236,11 +2247,29 @@ def hybrid_topk(
                    .alias("bm25_rank")))
     qdf = spark.createDataFrame(
         [(0, [float(x) for x in query_vec])],
-        f"q_id long, q_vec array<double>")
-    sem = (cosine_topk_bruteforce(vectors, qdf, k=depth, id_col=id_col,
-                                  vec_col=vec_col)
-           .select(F.col(id_col).alias("doc_id"),
-                   F.col("rank").alias("cos_rank")))
+        "q_id long, q_vec array<double>")
+    if ann_index is not None:
+        from macrobase_spark.pipelines.similarity import ivf_query, lsh_query
+
+        if ann_kind == "ivf":
+            raw = ivf_query(spark, ann_index, qdf, k=depth,
+                            n_probe=n_probe)
+        elif ann_kind == "lsh":
+            raw = lsh_query(spark, ann_index, qdf, k=depth)
+        else:
+            raise ValueError(
+                f"ann_kind must be 'ivf' or 'lsh', got {ann_kind!r}")
+        sem = raw.select(F.col("vec_id").alias("doc_id"),
+                         F.col("rank").alias("cos_rank"))
+    else:
+        if vectors is None:
+            raise ValueError(
+                "hybrid_topk: pass a vectors DataFrame (brute force) or "
+                "ann_index= (persisted ANN)")
+        sem = (cosine_topk_bruteforce(vectors, qdf, k=depth,
+                                      id_col=id_col, vec_col=vec_col)
+               .select(F.col(id_col).alias("doc_id"),
+                       F.col("rank").alias("cos_rank")))
     fused = (lex.join(sem, "doc_id", "full")
              .withColumn(
                  "rrf_score",

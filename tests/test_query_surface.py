@@ -680,3 +680,36 @@ def test_hybrid_rrf_matches_python_fusion(spark, corpus):
             assert r["bm25_rank"] == lex.index(r["doc_id"]) + 1
         if r["doc_id"] in sem:
             assert r["cos_rank"] == sem.index(r["doc_id"]) + 1
+
+
+def test_hybrid_ann_full_probe_equals_brute(spark, corpus, tmp_path):
+    """ann_index= semantic leg at full probe (IVF, n_probe=n_centroids)
+    is exact, so ANN-hybrid == brute-hybrid bit-for-bit."""
+    import numpy as np
+
+    from macrobase_spark.index.bm25 import hybrid_topk
+    from macrobase_spark.pipelines.similarity import ivf_build
+
+    _, out, docs, _ = corpus
+    rng = np.random.default_rng(5)
+    ids = [d for d, _ in docs]
+    emb = spark.createDataFrame(
+        [(d, rng.standard_normal(8).tolist()) for d in ids],
+        "vec_id long, embedding array<double>")
+    ivf_dir = str(tmp_path / "hyb_ivf")
+    ivf_build(emb, ivf_dir, n_centroids=4, sample_frac=1.0)
+    qv = rng.standard_normal(8).tolist()
+    brute = hybrid_topk(spark, out, emb, "tok0042 the", qv, k=8,
+                        depth=20, id_col="vec_id").collect()
+    ann = hybrid_topk(spark, out, None, "tok0042 the", qv, k=8,
+                      depth=20, ann_index=ivf_dir, n_probe=4).collect()
+    assert [(r["doc_id"], r["rrf_score"], r["bm25_rank"], r["cos_rank"])
+            for r in ann] == \
+           [(r["doc_id"], r["rrf_score"], r["bm25_rank"], r["cos_rank"])
+            for r in brute]
+    assert brute
+    with pytest.raises(ValueError, match="ann_kind"):
+        hybrid_topk(spark, out, None, "the", qv, k=3,
+                    ann_index=ivf_dir, ann_kind="nope")
+    with pytest.raises(ValueError, match="vectors DataFrame"):
+        hybrid_topk(spark, out, None, "the", qv, k=3)
