@@ -2280,3 +2280,148 @@ def hybrid_topk(
     return (fused.select("doc_id", "rrf_score", "bm25_rank", "cos_rank")
             .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def bm25_facets_sharded(
+    spark: SparkSession,
+    index_dirs: list[str],
+    query: str,
+    facets: list[str] | None = None,
+    mode: str = "or",
+    doc_filter: str | None = None,
+    max_expansions: int = 128,
+    ranges: dict[str, list[float]] | None = None,
+    metrics: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """bm25_facets over a sharded corpus (see bm25_topk_sharded): facet
+    membership is stats-free (a doc matches in exactly one shard), so
+    the result is IDENTICAL to a monolithic index over the union —
+    pytest-pinned. Each shard contributes its ids-only match set and its
+    docs-metadata projection; one union, the same per-facet groupBys.
+    Mixed stoplists refuse loudly (they change which query terms
+    exist). Wildcards/fuzzies are rejected as in bm25_topk_sharded."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if not index_dirs:
+        raise ValueError("index_dirs: pass at least one index")
+    query, _scope = _split_field_scopes(query)
+    doc_filter = _merge_doc_filter(doc_filter, _scope)
+    handles = [read_index(spark, d) for d in index_dirs]
+    stops = [tuple(h[2].get("stopwords", [])) for h in handles]
+    if len(set(stops)) > 1:
+        raise ValueError(
+            "bm25_facets_sharded: shards were built with DIFFERENT "
+            f"stoplists {sorted(set(stops))!r} — rebuild with one list")
+    pq = _parse_query_full(query)
+    if pq.prefixes or pq.neg_prefixes or pq.fuzzies or pq.neg_fuzzies \
+            or pq.boosts:
+        raise ValueError(
+            "bm25_facets_sharded: wildcard/fuzzy/boost tokens are not "
+            "supported across shards — pre-expand the query")
+    _stop = set(stops[0])
+    terms = sorted(pq.terms - _stop)
+    nterms = sorted(pq.neg_terms - _stop)
+    facets = facets or []
+    ranges = ranges or {}
+    metrics = metrics or {}
+    if not facets and not ranges:
+        raise ValueError(
+            "facets: pass at least one docs metadata column (facets=) "
+            "or numeric range spec (ranges=)")
+    out_schema = "facet string, value string, doc_count long" + "".join(
+        f", {col}_{fn} double"
+        for col, fns in sorted(metrics.items()) for fn in fns)
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    from macrobase_spark.index.build import tombstone_ids
+    from macrobase_spark.index.xxh64 import term_bucket
+
+    matched_parts, docs_parts = [], []
+    for (postings, docs, stats), d in zip(handles, index_dirs):
+        if "num_buckets" in stats:
+            buckets = sorted({term_bucket(t, stats["num_buckets"])
+                              for t in [*terms, *nterms]})
+            postings = postings.filter(F.col("bucket").isin(buckets))
+        if mode == "and":
+            m = (_term_doc_ids(postings, terms, with_term=True)
+                 .groupBy("doc_id")
+                 .agg(F.countDistinct("term").alias("_nt"))
+                 .filter(F.col("_nt") == len(terms)).select("doc_id"))
+        else:
+            m = _term_doc_ids(postings, terms).distinct()
+        if nterms:
+            m = m.join(_term_doc_ids(postings, nterms), "doc_id", "anti")
+        tomb = tombstone_ids(spark, d)
+        if tomb is not None:
+            m = m.join(tomb, "doc_id", "anti")
+        if doc_filter is not None:
+            m = m.join(docs.filter(F.expr(doc_filter)).select("doc_id"),
+                       "doc_id", "semi")
+        matched_parts.append(m)
+        docs_parts.append(docs)
+    matched = matched_parts[0]
+    for p in matched_parts[1:]:
+        matched = matched.unionByName(p)
+    fcols = list(dict.fromkeys([*facets, *ranges, *metrics]))
+    bad = [c for c in fcols
+           if any(c not in dp.columns for dp in docs_parts)
+           or c == "doc_id"]
+    if bad:
+        raise ValueError(
+            f"facets: {bad!r} not docs-metadata columns in every shard")
+    all_docs = docs_parts[0].select("doc_id", *fcols)
+    for dp in docs_parts[1:]:
+        all_docs = all_docs.unionByName(dp.select("doc_id", *fcols))
+    meta = matched.join(all_docs, "doc_id")
+    aggs = [F.count("*").alias("doc_count")]
+    mcols = []
+    for col, fns in sorted(metrics.items()):
+        for fn in fns:
+            if fn not in ("avg", "min", "max", "sum"):
+                raise ValueError(
+                    f"metrics[{col!r}]: unsupported fn {fn!r}")
+            name = f"{col}_{fn}"
+            aggs.append(getattr(F, fn)(F.col(col).cast("double"))
+                        .alias(name))
+            mcols.append(name)
+    parts = [meta.agg(*aggs).select(
+        F.lit("__total__").alias("facet"), F.lit("").alias("value"),
+        "doc_count", *mcols)]
+    for f in dict.fromkeys(facets):
+        parts.append(
+            meta.groupBy(
+                F.coalesce(F.col(f).cast("string"), F.lit("(null)"))
+                .alias("value"))
+            .agg(*aggs)
+            .select(F.lit(f).alias("facet"), "value", "doc_count",
+                    *mcols))
+
+    def _edge(x: float) -> str:
+        s = f"{float(x):.6f}".rstrip("0").rstrip(".")
+        return s if s else "0"
+
+    for f, edges in ranges.items():
+        if len(edges) < 2 or sorted(edges) != list(edges) \
+                or len(set(edges)) != len(edges):
+            raise ValueError(
+                f"ranges[{f!r}]: need >= 2 strictly increasing edges, "
+                f"got {edges!r}")
+        c = F.col(f).cast("double")
+        lab = F.when(c.isNull(), F.lit("(null)"))
+        for lo, hi in zip(edges, edges[1:]):
+            label = f"[{_edge(lo)},{_edge(hi)}" + (
+                "]" if hi == edges[-1] else ")")
+            cond = ((c >= float(lo)) & (c <= float(hi))
+                    if hi == edges[-1] else
+                    (c >= float(lo)) & (c < float(hi)))
+            lab = lab.when(cond, F.lit(label))
+        lab = lab.otherwise(F.lit("(out)"))
+        parts.append(
+            meta.groupBy(lab.alias("value"))
+            .agg(*aggs)
+            .select(F.lit(f).alias("facet"), "value", "doc_count",
+                    *mcols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("facet", F.col("doc_count").desc(), "value")

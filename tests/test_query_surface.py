@@ -408,11 +408,18 @@ def test_sharded_identical_to_monolithic(spark, shards):
         assert got, q
 
 
-def test_sharded_tombstones_and_guardrails(spark, shards):
+def test_sharded_tombstones_and_guardrails(spark, shards, tmp_path):
+    import shutil
+
     from macrobase_spark.index.build import delete_docs
     from macrobase_spark.index.bm25 import bm25_topk_sharded
 
-    df, full, parts = shards
+    df, full, orig = shards
+    # mutate COPIES — the module fixture's shards stay pristine for the
+    # other sharded tests (tombstones cannot be un-deleted)
+    parts = [str(tmp_path / "t0"), str(tmp_path / "t1")]
+    for src_dir, dst in zip(orig, parts):
+        shutil.copytree(src_dir, dst)
     base = [r["doc_id"] for r in
             bm25_topk_sharded(spark, parts, "tok0042 the", k=5).collect()]
     # delete the top hit from whichever shard owns it
@@ -713,3 +720,29 @@ def test_hybrid_ann_full_probe_equals_brute(spark, corpus, tmp_path):
                     ann_index=ivf_dir, ann_kind="nope")
     with pytest.raises(ValueError, match="vectors DataFrame"):
         hybrid_topk(spark, out, None, "the", qv, k=3)
+
+
+def test_sharded_facets_equal_monolithic(spark, shards):
+    """Facet membership is stats-free, so sharded facets must equal
+    monolithic facets EXACTLY — counts, metrics, range buckets."""
+    from macrobase_spark.index.bm25 import bm25_facets_sharded
+
+    _, full, parts = shards
+    kwargs = dict(facets=["role"], ranges={"anomaly": [0.0, 0.5, 1.0]},
+                  metrics={"doc_len": ["avg", "sum"]})
+    got = [tuple(r) for r in
+           bm25_facets_sharded(spark, parts, "role:assistant tok0042 the",
+                               mode="or", **kwargs).collect()]
+    want = [tuple(r) for r in
+            bm25_facets(spark, full, "role:assistant tok0042 the",
+                        mode="or", **kwargs).collect()]
+    assert got == want and got
+    got2 = [tuple(r) for r in
+            bm25_facets_sharded(spark, parts, "tok0042 -tok0007",
+                                facets=["tool"], mode="or").collect()]
+    want2 = [tuple(r) for r in
+             bm25_facets(spark, full, "tok0042 -tok0007",
+                         facets=["tool"], mode="or").collect()]
+    assert got2 == want2
+    with pytest.raises(ValueError, match="wildcard/fuzzy"):
+        bm25_facets_sharded(spark, parts, "tok00* the", facets=["role"])
