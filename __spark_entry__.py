@@ -785,6 +785,20 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge^2 scan", k=10).select(
             F.lit("boost:merge^2 scan").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5b: field collapsing — best doc per role (doc_id%4 → 4 groups),
+    # group winners ranked by score; and match cardinality (COUNT)
+    legs.append(
+        bm25_topk(spark, cache, "merge scan row", k=4,
+                  collapse="role").select(
+            F.lit("collapse:role").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
+    from macrobase_spark.index.bm25 import bm25_count
+
+    legs.append(
+        bm25_count(spark, cache, "merge scan row").select(
+            F.lit("count:merge scan row").alias("part"),
+            F.col("n_matches").alias("doc_id"),
+            F.lit(0.0).alias("score")))
     # r5b: hybrid retrieval — RRF fusion of the BM25 ranking with an
     # exact cosine ranking over the embeddings table (vec_id aligns with
     # doc_id); query vector = doc 0's embedding (deterministic). The

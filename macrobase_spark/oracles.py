@@ -798,6 +798,19 @@ SELECT part, doc_id, score FROM (
   SELECT 'phrase:table table' AS part, doc_id, ROUND(s, 6) AS score FROM ph2
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
+-- r5b field collapsing: best-scoring doc per role (doc_id % 4), the 4
+-- group winners ranked by score; and the match cardinality (COUNT)
+SELECT part, doc_id, score FROM (
+  SELECT 'collapse:role' AS part, doc_id, ROUND(s, 6) AS score FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                              ORDER BY s DESC, doc_id ASC) AS grn
+    FROM scored) WHERE grn = 1
+  ORDER BY s DESC, doc_id ASC LIMIT 4
+) UNION ALL
+SELECT 'count:merge scan row' AS part,
+       (SELECT COUNT(*) FROM scored) AS doc_id, 0.0 AS score
+UNION ALL
 -- r5b hybrid retrieval: RRF over (BM25 rank ≤30, cosine rank ≤30);
 -- query vector = doc 0's embedding; absent-run docs contribute 0
 SELECT part, doc_id, score FROM (
