@@ -764,6 +764,13 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge scan row", k=10, mode="and").select(
             F.lit("and:merge scan row").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5c: minimum_should_match — docs matching ≥2 of the 3 terms rank,
+    # scores stay the disjunctive BM25 sums (oracle: HAVING count >= 2)
+    legs.append(
+        bm25_topk(spark, cache, "merge scan row", k=10,
+                  min_should_match=2).select(
+            F.lit("msm2:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     # r5: metadata-filtered retrieval — best k WITHIN role='assistant'
     legs.append(
         bm25_topk(spark, cache, "merge scan row", k=10,

@@ -429,6 +429,7 @@ def bm25_topk(
     anomaly_weight: float = 0.0,
     wand: bool = False,
     mode: str = "or",
+    min_should_match: int | None = None,
     doc_filter: str | None = None,
     max_expansions: int = 128,
     after: tuple[float, int] | None = None,
@@ -492,6 +493,21 @@ def bm25_topk(
     a DISJUNCTIVE kth-score bound, and the conjunctive kth score can sit
     below it — exactness over speed, same policy as the anomaly gate.
 
+    min_should_match=m is Lucene's minimum_should_match: only docs
+    containing at least m DISTINCT query terms are ranked — the middle
+    ground between mode="or" (m=1) and mode="and" (m=all). The matched-term
+    count rides the same per-doc aggregate as mode="and" (no extra
+    shuffle); scores are unchanged BM25 sums, so the output is a
+    subset-filter of the disjunctive ranking. m counts indexable terms —
+    stoplisted query tokens are dropped before the threshold applies
+    (query-analyzer symmetry), and m greater than the query's indexable
+    term count returns empty (no doc can satisfy it). Not combinable with
+    mode="and" (redundant: "and" IS m = all), nor with prefix/fuzzy tokens
+    in v1 (clause-count vs expansion-count semantics differ; expand
+    explicitly instead). Block pruning is disabled when m > 1 (the filter
+    can promote docs from pruned blocks), same policy as the other
+    restriction modifiers.
+
     wand=True enables multi-term block-max WAND pruning (exactness-
     preserving): θ = the kth best SINGLE-term score of the rarest query term
     (a valid lower bound on the final kth score); a block of term t is
@@ -538,6 +554,14 @@ def bm25_topk(
     sort_by in v1."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if min_should_match is not None:
+        if not isinstance(min_should_match, int) or min_should_match < 1:
+            raise ValueError("min_should_match must be a positive int, "
+                             f"got {min_should_match!r}")
+        if mode == "and":
+            raise ValueError(
+                "min_should_match does not compose with mode='and' — "
+                "'and' already requires every term; pass one or the other")
     if after is not None and sort_by is not None:
         raise ValueError("after= is a score-order cursor — it does not "
                          "compose with sort_by")
@@ -558,11 +582,16 @@ def bm25_topk(
     qboosts = pq.boosts
     explicit_terms = list(terms)
     if prefixes or pq.fuzzies:
-        if mode == "and":
+        if mode == "and" or (min_should_match or 0) > 1:
             raise ValueError(
                 "prefix wildcards / fuzzy tokens are not supported with "
-                "mode='and' — expand into explicit terms for conjunctive "
-                "retrieval")
+                "mode='and' / min_should_match — expand into explicit "
+                "terms for conjunctive retrieval")
+    # normalize: m=1 is the disjunctive default (no-op); m above the
+    # indexable term count can never be satisfied
+    msm = min_should_match if (min_should_match or 0) > 1 else None
+    if msm is not None and msm > len(terms):
+        return spark.createDataFrame([], "doc_id long, score double")
     if prefixes:
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, prefixes,
@@ -608,7 +637,7 @@ def bm25_topk(
     allow_prune = (anomaly_max is None and not anomaly_weight
                    and doc_filter is None and not nterms and tomb is None
                    and after is None and sort_by is None
-                   and collapse is None)
+                   and collapse is None and msm is None)
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -708,6 +737,10 @@ def bm25_topk(
         )
         if mode == "and":
             scored = scored.filter(F.col("_nt") == len(terms))
+        elif msm is not None:
+            # minimum_should_match: the count of distinct matched terms
+            # rides the same aggregate — a pure filter, no extra shuffle
+            scored = scored.filter(F.col("_nt") >= msm)
         scored = scored.drop("_nt")
     if nterms:
         # MUST_NOT: drop docs containing any excluded term (they never
@@ -842,6 +875,7 @@ def bm25_topk_batch(
     k: int = 10,
     wand: bool = False,
     mode: str = "or",
+    min_should_match: int | None = None,
     doc_filter: str | None = None,
     max_expansions: int = 128,
 ) -> DataFrame:
@@ -873,6 +907,14 @@ def bm25_topk_batch(
     from the broadcast map — no extra shuffle. WAND batch pruning is
     disabled in "and" mode (disjunctive θ bound).
 
+    min_should_match=m applies Lucene's minimum_should_match to every
+    query in the batch (see bm25_topk): docs matching fewer than m
+    distinct terms of a query drop before that query's top-k. Queries
+    with fewer than m indexable terms return no rows (unsatisfiable).
+    Same v1 restrictions as bm25_topk: not with mode='and', not with
+    prefix/fuzzy tokens; WAND batch pruning and the single-term fast
+    path are disabled when m > 1 (the filter changes which docs rank).
+
     doc_filter (SQL expression over docs metadata, see bm25_topk) applies
     to EVERY query in the batch: one filtered docs projection, one
     semi-join before the per-query top-k windows. Prefix wildcards
@@ -885,6 +927,15 @@ def bm25_topk_batch(
 
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if min_should_match is not None:
+        if not isinstance(min_should_match, int) or min_should_match < 1:
+            raise ValueError("min_should_match must be a positive int, "
+                             f"got {min_should_match!r}")
+        if mode == "and":
+            raise ValueError(
+                "min_should_match does not compose with mode='and' — "
+                "'and' already requires every term; pass one or the other")
+    msm = min_should_match if (min_should_match or 0) > 1 else None
     if isinstance(queries, list):
         queries = {str(i): q for i, q in enumerate(queries)}
     scoped = [qid for qid, q in queries.items()
@@ -910,11 +961,12 @@ def bm25_topk_batch(
         for tok, nv in (*pq_.fuzzies.items(), *pq_.neg_fuzzies.items()):
             all_fuzzies[tok] = max(nv, all_fuzzies.get(tok, 0))
     if (all_prefixes or all_nprefixes or
-            any(pq_.fuzzies for pq_ in parsed.values())) and mode == "and":
+            any(pq_.fuzzies for pq_ in parsed.values())) and (
+            mode == "and" or msm is not None):
         raise ValueError(
             "prefix wildcards / fuzzy tokens are not supported with "
-            "mode='and' — expand into explicit terms for conjunctive "
-            "retrieval")
+            "mode='and' / min_should_match — expand into explicit terms "
+            "for conjunctive retrieval")
     # one combined dictionary scan for the whole batch; the expansion bound
     # is PER QUERY (consistent with bm25_topk), so the scan cap scales with
     # the distinct-prefix count — if the cap is hit, some single prefix
@@ -1000,13 +1052,16 @@ def bm25_topk_batch(
     # and trustworthy block-max bounds
     singles: dict[str, str] = {}
     multis: dict[str, list[str]] = {}
-    if allow_prune and not segmented:
+    if allow_prune and not segmented and msm is None:
         for qid, ts in q_terms.items():
             if len(ts) == 1:
                 singles[qid] = ts[0]
             else:
                 multis[qid] = ts
     else:
+        # under min_should_match every query takes the aggregate path —
+        # the matched-term count lives there; queries with fewer than m
+        # terms filter to empty inside the aggregate (_nt <= |terms| < m)
         multis = {qid: ts for qid, ts in q_terms.items() if ts}
 
     parts = []
@@ -1046,7 +1101,7 @@ def bm25_topk_batch(
                     for r in df_rows}
         lambdas = (_batch_wand_lambdas(cand, multis, n, avgdl, k)
                    if wand and allow_prune and mode == "or"
-                   and not any_boost else None)
+                   and msm is None and not any_boost else None)
         contrib = cand.mapInPandas(
             _score_partition(n, avgdl, k, single_term=False, idfs=idfs,
                              lambdas=lambdas),
@@ -1081,6 +1136,8 @@ def bm25_topk_batch(
                 "query_id string, _need int")
             scored = (scored.join(F.broadcast(need), "query_id")
                       .filter(F.col("_nt") == F.col("_need")).drop("_need"))
+        elif msm is not None:
+            scored = scored.filter(F.col("_nt") >= msm)
         scored = scored.drop("_nt")
         if all_negs:
             # per-query MUST_NOT: one ids-only scan over the union of
@@ -1121,6 +1178,7 @@ def bm25_oracle(
     anomaly_max: float | None = None,
     anomaly_weight: float = 0.0,
     mode: str = "or",
+    min_should_match: int | None = None,
     keep_ids: set[int] | None = None,
     stopwords: set[str] | None = None,
 ) -> list[tuple[int, float]]:
@@ -1188,6 +1246,9 @@ def bm25_oracle(
         if nterms and any(t in c for t in nterms):
             continue
         if mode == "and" and any(t not in c for t in terms):
+            continue
+        if (min_should_match or 0) > 1 and (
+                sum(1 for t in set(terms) if t in c) < min_should_match):
             continue
         s = 0.0
         for t in sorted(terms):
@@ -2120,16 +2181,27 @@ def bm25_count(
     index_dir: str,
     query: str,
     mode: str = "or",
+    min_should_match: int | None = None,
     doc_filter: str | None = None,
     max_expansions: int = 128,
 ) -> DataFrame:
     """Number of documents matching the query under full retrieval
-    semantics (mode / exclusions / field scopes / doc_filter /
-    tombstones) — a one-row (n_matches long) relation, computed on the
-    ids-only path (no scores, no positions, and unlike bm25_facets no
-    docs-metadata join unless a doc filter requires one)."""
+    semantics (mode / min_should_match / exclusions / field scopes /
+    doc_filter / tombstones) — a one-row (n_matches long) relation,
+    computed on the ids-only path (no scores, no positions, and unlike
+    bm25_facets no docs-metadata join unless a doc filter requires
+    one)."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if min_should_match is not None:
+        if not isinstance(min_should_match, int) or min_should_match < 1:
+            raise ValueError("min_should_match must be a positive int, "
+                             f"got {min_should_match!r}")
+        if mode == "and":
+            raise ValueError(
+                "min_should_match does not compose with mode='and' — "
+                "'and' already requires every term; pass one or the other")
+    msm = min_should_match if (min_should_match or 0) > 1 else None
     query, _scope = _split_field_scopes(query)
     doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
@@ -2138,20 +2210,20 @@ def bm25_count(
     terms = sorted(pq.terms - _stop)
     nterms = sorted(pq.neg_terms - _stop)
     if pq.prefixes:
-        if mode == "and":
+        if mode == "and" or msm is not None:
             raise ValueError(
                 "prefix wildcards / fuzzy tokens are not supported with "
-                "mode='and' — expand into explicit terms for conjunctive "
-                "retrieval")
+                "mode='and' / min_should_match — expand into explicit "
+                "terms for conjunctive retrieval")
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, sorted(pq.prefixes),
                                             max_expansions)))
     if pq.fuzzies:
-        if mode == "and":
+        if mode == "and" or msm is not None:
             raise ValueError(
                 "prefix wildcards / fuzzy tokens are not supported with "
-                "mode='and' — expand into explicit terms for conjunctive "
-                "retrieval")
+                "mode='and' / min_should_match — expand into explicit "
+                "terms for conjunctive retrieval")
         terms = sorted(set(terms) | {
             t for ts in _expand_fuzzy(postings, pq.fuzzies,
                                       max_expansions).values() for t in ts})
@@ -2172,11 +2244,16 @@ def bm25_count(
         buckets = sorted({term_bucket(t, stats["num_buckets"])
                           for t in [*terms, *nterms]})
         postings = postings.filter(F.col("bucket").isin(buckets))
-    if mode == "and":
+    if msm is not None and msm > len(terms):
+        return spark.createDataFrame([(0,)], "n_matches long")
+    if mode == "and" or msm is not None:
+        need = len(terms) if mode == "and" else msm
+        cmp_col = (F.col("_nt") == need if mode == "and"
+                   else F.col("_nt") >= need)
         matched = (_term_doc_ids(postings, terms, with_term=True)
                    .groupBy("doc_id")
                    .agg(F.countDistinct("term").alias("_nt"))
-                   .filter(F.col("_nt") == len(terms)).select("doc_id"))
+                   .filter(cmp_col).select("doc_id"))
     else:
         matched = _term_doc_ids(postings, terms).distinct()
     if nterms:

@@ -689,6 +689,18 @@ andq AS (
   GROUP BY tf.doc_id
   HAVING COUNT(DISTINCT tf.term) = 3
 ),
+-- r5c minimum_should_match leg: same disjunctive scores, only docs
+-- matching at least 2 distinct query terms rank
+msmq AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), consts
+  WHERE tf.term IN ('merge', 'scan', 'row')
+  GROUP BY tf.doc_id
+  HAVING COUNT(DISTINCT tf.term) >= 2
+),
 -- r5 doc_filter leg: the engine synthesizes role from doc_id % 4
 -- (0 user, 1 assistant, 2 system, 3 tool) and filters role='assistant'
 -- BEFORE top-k — the oracle restricts the rankable docs identically
@@ -768,6 +780,10 @@ SELECT part, doc_id, score FROM (
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'and:merge scan row' AS part, doc_id, ROUND(s, 6) AS score FROM andq
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'msm2:merge scan row' AS part, doc_id, ROUND(s, 6) AS score FROM msmq
   ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (

@@ -146,7 +146,7 @@ _SEARCH_RE = re.compile(
     r"SEARCH\s*\(\s*(?P<idx>\w+)\s*,\s*'(?P<q>[^']*)'\s*"
     r"(?:,\s*(?P<k>\d+)\s*)?"
     r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*[0-9.eE+-]+"
-    r"|MATCH\s*=\s*(?:ALL|ANY)"
+    r"|MATCH\s*=\s*(?:ALL|ANY|\d+)"
     r"|(?:SNIPPET|COLLAPSE)\s*=\s*\w+"
     r"|COUNT"
     r"|(?:FILTER|SORT|FACETS)\s*=\s*'(?:[^']|'')*')\s*)*)\)",
@@ -297,7 +297,10 @@ class MacroBaseSQL:
 
         MATCH=ALL makes the query conjunctive (bm25_topk mode="and":
         only docs containing every term rank; MATCH=ANY is the default
-        disjunctive retrieval).
+        disjunctive retrieval). MATCH=<n> is minimum_should_match: only
+        docs containing at least n distinct query terms rank
+        (bm25_topk min_should_match — the middle ground; supported on
+        the plain query form and COUNT).
 
         FILTER='<sql expr>' restricts the rankable docs by a predicate
         over the docs table's metadata columns (bm25_topk doc_filter),
@@ -370,6 +373,12 @@ class MacroBaseSQL:
                 else:
                     slop = int(float(om.group("val")))
             phrase = len(q) >= 2 and q.startswith('"') and q.endswith('"')
+            # MATCH=ALL → conjunctive; MATCH=<n> → minimum_should_match
+            s_mode, s_msm = "or", None
+            if match == "ALL":
+                s_mode = "and"
+            elif match is not None and match != "ANY":
+                s_msm = int(match)
             view = self._fresh_view("search")
             target = self._indexes[name]
             if count_flag:
@@ -384,8 +393,8 @@ class MacroBaseSQL:
                 from macrobase_spark.index.bm25 import bm25_count
 
                 bm25_count(
-                    self.spark, target, q,
-                    mode="and" if match == "ALL" else "or",
+                    self.spark, target, q, mode=s_mode,
+                    min_should_match=s_msm,
                     doc_filter=doc_filter).createOrReplaceTempView(view)
                 return view
             if collapse_col is not None and (
@@ -405,11 +414,15 @@ class MacroBaseSQL:
                         "plain query form plus MATCH/FILTER and field "
                         "scopes — not phrase/SNIPPET/SORT/FACETS/"
                         "ANOMALY_*/SLOP")
+                if s_msm is not None:
+                    raise ValueError(
+                        "SEARCH: MATCH=<n> (minimum_should_match) is not "
+                        "supported over a sharded attachment — use "
+                        "MATCH=ALL/ANY")
                 from macrobase_spark.index.bm25 import bm25_topk_sharded
 
                 bm25_topk_sharded(
-                    self.spark, list(target), q, k=k,
-                    mode="and" if match == "ALL" else "or",
+                    self.spark, list(target), q, k=k, mode=s_mode,
                     doc_filter=doc_filter).createOrReplaceTempView(view)
                 return view
             if facet_spec is not None:
@@ -420,11 +433,15 @@ class MacroBaseSQL:
                         "SEARCH: FACETS composes with MATCH/FILTER and "
                         "field scopes only — not with phrase queries, "
                         "SNIPPET, SORT, or ANOMALY_* options")
+                if s_msm is not None:
+                    raise ValueError(
+                        "SEARCH: MATCH=<n> (minimum_should_match) is not "
+                        "supported with FACETS — use MATCH=ALL/ANY")
                 from macrobase_spark.index.bm25 import bm25_facets
 
                 bm25_facets(
                     self.spark, self._indexes[name], q, facet_spec,
-                    mode="and" if match == "ALL" else "or",
+                    mode=s_mode,
                     doc_filter=doc_filter).createOrReplaceTempView(view)
                 return view
             if sort_spec is not None and (phrase or snippet_view is not None):
@@ -464,20 +481,24 @@ class MacroBaseSQL:
                     "the query in double quotes: "
                     "SEARCH(idx, '\"a b\"', k, SLOP=1)")
             if snippet_view is not None:
+                if s_msm is not None:
+                    raise ValueError(
+                        "SEARCH: MATCH=<n> (minimum_should_match) is not "
+                        "supported with SNIPPET — use MATCH=ALL/ANY")
                 from macrobase_spark.index.snippets import highlight_topk
 
                 highlight_topk(
                     self.spark, self._indexes[name],
                     self.spark.table(snippet_view), q, k=k,
                     anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
-                    mode="and" if match == "ALL" else "or",
+                    mode=s_mode,
                     doc_filter=doc_filter).createOrReplaceTempView(view)
                 return view
             from macrobase_spark.index.bm25 import bm25_topk
 
             bm25_topk(self.spark, self._indexes[name], q, k=k,
                       anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
-                      mode="and" if match == "ALL" else "or",
+                      mode=s_mode, min_should_match=s_msm,
                       doc_filter=doc_filter, sort_by=sort_spec,
                       collapse=collapse_col,
                       ).createOrReplaceTempView(view)

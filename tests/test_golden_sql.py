@@ -401,6 +401,26 @@ def test_search_match_all(spark, tmp_path):
         mb.execute(
             "SELECT * FROM SEARCH(tr, '\"the the\"', 5, MATCH=ALL);")
 
+    # MATCH=<n> is minimum_should_match (plain + COUNT forms)
+    m2 = mb.execute(
+        "SELECT doc_id, score FROM SEARCH(tr, 'tok0042 tok0007 the', 8, "
+        "MATCH=2) ORDER BY score DESC;").collect()
+    want2 = bm25_topk(spark, idx, "tok0042 tok0007 the", k=8,
+                      min_should_match=2).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in m2] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want2]
+    from macrobase_spark.index.bm25 import bm25_count
+
+    c2 = mb.execute(
+        "SELECT * FROM SEARCH(tr, 'tok0042 tok0007 the', 8, MATCH=2, "
+        "COUNT);").collect()
+    wantc = bm25_count(spark, idx, "tok0042 tok0007 the",
+                       min_should_match=2).collect()
+    assert [r["n_matches"] for r in c2] == [r["n_matches"] for r in wantc]
+    with pytest.raises(ValueError, match="not supported with FACETS"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'tok0042 the', 8, MATCH=2, "
+                   "FACETS='role');")
+
 
 def test_search_filter_and_wildcard_options(spark, tmp_path):
     """SEARCH FILTER='<expr>' (with '' quote escaping) equals bm25_topk

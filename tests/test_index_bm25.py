@@ -512,6 +512,101 @@ def test_conjunctive_mode_validation(spark, corpus):
         bm25_topk_batch(spark, out, ["the"], mode="not")
 
 
+# --------------------------------------- r5: minimum_should_match (MATCH=n)
+
+
+@pytest.mark.parametrize("query,m", [
+    ("tok0042 tok0007 the", 2),
+    ("rare11 the call", 2),
+    ("tok0100 tok0200 tok0300 the", 3),
+])
+def test_min_should_match_rank_identical(spark, corpus, query, m):
+    """min_should_match=m — rank+score identical to the oracle's ≥m-terms
+    filter, sandwiched between OR (m=1) and AND (m=all): scores are the
+    unchanged disjunctive sums, only the doc population narrows."""
+    _, out, _, docs = corpus
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, query, k=12,
+                     min_should_match=m).collect()]
+    want = bm25_oracle(docs, query, k=12, min_should_match=m)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    or_scores = dict(bm25_oracle(docs, query, k=10**9))
+    for d, s in got:
+        assert math.isclose(s, or_scores[d], rel_tol=1e-12)
+
+
+def test_min_should_match_sandwich_and_edges(spark, corpus):
+    """m=1 ≡ OR; m=len(terms) population ≡ AND; m>len(terms) → empty;
+    monotonically shrinking hit sets as m rises."""
+    _, out, _, _ = corpus
+    q = "tok0042 tok0007 the"
+    ids_or = {r["doc_id"] for r in
+              bm25_topk(spark, out, q, k=10**6).collect()}
+    ids_m1 = {r["doc_id"] for r in
+              bm25_topk(spark, out, q, k=10**6,
+                        min_should_match=1).collect()}
+    assert ids_m1 == ids_or
+    ids_m2 = {r["doc_id"] for r in
+              bm25_topk(spark, out, q, k=10**6,
+                        min_should_match=2).collect()}
+    ids_m3 = {r["doc_id"] for r in
+              bm25_topk(spark, out, q, k=10**6,
+                        min_should_match=3).collect()}
+    ids_and = {r["doc_id"] for r in
+               bm25_topk(spark, out, q, k=10**6, mode="and").collect()}
+    assert ids_m3 == ids_and
+    assert ids_m3 <= ids_m2 <= ids_m1
+    assert len(ids_m3) < len(ids_m2) < len(ids_m1)
+    assert bm25_topk(spark, out, q, k=10,
+                     min_should_match=4).count() == 0
+
+
+def test_min_should_match_batch_matches_single(spark, corpus):
+    """Batch min_should_match is per-query identical to bm25_topk,
+    including a 1-term query (unsatisfiable at m=2 → no rows) riding
+    alongside."""
+    _, out, _, _ = corpus
+    qs = {"a": "tok0042 tok0007 the", "b": "rare11 the call", "c": "the"}
+    batch = bm25_topk_batch(spark, out, qs, k=8,
+                            min_should_match=2).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, out, q, k=8,
+                          min_should_match=2).collect()]
+        assert by_q.get(qid, []) == want, qid
+    assert "c" not in by_q  # 1 term < m — unsatisfiable
+
+
+def test_min_should_match_count_and_validation(spark, corpus):
+    """bm25_count under m ≥ the full-retrieval population; validation:
+    not with mode='and', not with wildcards/fuzzies, positive int only."""
+    from macrobase_spark.index.bm25 import bm25_count
+
+    _, out, _, _ = corpus
+    q = "tok0042 tok0007 the"
+    n_m2 = bm25_count(spark, out, q, min_should_match=2).collect()[0][0]
+    want = bm25_topk(spark, out, q, k=10**6, min_should_match=2).count()
+    assert n_m2 == want
+    assert bm25_count(spark, out, q, min_should_match=9).collect()[0][0] == 0
+    for fn in (bm25_topk, bm25_count):
+        with pytest.raises(ValueError, match="does not compose"):
+            fn(spark, out, q, mode="and", min_should_match=2)
+        with pytest.raises(ValueError, match="positive int"):
+            fn(spark, out, q, min_should_match=0)
+        with pytest.raises(ValueError, match="not supported"):
+            fn(spark, out, "tok00* the extra", min_should_match=2)
+    with pytest.raises(ValueError, match="does not compose"):
+        bm25_topk_batch(spark, out, [q], mode="and", min_should_match=2)
+    with pytest.raises(ValueError, match="not supported"):
+        bm25_topk_batch(spark, out, ["tok00* the extra"],
+                        min_should_match=2)
+
+
 # --------------------------------------------------------- r5: doc_filter
 
 
