@@ -771,6 +771,20 @@ def q26_bm25_index_path(spark, sf):
                   min_should_match=2).select(
             F.lit("msm2:merge scan row").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5c: suggestion surface — prefix autocomplete and did-you-mean over
+    # the term dictionary (term+df column-pruned scan); the oracle
+    # recomputes the dictionary and rankings in SQL (DuckDB levenshtein)
+    from macrobase_spark.index.suggest import spellcheck, suggest_terms
+
+    legs.append(
+        suggest_terms(spark, cache, "me", k=5).select(
+            F.concat(F.lit("suggest:me:"), "term").alias("part"),
+            F.col("df").alias("doc_id"), F.lit(0.0).alias("score")))
+    legs.append(
+        spellcheck(spark, cache, "mergee", max_edits=2, k=5).select(
+            F.concat(F.lit("spell:mergee:"), "term").alias("part"),
+            F.col("df").alias("doc_id"),
+            F.col("distance").cast("double").alias("score")))
     # r5: metadata-filtered retrieval — best k WITHIN role='assistant'
     legs.append(
         bm25_topk(spark, cache, "merge scan row", k=10,

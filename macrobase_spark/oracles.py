@@ -689,6 +689,11 @@ andq AS (
   GROUP BY tf.doc_id
   HAVING COUNT(DISTINCT tf.term) = 3
 ),
+-- r5c suggestion legs: the term dictionary is (term, doc frequency);
+-- autocomplete ranks a prefix's terms by (df desc, term asc), spellcheck
+-- ranks ≤2-edit neighbours by (distance asc, df desc, term asc)
+dict AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         FROM toks GROUP BY term),
 -- r5c minimum_should_match leg: same disjunctive scores, only docs
 -- matching at least 2 distinct query terms rank
 msmq AS (
@@ -785,6 +790,17 @@ SELECT part, doc_id, score FROM (
 SELECT part, doc_id, score FROM (
   SELECT 'msm2:merge scan row' AS part, doc_id, ROUND(s, 6) AS score FROM msmq
   ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'suggest:me:' || term AS part, df AS doc_id, 0.0 AS score
+  FROM dict WHERE term LIKE 'me%'
+  ORDER BY df DESC, term ASC LIMIT 5
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'spell:mergee:' || term AS part, df AS doc_id,
+         CAST(levenshtein(term, 'mergee') AS DOUBLE) AS score
+  FROM dict WHERE levenshtein(term, 'mergee') <= 2
+  ORDER BY score ASC, df DESC, term ASC LIMIT 5
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'filter:role=assistant' AS part, doc_id, ROUND(s, 6) AS score

@@ -746,3 +746,74 @@ def test_sharded_facets_equal_monolithic(spark, shards):
     assert got2 == want2
     with pytest.raises(ValueError, match="wildcard/fuzzy"):
         bm25_facets_sharded(spark, parts, "tok00* the", facets=["role"])
+
+
+# ------------------------------------- r5: suggest / spellcheck dictionary
+
+
+def _dict_df(docs):
+    """term → doc frequency recount from raw text (the dictionary twin)."""
+    from collections import Counter
+
+    dfc = Counter()
+    for _d, t in docs:
+        dfc.update(set(re.findall(TOKEN_PATTERN, t.lower())))
+    return dfc
+
+
+def test_suggest_terms_matches_python_recount(spark, corpus):
+    """Autocomplete = top-k dictionary terms by (df desc, term asc) under
+    the prefix; empty prefix = the corpus's top terms overall."""
+    from macrobase_spark.index.suggest import suggest_terms
+
+    _, out, docs, _ = corpus
+    dfc = _dict_df(docs)
+    for prefix, k in [("tok00", 8), ("ra", 5), ("", 10)]:
+        got = [(r["term"], r["df"]) for r in
+               suggest_terms(spark, out, prefix, k=k).collect()]
+        want = sorted(((t, n) for t, n in dfc.items()
+                       if t.startswith(prefix)),
+                      key=lambda x: (-x[1], x[0]))[:k]
+        assert got == want, prefix
+    assert suggest_terms(spark, out, "zzzznope", k=5).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        suggest_terms(spark, out, "a", k=0)
+
+
+def test_spellcheck_matches_python_recount(spark, corpus):
+    """Did-you-mean = dictionary terms within max_edits ranked by
+    (distance asc, df desc, term asc); an exact hit ranks first at
+    distance 0; min_df drops rare-noise corrections."""
+    from macrobase_spark.index.bm25 import _edit_distance
+    from macrobase_spark.index.suggest import spellcheck
+
+    _, out, docs, _ = corpus
+    dfc = _dict_df(docs)
+
+    def want(token, max_edits, k, min_df=1):
+        cand = [(t, n, _edit_distance(token, t, max_edits))
+                for t, n in dfc.items()
+                if abs(len(t) - len(token)) <= max_edits and n >= min_df]
+        cand = [(t, n, d) for t, n, d in cand if d <= max_edits]
+        return sorted(cand, key=lambda x: (x[2], -x[1], x[0]))[:k]
+
+    for token, me, k in [("tok0042", 1, 5), ("thw", 1, 5),
+                         ("rarr7", 2, 5)]:
+        got = [(r["term"], r["df"], r["distance"]) for r in
+               spellcheck(spark, out, token, max_edits=me, k=k).collect()]
+        assert got == want(token, me, k), token
+    # exact dictionary hit → itself first at distance 0
+    first = spellcheck(spark, out, "the", max_edits=1, k=3).collect()[0]
+    assert (first["term"], first["distance"]) == ("the", 0)
+    # min_df drops low-frequency corrections
+    lo = {r["term"] for r in
+          spellcheck(spark, out, "rarr7", max_edits=2, k=50).collect()}
+    hi = {r["term"] for r in
+          spellcheck(spark, out, "rarr7", max_edits=2, k=50,
+                     min_df=3).collect()}
+    assert hi <= lo
+    assert all(dfc[t] >= 3 for t in hi)
+    with pytest.raises(ValueError, match="max_edits"):
+        spellcheck(spark, out, "the", max_edits=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        spellcheck(spark, out, "   ")
