@@ -459,10 +459,21 @@ def q15_text_features(spark, sf):
     explicit doc_id%4 shard so DuckDB can replay the greedy fold as a
     recursive CTE per shard."""
     from macrobase_spark.functions import fingerprint, lang_id, quality_score, token_count
-    from macrobase_spark.functions.text import scrub_pii
+    from macrobase_spark.functions.text import (
+        duplicate_line_char_fraction, duplicate_line_fraction, scrub_pii,
+        top_ngram_char_fraction)
     from macrobase_spark.pipelines.pack import pack_sequences
 
     d = _t(spark, sf, "documents")
+    # planted multi-line rendering for the Gopher line-repetition legs
+    # (the corpus text is single-line): [text, shared, text, shared|solo<id>]
+    # — the text line always duplicates; every 3rd doc also duplicates the
+    # shared tail, so both signals vary per doc. Mirrored in the oracle.
+    ml = F.concat_ws(
+        "\n", F.col("text"), F.lit("shared tail line"), F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("shared tail line"))
+        .otherwise(F.concat(F.lit("solo "),
+                            F.col("doc_id").cast("string"))))
     feats = (
         d.select(
             "doc_id",
@@ -470,6 +481,9 @@ def q15_text_features(spark, sf):
             quality_score("text").alias("quality"),
             lang_id("text").alias("lang_pred"),
             fingerprint("text").alias("fp"),
+            duplicate_line_fraction(ml).alias("rep_line_frac"),
+            duplicate_line_char_fraction(ml).alias("rep_char_frac"),
+            top_ngram_char_fraction("text", 2).alias("top2_frac"),
             # planted deterministic PII (the corpus has none) so the scrub
             # hash-leg is non-vacuous — mirrored verbatim in the oracle
             F.md5(scrub_pii(F.concat(

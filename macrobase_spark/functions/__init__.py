@@ -6,4 +6,7 @@ from macrobase_spark.functions.text import (  # noqa: F401
     fingerprint,
     scrub_pii,
     pii_counts,
+    duplicate_line_fraction,
+    duplicate_line_char_fraction,
+    top_ngram_char_fraction,
 )

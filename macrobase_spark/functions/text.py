@@ -86,6 +86,86 @@ def ngrams(col: str | Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def _lines(col: str | Column) -> Column:
+    """Trimmed, non-empty lines of the document as array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+                    lambda l: l != "")
+
+
+def duplicate_line_fraction(col: str | Column = "text") -> Column:
+    """Fraction of a document's (trimmed, non-empty) lines that are
+    repeats of an earlier line: 1 − distinct/total. One of the Gopher
+    repetition signals (Rae et al. 2021, §A1.1) — boilerplate-heavy and
+    template-generated pages score high. Pure per-row Catalyst (no
+    shuffle); 0.0 for empty / single-line documents."""
+    lines = _lines(col)
+    n = F.size(lines).cast("double")
+    return F.when(
+        n > 0,
+        F.round(1.0 - F.size(F.array_distinct(lines)).cast("double") / n, 6)
+    ).otherwise(0.0)
+
+
+def duplicate_line_char_fraction(col: str | Column = "text") -> Column:
+    """Fraction of line characters that live in DUPLICATED lines (lines
+    occurring more than once count all their occurrences) — the
+    character-weighted Gopher twin of duplicate_line_fraction: one huge
+    repeated block moves this signal even when the line count barely
+    shifts. Per-row Catalyst: occurrence counts fold over the distinct
+    lines (O(distinct·total) comparisons per document — line counts are
+    document-scale, not corpus-scale, so this stays cheap and shuffle-
+    free). 0.0 for empty documents."""
+    lines = _lines(col)
+    stats = F.transform(
+        F.array_distinct(lines),
+        lambda l: F.struct(
+            F.size(F.filter(lines, lambda x: x == l)).alias("cnt"),
+            F.length(l).alias("len")))
+    tot = F.aggregate(stats, F.lit(0).cast("long"),
+                      lambda a, s: a + s["cnt"].cast("long") * s["len"])
+    dup = F.aggregate(
+        stats, F.lit(0).cast("long"),
+        lambda a, s: a + F.when(s["cnt"] > 1,
+                                s["cnt"].cast("long") * s["len"])
+                          .otherwise(F.lit(0).cast("long")))
+    return F.when(tot > 0,
+                  F.round(dup.cast("double") / tot.cast("double"), 6)
+                  ).otherwise(0.0)
+
+
+def top_ngram_char_fraction(col: str | Column = "text", n: int = 2) -> Column:
+    """Fraction of the normalized text's characters covered by the single
+    most frequent word n-gram: count·len(gram) / len(join(tokens)) — the
+    Gopher "top n-gram fraction" repetition signal (n=2..4 in the paper).
+    Ties break to the lexicographically smallest gram (deterministic).
+    Documents shorter than n tokens shingle to one whole-text pseudo-gram
+    (fraction 1.0, maximally repetitive-trivial), matching ngrams();
+    empty documents score 0.0. Per-row Catalyst, same fold shape as
+    duplicate_line_char_fraction."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize_expr(c)
+    grams = ngrams(c, n)
+    stats = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
+            g.alias("gram")))
+    top = F.aggregate(
+        stats,
+        F.struct(F.lit(-1).alias("cnt"), F.lit("").alias("gram")),
+        lambda acc, s: F.when(
+            (s["cnt"] > acc["cnt"])
+            | ((s["cnt"] == acc["cnt"]) & (s["gram"] < acc["gram"])),
+            s).otherwise(acc))
+    norm_len = F.length(F.array_join(toks, " ")).cast("double")
+    return F.when(
+        norm_len > 0,
+        F.round(top["cnt"].cast("double") * F.length(top["gram"]) / norm_len,
+                6)
+    ).otherwise(0.0)
+
+
 # PII patterns: RE2-compatible (no lookaround/backrefs) so the same pattern
 # text runs identically under Spark's Java regex and DuckDB's RE2 — keeps
 # the scrubbing oracle-checkable. Ordering matters: emails/IPs/SSNs before

@@ -357,6 +357,47 @@ pk AS (
          CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
               AS BIGINT) AS rn
   FROM s),
+-- r5c Gopher line-repetition legs over the same planted multi-line
+-- rendering as the engine: [text, shared, text, shared|solo<id>]
+mlines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id,
+               text || chr(10) || 'shared tail line' || chr(10) || text
+                 || chr(10)
+                 || CASE WHEN doc_id % 3 = 0 THEN 'shared tail line'
+                         ELSE 'solo ' || CAST(doc_id AS VARCHAR) END AS ml
+        FROM documents),
+       unnest(string_split(ml, chr(10))) AS u(l)
+  WHERE trim(l) <> ''),
+lcount AS (SELECT doc_id, line, COUNT(*) AS c FROM mlines
+           GROUP BY doc_id, line),
+rep AS (
+  SELECT doc_id AS rp_doc,
+         ROUND(1.0 - CAST(COUNT(*) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE), 6) AS rep_line_frac,
+         ROUND(CAST(SUM(CASE WHEN c > 1 THEN c * length(line)
+                             ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c * length(line)) AS DOUBLE), 6) AS rep_char_frac
+  FROM lcount GROUP BY doc_id),
+-- top-2-gram char fraction over the raw text (deterministic tie: the
+-- lexicographically smallest gram among the most frequent)
+g2 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(0, len(toks) - 1),
+                       i -> array_to_string(toks[i + 1 : i + 2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS gram,
+         CAST(length(array_to_string(toks, ' ')) AS DOUBLE) AS norm_len
+  FROM t),
+g2c AS (SELECT doc_id, gram, norm_len, CAST(COUNT(*) AS INT) AS c
+        FROM g2 GROUP BY doc_id, gram, norm_len),
+topg AS (
+  SELECT doc_id AS tg_doc,
+         ROUND(CAST(c AS DOUBLE) * length(gram) / norm_len, 6) AS top2_frac
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, gram ASC) AS rnk
+        FROM g2c)
+  WHERE rnk = 1),
 g AS (
   SELECT shard, rn, doc_id, ntok, CAST(0 AS BIGINT) AS pidx,
          CAST(0 AS BIGINT) AS ppos, ntok AS used
@@ -381,12 +422,15 @@ SELECT s.doc_id,
             WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
             ELSE 'de' END AS lang_pred,
        fp,
+       rep.rep_line_frac, rep.rep_char_frac, topg.top2_frac,
        CONCAT(CAST(g.shard AS VARCHAR), ':', CAST(g.pidx AS VARCHAR))
          AS pack_id,
        g.ppos AS pack_pos,
        g.ntok > 64 AS oversize
 FROM s JOIN (SELECT doc_id AS g_doc, shard, pidx, ppos, ntok FROM g) g
   ON g.g_doc = s.doc_id
+  JOIN rep ON rep.rp_doc = s.doc_id
+  JOIN topg ON topg.tg_doc = s.doc_id
 ORDER BY s.doc_id LIMIT 500
 """
 

@@ -1008,3 +1008,62 @@ def test_contamination_thresholds_and_hot_guard(spark):
     got3 = find_contamination(train, ev, n=10, max_train_df=10 ** 9,
                               min_overlap=2.0).collect()
     assert got3 == []
+
+
+# -------------------------------------- r5: Gopher repetition signals
+
+
+def _rep_expected(text, n=2):
+    """Pure-Python recount of the three repetition signals."""
+    import re as _re
+    from collections import Counter
+
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    lc = Counter(lines)
+    nl = len(lines)
+    dup_frac = round(1.0 - len(lc) / nl, 6) if nl else 0.0
+    tot = sum(c * len(l) for l, c in lc.items())
+    dup = sum(c * len(l) for l, c in lc.items() if c > 1)
+    dup_char = round(dup / tot, 6) if tot else 0.0
+    toks = [t for t in _re.split("[^a-z0-9]+", text.lower()) if t]
+    grams = ([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+             if len(toks) >= n else [" ".join(toks)])
+    gc = Counter(grams)
+    top = min(gc.items(), key=lambda kv: (-kv[1], kv[0]))
+    norm = len(" ".join(toks))
+    top_frac = round(top[1] * len(top[0]) / norm, 6) if norm else 0.0
+    return dup_frac, dup_char, top_frac
+
+
+def test_repetition_signals_match_python_recount(spark):
+    from macrobase_spark.functions.text import (
+        duplicate_line_char_fraction, duplicate_line_fraction,
+        top_ngram_char_fraction)
+
+    rows = [
+        (0, "alpha beta\nalpha beta\ngamma delta\n\n  alpha beta  "),
+        (1, "one line only"),
+        (2, "x\ny\nz"),
+        (3, "big repeated block of text here\nbig repeated block of text"
+            " here\nshort\nshort"),
+        (4, "spam spam spam spam spam and some other words after"),
+        (5, ""),
+        (6, "a"),                       # shorter than the shingle width
+        (7, "tie tie bar bar baz"),     # 2-gram tie → smallest gram wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["a"], r["b"], r["c"]) for r in df.select(
+        "doc_id",
+        duplicate_line_fraction("text").alias("a"),
+        duplicate_line_char_fraction("text").alias("b"),
+        top_ngram_char_fraction("text", 2).alias("c")).collect()}
+    for d, text in rows:
+        want = _rep_expected(text, 2)
+        assert got[d] == pytest.approx(want, abs=1e-9), (d, text)
+    # boilerplate-heavy doc scores higher on every signal than clean prose
+    assert got[3][0] > got[2][0] and got[3][1] > got[2][1]
+    assert got[4][2] > got[1][2]
+    # n=3 shingles flow through the same fold
+    g3 = df.filter("doc_id = 4").select(
+        top_ngram_char_fraction("text", 3).alias("c")).collect()[0]["c"]
+    assert g3 == pytest.approx(_rep_expected(rows[4][1], 3)[2], abs=1e-9)
