@@ -529,7 +529,38 @@ def q16_dedup_exact(spark, sf):
         F.lit("cluster").alias("part"), F.col("id").cast("string").alias("key"),
         F.lit(1).cast("long").alias("n_copies"),
         F.col("cluster_id").alias("rep_id"))
-    return exact.unionByName(clusters).orderBy("part", "rep_id", "key")
+    # r5c: deterministic-sampling legs — hash-rule keep decisions and the
+    # seeded global shuffle order are exact string ops on md5, so DuckDB
+    # replays them byte-for-byte (pipelines/sample.py)
+    from macrobase_spark.pipelines.sample import (deterministic_sample,
+                                                  sample_mixture,
+                                                  seeded_shuffle)
+
+    dom = d.withColumn(
+        "domain", F.element_at(
+            F.array(F.lit("wiki"), F.lit("web"), F.lit("logs")),
+            (F.col("doc_id") % 3 + 1).cast("int")))
+    samp = deterministic_sample(d, 0.25, seed=7).select(
+        F.lit("sample:0.25").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col("doc_id").alias("rep_id"))
+    mix = sample_mixture(dom, {"wiki": 1.0, "web": 0.5, "logs": 0.1},
+                         seed=3).select(
+        F.concat(F.lit("mix:"), "domain").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col("doc_id").alias("rep_id"))
+    shuf = (seeded_shuffle(d.select("doc_id"), seed=11).limit(20)
+            .select(
+        F.lit("shuffle:head20").alias("part"),
+        F.col("_shuffle_key").alias("key"),
+        F.row_number().over(W.orderBy("_shuffle_key", "doc_id"))
+        .cast("long").alias("n_copies"),
+        F.col("doc_id").alias("rep_id")))
+    return (exact.unionByName(clusters).unionByName(samp)
+            .unionByName(mix).unionByName(shuf)
+            .orderBy("part", "rep_id", "key"))
 
 
 def q17_term_stats(spark, sf):

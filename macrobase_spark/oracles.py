@@ -468,8 +468,39 @@ clusters AS (
   SELECT 'cluster' AS part, CAST(u AS VARCHAR) AS key, CAST(1 AS BIGINT)
            AS n_copies,
          LEAST(u, MIN(v)) AS rep_id
-  FROM reach GROUP BY u)
+  FROM reach GROUP BY u),
+-- r5c deterministic-sampling legs: keep iff the first 8 hex chars of
+-- md5('<seed>:<id>') sort below the fraction's 8-hex threshold — pure
+-- string ops, byte-identical to the engine (pipelines/sample.py)
+samp AS (
+  SELECT 'sample:0.25' AS part, CAST(doc_id AS VARCHAR) AS key,
+         CAST(1 AS BIGINT) AS n_copies, doc_id AS rep_id
+  FROM documents
+  WHERE substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'),
+doms AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'wiki' WHEN 1 THEN 'web'
+              ELSE 'logs' END AS domain,
+         substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
+  FROM documents),
+mix AS (
+  SELECT 'mix:' || domain AS part, CAST(doc_id AS VARCHAR) AS key,
+         CAST(1 AS BIGINT) AS n_copies, doc_id AS rep_id
+  FROM doms
+  WHERE (domain = 'wiki')
+     OR (domain = 'web'  AND u < '80000000')
+     OR (domain = 'logs' AND u < '19999999')),
+shuf AS (
+  SELECT 'shuffle:head20' AS part, u AS key,
+         CAST(row_number() OVER (ORDER BY u, doc_id) AS BIGINT) AS n_copies,
+         doc_id AS rep_id
+  FROM (SELECT doc_id,
+               substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
+        FROM documents)
+  ORDER BY u, doc_id LIMIT 20)
 SELECT * FROM exact UNION ALL SELECT * FROM clusters
+UNION ALL SELECT * FROM samp UNION ALL SELECT * FROM mix
+UNION ALL SELECT * FROM shuf
 ORDER BY part, rep_id, key
 """
 

@@ -20,3 +20,5 @@ from macrobase_spark.pipelines.similarity import (  # noqa: F401
 from macrobase_spark.pipelines.runner import run_pipeline  # noqa: F401
 from macrobase_spark.pipelines.decontam import (  # noqa: F401
     find_contamination, drop_contaminated)
+from macrobase_spark.pipelines.sample import (  # noqa: F401
+    deterministic_sample, sample_mixture, seeded_shuffle, split_train_eval)

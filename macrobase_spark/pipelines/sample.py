@@ -1,0 +1,147 @@
+"""Deterministic sampling, mixture weighting, and seeded global shuffle
+for training-data pipelines.
+
+Everything here is HASH-deterministic, not RNG-deterministic: a row's
+fate depends only on (seed, row id), never on partitioning, task retry,
+executor count, or Spark version — the property a 100 TB corpus pipeline
+needs so that re-runs, incremental re-builds, and audits all agree row
+for row. (``df.sample()`` gives none of these guarantees: its output
+changes with the partition layout.)
+
+Mechanism: u(id) = md5("<seed>:<id>") and the keep decision compares the
+first 8 hex chars against a threshold hex string. Hex-string comparison
+is monotone in the underlying 32-bit value, so "keep iff prefix <
+threshold" is exactly "keep iff u < fraction" with 2^-32 resolution —
+and it needs only string ops, which DuckDB reproduces byte-for-byte
+(the correctness-gate oracle runs the same expression in SQL).
+
+All expressions are JVM-side Catalyst (md5/substring/comparison): the
+filter pushes into the scan, nothing shuffles, Python never runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8  # 32-bit prefix resolution
+
+
+def _threshold_hex(fraction: float) -> str:
+    """8-hex-char threshold such that P(prefix < threshold) == fraction
+    (up to 2^-32). Caller handles fraction <= 0 / >= 1."""
+    return format(int(fraction * _HEX_SPACE), "08x")
+
+
+def _unit_hash(seed: int | str, id_col: Column) -> Column:
+    """Deterministic per-row hex string in the unit interval's hash
+    space: first 8 hex chars of md5('<seed>:<id>')."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string"))),
+        1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    seed: int | str = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a `fraction` of rows, decided per row by hash(seed, id) —
+    reproducible across runs, partitionings, and engines. The id column
+    must be unique and stable (the same contract dedup_exact's rep_id
+    and the index's doc_id already carry); duplicate ids travel
+    together (same hash → same fate), which is usually what a keyed
+    sample wants."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction!r}")
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.limit(0)
+    return df.filter(
+        _unit_hash(seed, F.col(id_col)) < F.lit(_threshold_hex(fraction)))
+
+
+def sample_mixture(
+    df: DataFrame,
+    fractions: dict[str, float],
+    domain_col: str = "domain",
+    seed: int | str = 0,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-domain deterministic sampling — the mixture-weighting step of
+    a training-data pipeline ("keep 100% of wiki, 30% of web, 5% of
+    logs"): each domain gets its own keep-fraction, decided by the same
+    hash(seed, id) rule as deterministic_sample so the global sample is
+    the union of the per-domain samples. Domains absent from `fractions`
+    use default_fraction (0.0 = drop — unlisted domains must be opted
+    in). One codegen'd CASE over a broadcast-free literal map; no joins,
+    no shuffle."""
+    for d, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(
+                f"fraction for domain {d!r} must be in [0, 1], got {f!r}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1], got {default_fraction!r}")
+    u = _unit_hash(seed, F.col(id_col))
+
+    def keep(f: float) -> Column:
+        if f >= 1.0:
+            return F.lit(True)
+        if f <= 0.0:
+            return F.lit(False)
+        return u < F.lit(_threshold_hex(f))
+
+    cond = keep(default_fraction)
+    for d in sorted(fractions):
+        cond = F.when(F.col(domain_col) == d, keep(fractions[d])) \
+                .otherwise(cond)
+    return df.filter(cond)
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    seed: int | str = 0,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomization
+    step: rows ordered by md5('<seed>:<id>') (ties by id), the same
+    order every run regardless of input partitioning. With `partitions`
+    set, the order is materialized as a range-partitioned sort
+    (repartitionByRange + sortWithinPartitions — partition i's rows all
+    precede partition i+1's), the shape that writes N ordered training
+    shards at 100 TB without a single-reducer sort. The shuffle key
+    rides along as `_shuffle_key` so downstream stages (packing,
+    sharded writes) can re-assert the order cheaply."""
+    key = _unit_hash(seed, F.col(id_col))
+    out = df.withColumn("_shuffle_key", key)
+    if partitions is not None:
+        if partitions < 1:
+            raise ValueError(f"partitions must be >= 1, got {partitions!r}")
+        return (out.repartitionByRange(partitions, "_shuffle_key", id_col)
+                .sortWithinPartitions("_shuffle_key", id_col))
+    return out.orderBy("_shuffle_key", id_col)
+
+
+def split_train_eval(
+    df: DataFrame,
+    eval_fraction: float,
+    seed: int | str = 0,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic disjoint train/eval split by the same hash rule:
+    rows whose unit hash falls below eval_fraction go to eval, the rest
+    to train — complementary filters over one expression, so the split
+    is exhaustive, disjoint, and stable as the corpus grows (a row's
+    side never changes when OTHER rows are added, the property that
+    keeps eval uncontaminated across dataset versions)."""
+    if not 0.0 < eval_fraction < 1.0:
+        raise ValueError(
+            f"eval_fraction must be in (0, 1), got {eval_fraction!r}")
+    u = _unit_hash(seed, F.col(id_col))
+    thr = F.lit(_threshold_hex(eval_fraction))
+    return df.filter(u >= thr), df.filter(u < thr)

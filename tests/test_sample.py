@@ -1,0 +1,105 @@
+"""Deterministic sampling / mixture / seeded shuffle (pipelines.sample):
+hash-rule exactness vs a hashlib recount, partition-independence, split
+stability under corpus growth, and the range-partitioned order path."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from macrobase_spark.pipelines.sample import (
+    deterministic_sample, sample_mixture, seeded_shuffle, split_train_eval)
+
+
+def _u(seed, i) -> str:
+    return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8]
+
+
+def _keep(seed, i, fraction) -> bool:
+    return _u(seed, i) < format(int(fraction * 16 ** 8), "08x")
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return (spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+            .withColumn("domain",
+                        F.element_at(F.array(F.lit("wiki"), F.lit("web"),
+                                             F.lit("logs")),
+                                     (F.col("doc_id") % 3 + 1).cast("int"))))
+
+
+def test_deterministic_sample_exact_ids(spark, ids):
+    got = {r["doc_id"] for r in
+           deterministic_sample(ids, 0.25, seed=7).collect()}
+    want = {i for i in range(2000) if _keep(7, i, 0.25)}
+    assert got == want
+    assert 0.18 < len(got) / 2000 < 0.32  # roughly the asked fraction
+    # partition-independence: same rows at a different layout
+    got13 = {r["doc_id"] for r in
+             deterministic_sample(ids.repartition(13), 0.25,
+                                  seed=7).collect()}
+    assert got13 == got
+    # different seed → a different (but same-rule) sample
+    got2 = {r["doc_id"] for r in
+            deterministic_sample(ids, 0.25, seed=8).collect()}
+    assert got2 != got
+    # edges + validation
+    assert deterministic_sample(ids, 1.0).count() == 2000
+    assert deterministic_sample(ids, 0.0).count() == 0
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(ids, 1.5)
+
+
+def test_sample_mixture_is_union_of_per_domain_samples(spark, ids):
+    fr = {"wiki": 1.0, "web": 0.5, "logs": 0.1}
+    got = {r["doc_id"] for r in
+           sample_mixture(ids, fr, seed=3).collect()}
+    want = set()
+    for d, f in fr.items():
+        sub = ids.filter(F.col("domain") == d)
+        want |= {r["doc_id"] for r in
+                 deterministic_sample(sub, f, seed=3).collect()}
+    assert got == want
+    # unlisted domain drops by default, kept via default_fraction
+    part = sample_mixture(ids, {"wiki": 1.0}, seed=3)
+    assert part.filter(F.col("domain") != "wiki").count() == 0
+    dflt = sample_mixture(ids, {"wiki": 1.0}, seed=3, default_fraction=1.0)
+    assert dflt.count() == 2000
+    with pytest.raises(ValueError, match="domain 'web'"):
+        sample_mixture(ids, {"web": 2.0})
+
+
+def test_seeded_shuffle_total_order_and_range_path(spark, ids):
+    flat = [r["doc_id"] for r in seeded_shuffle(ids, seed=11).collect()]
+    assert sorted(flat) == list(range(2000))  # a permutation
+    want = sorted(range(2000), key=lambda i: (_u(11, i), i))
+    assert flat == want
+    # the range-partitioned path materializes the SAME global order:
+    # partition i's rows all precede partition i+1's
+    ranged = seeded_shuffle(ids.repartition(7), seed=11, partitions=5)
+    by_part = (ranged.withColumn("pid", F.spark_partition_id())
+               .select("pid", "doc_id", "_shuffle_key").collect())
+    order = [r["doc_id"] for r in
+             sorted(by_part, key=lambda r: (r["pid"],
+                                            r["_shuffle_key"], r["doc_id"]))]
+    assert order == want
+    # a different seed produces a different permutation
+    assert [r["doc_id"] for r in
+            seeded_shuffle(ids, seed=12).collect()] != flat
+
+
+def test_split_train_eval_disjoint_exhaustive_stable(spark, ids):
+    train, ev = split_train_eval(ids, 0.2, seed=5)
+    tr = {r["doc_id"] for r in train.collect()}
+    ev_ = {r["doc_id"] for r in ev.collect()}
+    assert tr | ev_ == set(range(2000)) and not (tr & ev_)
+    assert ev_ == {i for i in range(2000) if _keep(5, i, 0.2)}
+    # growth stability: on a SUBSET of the corpus every row keeps its side
+    sub_train, sub_ev = split_train_eval(
+        ids.filter(F.col("doc_id") < 500), 0.2, seed=5)
+    assert {r["doc_id"] for r in sub_ev.collect()} == \
+           {i for i in ev_ if i < 500}
+    assert {r["doc_id"] for r in sub_train.collect()} == \
+           {i for i in tr if i < 500}
+    with pytest.raises(ValueError, match="eval_fraction"):
+        split_train_eval(ids, 0.0)
