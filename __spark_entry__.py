@@ -816,6 +816,14 @@ def q26_bm25_index_path(spark, sf):
                   min_should_match=2).select(
             F.lit("msm2:merge scan row").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5c: query-time synonym expansion — 'merge' with alternates
+    # {scan, row} scores the same disjunction as the 3-term query
+    # (scoring-boolean rewrite; the oracle reuses the topk CTE)
+    legs.append(
+        bm25_topk(spark, cache, "merge", k=10,
+                  synonyms={"merge": ["scan", "row"]}).select(
+            F.lit("syn:merge+scan,row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     # r5c: suggestion surface — prefix autocomplete and did-you-mean over
     # the term dictionary (term+df column-pruned scan); the oracle
     # recomputes the dictionary and rankings in SQL (DuckDB levenshtein)

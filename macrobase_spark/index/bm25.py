@@ -435,6 +435,7 @@ def bm25_topk(
     after: tuple[float, int] | None = None,
     sort_by: str | None = None,
     collapse: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for the query. Optional anomaly modifier:
     filter docs with anomaly > anomaly_max, and/or down-weight the score by
@@ -544,6 +545,20 @@ def bm25_topk(
     the BM25 score still rides along in the output together with the
     sort columns.
 
+    ``synonyms={"fast": ["quick", "rapid"]}`` is query-time synonym
+    expansion (the classic QueryParser expand=true behavior): a query
+    term present in the map also matches its alternates, scored as a
+    disjunction where each alternate carries its OWN idf — the same
+    scoring-boolean rewrite as prefix/fuzzy expansions, so rare
+    alternates contribute more than common ones. A boost on the query
+    term covers its alternates (largest wins on overlap, prefix-boost
+    precedence). Alternates are analyzed like query text (lowercased,
+    stoplist-dropped); entries whose key is not in the query are
+    ignored, so one corpus-wide synonym map can ride along on every
+    query. Not combinable with mode='and' / min_should_match in v1
+    (per-slot "any alternate" conjunctive semantics — same policy as
+    wildcards).
+
     ``collapse="conv_id"`` is field collapsing (Elasticsearch collapse /
     Lucene grouping): only the best-ranked doc per collapse-key value
     survives — one turn per conversation in a transcript corpus — and
@@ -592,6 +607,26 @@ def bm25_topk(
     msm = min_should_match if (min_should_match or 0) > 1 else None
     if msm is not None and msm > len(terms):
         return spark.createDataFrame([], "doc_id long, score double")
+    # query-time synonym expansion: alternates of query terms join the
+    # disjunction, each with its own idf (scoring-boolean rewrite)
+    smap: dict[str, list[str]] = {}
+    if synonyms:
+        if mode == "and" or msm is not None:
+            raise ValueError(
+                "synonyms are not supported with mode='and' / "
+                "min_should_match — expand into explicit terms for "
+                "conjunctive retrieval")
+        for src, alts in synonyms.items():
+            src_l = src.strip().lower()
+            if src_l not in pq.terms:
+                continue
+            added = sorted({a.strip().lower() for a in alts}
+                           - _stop - {""})
+            if added:
+                smap[src_l] = added
+        if smap:
+            terms = sorted(set(terms) |
+                           {a for alts in smap.values() for a in alts})
     if prefixes:
         terms = sorted(set(terms) |
                        set(_expand_prefixes(postings, prefixes,
@@ -614,6 +649,9 @@ def bm25_topk(
                    if p in qboosts and t.startswith(p)]
             pbs += [qboosts[ftok] for ftok, exps in fmap.items()
                     if ftok in qboosts and t in exps]
+            # a boost on a query term covers its synonym alternates
+            pbs += [qboosts[src] for src, alts in smap.items()
+                    if src in qboosts and t in alts]
             if pbs:
                 boosts[t] = max(pbs)
         boosts = boosts or None
@@ -1181,6 +1219,7 @@ def bm25_oracle(
     min_should_match: int | None = None,
     keep_ids: set[int] | None = None,
     stopwords: set[str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact single-threaded reference implementation over (doc_id, text)
     pairs — the rank-identity oracle for tests. Same tokenizer, same float64
@@ -1222,6 +1261,18 @@ def bm25_oracle(
     if fmap:
         terms = sorted(set(terms) |
                        {t for ts in fmap.values() for t in ts})
+    smap: dict[str, list[str]] = {}
+    if synonyms:
+        for src, alts in synonyms.items():
+            s_ = src.strip().lower()
+            if s_ not in pq.terms:
+                continue
+            added = sorted({a.strip().lower() for a in alts} - stop - {""})
+            if added:
+                smap[s_] = added
+        if smap:
+            terms = sorted(set(terms) |
+                           {a for l in smap.values() for a in l})
     if nprefixes:
         nterms = sorted(set(nterms) | {t for t in dfs
                                        if any(t.startswith(p)
@@ -1237,6 +1288,8 @@ def bm25_oracle(
                    if p in qboosts and t.startswith(p)]
             pbs += [qboosts[ftok] for ftok, exps in fmap.items()
                     if ftok in qboosts and t in exps]
+            pbs += [qboosts[src] for src, alts in smap.items()
+                    if src in qboosts and t in alts]
             if pbs:
                 boosts[t] = max(pbs)
     scores: dict[int, float] = {}

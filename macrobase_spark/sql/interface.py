@@ -149,11 +149,11 @@ _SEARCH_RE = re.compile(
     r"|MATCH\s*=\s*(?:ALL|ANY|\d+)"
     r"|(?:SNIPPET|COLLAPSE)\s*=\s*\w+"
     r"|COUNT"
-    r"|(?:FILTER|SORT|FACETS)\s*=\s*'(?:[^']|'')*')\s*)*)\)",
+    r"|(?:FILTER|SORT|FACETS|SYNONYMS)\s*=\s*'(?:[^']|'')*')\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
     r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER|SNIPPET"
-    r"|SORT|FACETS|COLLAPSE|COUNT)(?:\s*=\s*"
+    r"|SORT|FACETS|SYNONYMS|COLLAPSE|COUNT)(?:\s*=\s*"
     r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY|\w+))?",
     re.IGNORECASE)
 
@@ -309,6 +309,12 @@ class MacroBaseSQL:
         tokens ending in * are prefix wildcards expanded against the
         term dictionary (bm25_topk semantics).
 
+        SYNONYMS='fast:quick rapid;big:large' is query-time synonym
+        expansion (bm25_topk synonyms): query terms on the left of a
+        ':' also match their space-separated alternates, each alternate
+        scored with its own idf. Plain bag-of-words queries on a single
+        index only.
+
         SNIPPET=<view> renders the hits page: the relation becomes
         (doc_id, score, snippet, n_matched) via highlight_topk, reading
         document text from the named temp view (which must carry doc_id
@@ -341,7 +347,7 @@ class MacroBaseSQL:
             q = m.group("q")
             anomaly_max, anomaly_weight, slop, match = None, 0.0, None, None
             doc_filter, snippet_view, sort_spec, facet_spec = (None,) * 4
-            collapse_col, count_flag = None, False
+            collapse_col, count_flag, syn_map = None, False, None
             for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
                 key = om.group("key").upper()
                 if key == "COUNT":
@@ -357,7 +363,7 @@ class MacroBaseSQL:
                     anomaly_weight = float(om.group("val"))
                 elif key == "MATCH":
                     match = om.group("val").upper()
-                elif key in ("FILTER", "SORT", "FACETS"):
+                elif key in ("FILTER", "SORT", "FACETS", "SYNONYMS"):
                     # standard SQL string escaping: '' inside the quoted
                     # value is a literal single quote
                     val = om.group("val")[1:-1].replace("''", "'")
@@ -365,6 +371,20 @@ class MacroBaseSQL:
                         doc_filter = val
                     elif key == "SORT":
                         sort_spec = val
+                    elif key == "SYNONYMS":
+                        # 'fast:quick rapid;big:large' → {src: [alts]}
+                        syn_map = {}
+                        for ent in val.split(";"):
+                            ent = ent.strip()
+                            if not ent:
+                                continue
+                            src, sep, alts = ent.partition(":")
+                            if not sep or not alts.strip():
+                                raise ValueError(
+                                    "SEARCH: SYNONYMS entries are "
+                                    "'term:alt1 alt2[;...]' — got "
+                                    f"{ent!r}")
+                            syn_map[src.strip()] = alts.split()
                     else:
                         facet_spec = [c.strip() for c in val.split(",")
                                       if c.strip()]
@@ -381,6 +401,13 @@ class MacroBaseSQL:
                 s_msm = int(match)
             view = self._fresh_view("search")
             target = self._indexes[name]
+            if syn_map is not None and (
+                    phrase or count_flag or snippet_view is not None
+                    or facet_spec is not None
+                    or isinstance(target, (list, tuple))):
+                raise ValueError(
+                    "SEARCH: SYNONYMS applies to plain bag-of-words "
+                    "queries on a single index")
             if count_flag:
                 if (phrase or snippet_view is not None
                         or sort_spec is not None or facet_spec is not None
@@ -500,7 +527,7 @@ class MacroBaseSQL:
                       anomaly_max=anomaly_max, anomaly_weight=anomaly_weight,
                       mode=s_mode, min_should_match=s_msm,
                       doc_filter=doc_filter, sort_by=sort_spec,
-                      collapse=collapse_col,
+                      collapse=collapse_col, synonyms=syn_map,
                       ).createOrReplaceTempView(view)
             return view
 

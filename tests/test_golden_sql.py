@@ -421,6 +421,23 @@ def test_search_match_all(spark, tmp_path):
         mb.execute("SELECT * FROM SEARCH(tr, 'tok0042 the', 8, MATCH=2, "
                    "FACETS='role');")
 
+    # SYNONYMS='src:alt1 alt2;...' expands through bm25_topk(synonyms=)
+    sy = mb.execute(
+        "SELECT doc_id, score FROM SEARCH(tr, 'tok0042', 8, "
+        "SYNONYMS='tok0042:tok0007 tok0001;zzz:the') "
+        "ORDER BY score DESC;").collect()
+    want_sy = bm25_topk(spark, idx, "tok0042", k=8,
+                        synonyms={"tok0042": ["tok0007", "tok0001"],
+                                  "zzz": ["the"]}).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in sy] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want_sy]
+    with pytest.raises(ValueError, match="SYNONYMS applies to plain"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'tok0042', 8, "
+                   "SYNONYMS='a:b', COUNT);")
+    with pytest.raises(ValueError, match="SYNONYMS entries"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'tok0042', 8, "
+                   "SYNONYMS='justaterm');")
+
 
 def test_search_filter_and_wildcard_options(spark, tmp_path):
     """SEARCH FILTER='<expr>' (with '' quote escaping) equals bm25_topk

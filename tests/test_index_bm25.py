@@ -607,6 +607,55 @@ def test_min_should_match_count_and_validation(spark, corpus):
                         min_should_match=2)
 
 
+# ------------------------------------------- r5: query-time synonyms
+
+
+def test_synonym_expansion_rank_identical(spark, corpus):
+    """synonyms: alternates join the disjunction with their own idf —
+    rank+score identical to the oracle's expansion; equivalent to simply
+    writing the alternates into the query (scoring-boolean rewrite)."""
+    _, out, _, docs = corpus
+    syn = {"rare7": ["rare11", "tok0042"], "unrelated": ["tok0001"]}
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, "rare7 the", k=12,
+                     synonyms=syn).collect()]
+    want = bm25_oracle(docs, "rare7 the", k=12, synonyms=syn)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    # 'unrelated' is not in the query → its alternates must NOT rank
+    flat = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(spark, out, "rare7 rare11 tok0042 the",
+                      k=12).collect()]
+    assert got == flat
+    # the synonym set surfaces docs the bare query misses
+    bare_ids = {r["doc_id"] for r in
+                bm25_topk(spark, out, "rare7", k=10**6).collect()}
+    syn_ids = {r["doc_id"] for r in
+               bm25_topk(spark, out, "rare7", k=10**6,
+                         synonyms={"rare7": ["rare11"]}).collect()}
+    assert bare_ids < syn_ids
+
+
+def test_synonym_boost_coverage_and_validation(spark, corpus):
+    """A boost on the query term covers its alternates; synonyms refuse
+    mode='and'/min_should_match (per-slot conjunctive semantics)."""
+    _, out, _, docs = corpus
+    syn = {"rare7": ["rare11"]}
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, "rare7^2 the", k=12,
+                     synonyms=syn).collect()]
+    want = bm25_oracle(docs, "rare7^2 the", k=12, synonyms=syn)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    with pytest.raises(ValueError, match="synonyms are not supported"):
+        bm25_topk(spark, out, "rare7 the", mode="and", synonyms=syn)
+    with pytest.raises(ValueError, match="synonyms are not supported"):
+        bm25_topk(spark, out, "rare7 the call", min_should_match=2,
+                  synonyms=syn)
+
+
 # --------------------------------------------------------- r5: doc_filter
 
 
