@@ -816,6 +816,15 @@ def q26_bm25_index_path(spark, sf):
                   min_should_match=2).select(
             F.lit("msm2:merge scan row").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5c: ids-only match export — every doc matching 'merge -scan', no
+    # top-k, no scoring (the pipeline-feed shape); oracle = the exclusion
+    # leg's population without its LIMIT
+    from macrobase_spark.index.bm25 import bm25_match_ids
+
+    legs.append(
+        bm25_match_ids(spark, cache, "merge -scan").select(
+            F.lit("ids:merge -scan").alias("part"),
+            "doc_id", F.lit(0.0).alias("score")))
     # r5c: query-time synonym expansion — 'merge' with alternates
     # {scan, row} scores the same disjunction as the 3-term query
     # (scoring-boolean rewrite; the oracle reuses the topk CTE)

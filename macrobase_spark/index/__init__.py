@@ -11,7 +11,8 @@ from macrobase_spark.index.bm25 import (bm25_topk, bm25_oracle,  # noqa: F401
                                         more_like_this, bm25_topk_sharded,
                                         bm25_phrase_topk,
                                         bm25_phrase_topk_batch,
-                                        bm25_count, hybrid_topk,
+                                        bm25_count, bm25_match_ids,
+                                        hybrid_topk,
                                         bm25_facets_sharded)
 from macrobase_spark.index.snippets import highlight_topk, index_stats  # noqa: F401
 from macrobase_spark.index.suggest import spellcheck, suggest_terms  # noqa: F401

@@ -2229,21 +2229,20 @@ def bm25_phrase_topk_batch(
             .select("query_id", "doc_id", "score", "rank"))
 
 
-def bm25_count(
+def _matched_ids(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    mode: str = "or",
-    min_should_match: int | None = None,
-    doc_filter: str | None = None,
-    max_expansions: int = 128,
-) -> DataFrame:
-    """Number of documents matching the query under full retrieval
-    semantics (mode / min_should_match / exclusions / field scopes /
-    doc_filter / tombstones) — a one-row (n_matches long) relation,
-    computed on the ids-only path (no scores, no positions, and unlike
-    bm25_facets no docs-metadata join unless a doc filter requires
-    one)."""
+    mode: str,
+    min_should_match: int | None,
+    doc_filter: str | None,
+    max_expansions: int,
+) -> DataFrame | None:
+    """The query's full match set as a (doc_id) DataFrame on the ids-only
+    decode path, honoring mode / min_should_match / exclusions / field
+    scopes / doc_filter / tombstones. None when no document can match
+    (no indexable terms, or min_should_match above the term count).
+    Shared engine of bm25_count and bm25_match_ids."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if min_should_match is not None:
@@ -2290,7 +2289,7 @@ def bm25_count(
             t for ts in _expand_fuzzy(postings, pq.neg_fuzzies,
                                       max_expansions).values() for t in ts})
     if not terms:
-        return spark.createDataFrame([(0,)], "n_matches long")
+        return None
     if "num_buckets" in stats:
         from macrobase_spark.index.xxh64 import term_bucket
 
@@ -2298,7 +2297,7 @@ def bm25_count(
                           for t in [*terms, *nterms]})
         postings = postings.filter(F.col("bucket").isin(buckets))
     if msm is not None and msm > len(terms):
-        return spark.createDataFrame([(0,)], "n_matches long")
+        return None
     if mode == "and" or msm is not None:
         need = len(terms) if mode == "and" else msm
         cmp_col = (F.col("_nt") == need if mode == "and"
@@ -2321,7 +2320,54 @@ def bm25_count(
         matched = matched.join(
             docs.filter(F.expr(doc_filter)).select("doc_id"),
             "doc_id", "semi")
+    return matched
+
+
+def bm25_count(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "or",
+    min_should_match: int | None = None,
+    doc_filter: str | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Number of documents matching the query under full retrieval
+    semantics (mode / min_should_match / exclusions / field scopes /
+    doc_filter / tombstones) — a one-row (n_matches long) relation,
+    computed on the ids-only path (no scores, no positions, and unlike
+    bm25_facets no docs-metadata join unless a doc filter requires
+    one)."""
+    matched = _matched_ids(spark, index_dir, query, mode,
+                           min_should_match, doc_filter, max_expansions)
+    if matched is None:
+        return spark.createDataFrame([(0,)], "n_matches long")
     return matched.agg(F.count("*").alias("n_matches"))
+
+
+def bm25_match_ids(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "or",
+    min_should_match: int | None = None,
+    doc_filter: str | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """EVERY matching doc_id — the scroll/export shape that feeds a
+    downstream pipeline stage ("drop all docs matching these boilerplate
+    queries", "re-embed everything mentioning X") rather than a results
+    page. Same full retrieval semantics as bm25_count over the same
+    ids-only decode (no scores computed, no positions read, no top-k
+    limit, nothing collected to the driver): the result is a lazy
+    (doc_id) relation to join/anti-join against the corpus at 100 TB.
+    For a ranked export use bm25_topk with a large k instead — this path
+    exists precisely to skip the scoring shuffle."""
+    matched = _matched_ids(spark, index_dir, query, mode,
+                           min_should_match, doc_filter, max_expansions)
+    if matched is None:
+        return spark.createDataFrame([], "doc_id long")
+    return matched
 
 
 def hybrid_topk(

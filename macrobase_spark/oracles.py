@@ -871,6 +871,9 @@ SELECT part, doc_id, score FROM (
   SELECT 'syn:merge+scan,row' AS part, doc_id, ROUND(s, 6) AS score
   FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
+-- ids-only match export: the exclusion population, unranked and unlimited
+SELECT 'ids:merge -scan' AS part, doc_id, 0.0 AS score FROM notq
+UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'suggest:me:' || term AS part, df AS doc_id, 0.0 AS score
   FROM dict WHERE term LIKE 'me%'

@@ -272,3 +272,54 @@ def test_bm25_search_after_keeps_single_term_no_shuffle_shape(spark, tmp_path):
     build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
     p = _plan(bm25_topk(spark, out, "the", k=5, after=(99.0, -1)))
     assert "HashAggregate" not in p
+
+
+def test_suggest_and_spellcheck_scan_term_df_only(spark, tmp_path):
+    """The suggestion surface plans as a dictionary scan: only the term
+    and df columns are read (blobs/block_max untouched), and the prefix
+    predicate reaches the scan."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.suggest import spellcheck, suggest_terms
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_sg")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    p = _plan(suggest_terms(spark, out, "tok", k=5))
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "term" in read_schema and "df" in read_schema
+    assert "blob" not in read_schema and "block_max" not in read_schema
+    assert "StartsWith" in p
+    p2 = _plan(spellcheck(spark, out, "tok0001", max_edits=1, k=5))
+    read_schema2 = p2.split("ReadSchema:")[1].split("\n")[0]
+    assert "blob" not in read_schema2 and "block_max" not in read_schema2
+    assert "levenshtein" in p2.lower()
+
+
+def test_match_ids_plans_no_scoring_aggregate(spark, tmp_path):
+    """bm25_match_ids (disjunctive, no exclusions) is an ids-only decode:
+    no per-doc sum aggregate over contributions, no window, no sort —
+    just scan → decode → distinct."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.bm25 import bm25_match_ids
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=20, seed=42))
+    out = str(tmp_path / "plan_idx_mi")
+    build_index(df, out, num_buckets=4, hot_df_threshold=10 ** 9)
+    p = _plan(bm25_match_ids(spark, out, "tok0001 tok0002"))
+    assert "Window" not in p and "TakeOrdered" not in p
+    assert "contrib" not in p  # the scoring kernel never runs
+
+
+def test_deterministic_sample_filter_is_scan_level(spark):
+    """deterministic_sample plans as a plain Filter over the scan — no
+    shuffle, no join, and the md5 expression evaluates JVM-side (no
+    Python workers in the plan)."""
+    from macrobase_spark.pipelines.sample import deterministic_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(deterministic_sample(d, 0.25, seed=7))
+    assert "Exchange" not in p and "Join" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "md5" in p.lower()

@@ -817,3 +817,32 @@ def test_spellcheck_matches_python_recount(spark, corpus):
         spellcheck(spark, out, "the", max_edits=3)
     with pytest.raises(ValueError, match="non-empty"):
         spellcheck(spark, out, "   ")
+
+
+def test_match_ids_export_equals_count_and_semantics(spark, corpus):
+    """bm25_match_ids = the full match set on the ids-only path: cardinality
+    equals bm25_count under every modifier combo, membership equals the
+    brute-force recount, and unsatisfiable queries return empty."""
+    from macrobase_spark.index.bm25 import bm25_count, bm25_match_ids
+
+    _, out, docs, meta = corpus
+    cases = [
+        dict(query="tok0042 tok0007"),
+        dict(query="tok0042 tok0007", mode="and"),
+        dict(query="tok0042 tok0007 the", min_should_match=2),
+        dict(query="tok0042 -tok0007"),
+        dict(query="role:assistant tok0042 the"),
+    ]
+    for kw in cases:
+        ids = {r["doc_id"] for r in bm25_match_ids(spark, out, **kw).collect()}
+        n = bm25_count(spark, out, **kw).collect()[0]["n_matches"]
+        assert len(ids) == n, kw
+    # membership recount for the exclusion case
+    got = {r["doc_id"] for r in
+           bm25_match_ids(spark, out, "tok0042 -tok0007").collect()}
+    want = _match_ids(docs, "tok0042") - _match_ids(docs, "tok0007")
+    assert got == want
+    # unsatisfiable / empty queries
+    assert bm25_match_ids(spark, out, "zzznope").count() == 0
+    assert bm25_match_ids(spark, out, "tok0042",
+                          min_should_match=5).count() == 0
