@@ -915,6 +915,19 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk_sharded(spark, sh, "merge scan row", k=10).select(
             F.lit("shard:merge scan row").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5c: physical shard merge — the two parity shards consolidated into
+    # ONE index by blob-level segment append (merge_indexes); identical to
+    # the monolith, so the oracle is the same relational BM25 as 'topk'
+    from macrobase_spark.index.build import merge_indexes
+
+    mdir = os.path.join(tempfile.gettempdir(),
+                        f"mb_idxmrg_{_cache_key(sf, 'documents')}")
+    if not os.path.exists(os.path.join(mdir, "stats.json")):
+        merge_indexes(spark, sh, mdir)
+    legs.append(
+        bm25_topk(spark, mdir, "merge scan row", k=10).select(
+            F.lit("merged:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     # r5b: stopword analyzer on its OWN index (the stoplist changes every
     # stat): stopwords=('a','the') → those terms have no postings and
     # dl/avgdl/df count survivors; the oracle recomputes all stats over

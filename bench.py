@@ -246,6 +246,14 @@ def main():
     t0 = time.time()
     more_like_this(spark, idx, src_df, seed_id, k=10).collect()
     queries["bm25_more_like_this"] = round(time.time() - t0, 3)
+    # r5c suggestion surface: both are (term, df)-only dictionary scans
+    from macrobase_spark.index.suggest import spellcheck, suggest_terms
+
+    suggest_terms(spark, idx, "th", k=10).collect()  # warm
+    t0 = time.time()
+    suggest_terms(spark, idx, "th", k=10).collect()
+    spellcheck(spark, idx, "tha", max_edits=1, k=5).collect()
+    queries["bm25_suggest_spell"] = round(time.time() - t0, 3)
 
     # --- headline relational / DIFF / text queries at SF_DIR --------------
     import __spark_entry__ as entry
@@ -269,6 +277,15 @@ def main():
      .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("rep_id"))
      .filter(F.col("n_copies") >= 1).collect())
     queries["q16_dedup_exact"] = round(time.time() - t0, 3)
+    # r5c deterministic sampling + seeded shuffle (hash-rule, no RNG)
+    from macrobase_spark.pipelines.sample import (deterministic_sample,
+                                                  seeded_shuffle)
+
+    t0 = time.time()
+    deterministic_sample(d, 0.25, seed=7).count()
+    (seeded_shuffle(d.select("doc_id"), seed=11, partitions=8)
+     .write.format("noop").mode("overwrite").save())
+    queries["sample_shuffle"] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -5,7 +5,8 @@ from macrobase_spark.index.codec import (  # noqa: F401
     varint_decode,
 )
 from macrobase_spark.index.build import (build_index, delete_docs,  # noqa: F401
-                                         read_index, suggest_stopwords)
+                                         merge_indexes, read_index,
+                                         suggest_stopwords)
 from macrobase_spark.index.bm25 import (bm25_topk, bm25_oracle,  # noqa: F401
                                         bm25_facets, bm25_explain,
                                         more_like_this, bm25_topk_sharded,

@@ -1579,3 +1579,131 @@ def invalidate_index_cache(out_dir: str | None = None) -> None:
     path = os.path.abspath(out_dir)
     for k in [k for k in _INDEX_CACHE if k[1] == path]:
         del _INDEX_CACHE[k]
+
+
+def merge_indexes(spark: SparkSession, shard_dirs: list[str],
+                  out_dir: str) -> dict:
+    """Consolidate several physical indexes into ONE monolithic index —
+    the shard-merge the sharded-search deployment eventually wants (era
+    shards rolled into a yearly index, a tenant migration): the merged
+    index answers every query rank- and score-identically to
+    bm25_topk_sharded over the inputs, and identically to a from-scratch
+    build over the union corpus (pytest-pinned at 1e-12).
+
+    Mechanism — reuse the LSM machinery instead of re-tokenizing: term →
+    bucket is the same hash in every shard (shared num_buckets), so each
+    shard's posting rows are appended into the merged bucket layout as
+    SEGMENTS (one blob-level parquet append per shard union — postings are
+    copied compressed, never decoded); the merged index is exactly the
+    post-update segmented state the query path already serves exactly
+    (cross-row df sums, version-gated pruning off because every shard's
+    block-max metadata was computed under its own avgdl). Global stats
+    recompute from the shards' exact integer sums. A subsequent
+    compact_index() re-encodes each term to one row under the merged
+    avgdl and restores block-max pruning — the same amortized background
+    work as post-update compaction.
+
+    v1 constraints (refused loudly): shards must share num_buckets and
+    stopwords, carry no pending tombstones (compact first — a tombstone's
+    doc ids are meaningless in the merged stats), no positional layer,
+    and their doc_id spaces must be disjoint (validated with one
+    aggregate over the union docs)."""
+    if len(shard_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two shard dirs")
+    paths = [os.path.abspath(s) for s in shard_dirs]
+    if len(set(paths)) != len(paths):
+        raise ValueError("merge_indexes: duplicate shard dir in the list")
+    if os.path.exists(os.path.join(out_dir, "stats.json")):
+        raise ValueError(
+            f"merge_indexes: {out_dir!r} already holds an index — merging "
+            "appends segments; give a fresh output directory")
+    shard_stats = []
+    for s in paths:
+        sp = os.path.join(s, "stats.json")
+        if not os.path.exists(sp):
+            raise ValueError(f"merge_indexes: no index at {s!r}")
+        with open(sp) as f:
+            st = json.load(f)
+        if st.get("has_positions"):
+            raise ValueError(
+                f"merge_indexes: shard {s!r} has a positional layer — "
+                "positional merge is not supported; rebuild the merged "
+                "index with positions=True instead")
+        if has_tombstones(s):
+            raise ValueError(
+                f"merge_indexes: shard {s!r} has pending tombstone "
+                "deletes — run compact_index on it first")
+        shard_stats.append(st)
+    nb = {st.get("num_buckets") for st in shard_stats}
+    if len(nb) != 1 or None in nb:
+        raise ValueError(
+            f"merge_indexes: shards disagree on num_buckets ({sorted(nb, key=str)}) "
+            "— term→bucket routing must align; rebuild to a shared bucket "
+            "count")
+    num_buckets = nb.pop()
+    stops = {tuple(st.get("stopwords", [])) for st in shard_stats}
+    if len(stops) != 1:
+        raise ValueError(
+            "merge_indexes: shards disagree on the index-time stoplist — "
+            "their analyzers produced different token streams; rebuild to "
+            "a shared stoplist")
+    # disjoint doc_id spaces: one aggregate over the union docs
+    docs_u = None
+    for s in paths:
+        d = spark.read.parquet(os.path.join(s, "docs.parquet"))
+        docs_u = d if docs_u is None else docs_u.unionByName(d)
+    row = docs_u.agg(F.count("*").alias("n"),
+                     F.countDistinct("doc_id").alias("nd"),
+                     F.sum("doc_len").alias("sum_dl")).collect()[0]
+    if int(row["n"]) != int(row["nd"]):
+        raise ValueError(
+            "merge_indexes: shard doc_id spaces overlap "
+            f"({int(row['n']) - int(row['nd'])} colliding ids) — a doc_id "
+            "must identify one document across the merged corpus")
+    n_docs, sum_dl = int(row["n"]), int(row["sum_dl"])
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    # docs table: one distributed union write
+    docs_u.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docs.parquet"))
+    # postings: blob-level append — compressed segments copied, not decoded
+    post_u = None
+    for s in paths:
+        p = spark.read.parquet(os.path.join(s, "postings"))
+        post_u = p if post_u is None else post_u.unionByName(p)
+    (post_u.repartition("bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(out_dir, "postings")))
+    buckets = sorted({int(d.split("=")[1])
+                      for d in (_list_dir(os.path.join(out_dir, "postings"))
+                                or [])
+                      if d.startswith("bucket=")})
+    hot = sorted({t for st in shard_stats
+                  for t in st.get("hot_terms", [])})
+    base = shard_stats[0]
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump({
+            "n_docs": n_docs, "avgdl": sum_dl / n_docs, "sum_dl": sum_dl,
+            "len_med": base.get("len_med"), "len_mad": base.get("len_mad"),
+            "k1": K1, "b": B, "block_size": BLOCK_SIZE,
+            "num_buckets": num_buckets, "version": 1,
+            "salt_partitions": max(st.get("salt_partitions", 1)
+                                   for st in shard_stats),
+            "stopwords": sorted(stops.pop()),
+            "hot_terms": hot,
+            # every bucket holds one segment per shard: the query path's
+            # cross-row df sums apply index-wide until compaction
+            "segmented_buckets": buckets,
+        }, f)
+    # manifest: stamp every bucket at version 0 (≠ stats version 1) so
+    # block-max pruning stays OFF until compact_index re-encodes under
+    # the merged avgdl — the same staleness contract as updates
+    with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+        for b in buckets:
+            f.write(json.dumps({"bucket": b, "status": "done",
+                                "version": 0, "op": "merge",
+                                "ts": time.time()}) + "\n")
+    invalidate_index_cache(out_dir)
+    return {"n_docs": n_docs, "avgdl": sum_dl / n_docs,
+            "shards": len(paths), "buckets": len(buckets),
+            "elapsed_sec": round(time.time() - t0, 3)}

@@ -875,6 +875,11 @@ SELECT part, doc_id, score FROM (
 SELECT 'ids:merge -scan' AS part, doc_id, 0.0 AS score FROM notq
 UNION ALL
 SELECT part, doc_id, score FROM (
+  -- merged shards == the monolith: same relational BM25 as 'topk'
+  SELECT 'merged:merge scan row' AS part, doc_id, ROUND(s, 6) AS score
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
   SELECT 'suggest:me:' || term AS part, df AS doc_id, 0.0 AS score
   FROM dict WHERE term LIKE 'me%'
   ORDER BY df DESC, term ASC LIMIT 5
