@@ -816,6 +816,12 @@ def q26_bm25_index_path(spark, sf):
                   min_should_match=2).select(
             F.lit("msm2:merge scan row").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
+    # r5c: regexp term query — /s(can|ort)/ expands against the dictionary
+    # (anchored whole-term match) and scores with 'merge' as a disjunction
+    legs.append(
+        bm25_topk(spark, cache, "/s(can|ort)/ merge", k=10).select(
+            F.lit("regex:s(can|ort)+merge").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
     # r5c: ids-only match export — every doc matching 'merge -scan', no
     # top-k, no scoring (the pipeline-feed shape); oracle = the exclusion
     # leg's population without its LIMIT

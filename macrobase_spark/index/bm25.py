@@ -58,13 +58,15 @@ _QTOK_RE = _re.compile(
 
 
 class ParsedQuery:
-    """Structured query parse. `boosts` maps a term / prefix / fuzzy
-    token (as written, without its `*`/`~N` suffix) to its multiplier;
-    tokens without `^` are absent (1.0). `fuzzies`/`neg_fuzzies` map the
-    token to its max edit distance."""
+    """Structured query parse. `boosts` maps a term / prefix / fuzzy /
+    regex token (as written, without its `*`/`~N` suffix or `/` fences)
+    to its multiplier; tokens without `^` are absent (1.0).
+    `fuzzies`/`neg_fuzzies` map the token to its max edit distance;
+    `regexes`/`neg_regexes` hold `/pat/` patterns (fences stripped)."""
 
     __slots__ = ("terms", "prefixes", "neg_terms", "neg_prefixes",
-                 "boosts", "fuzzies", "neg_fuzzies")
+                 "boosts", "fuzzies", "neg_fuzzies", "regexes",
+                 "neg_regexes")
 
     def __init__(self):
         self.terms: set[str] = set()
@@ -74,11 +76,35 @@ class ParsedQuery:
         self.boosts: dict[str, float] = {}
         self.fuzzies: dict[str, int] = {}
         self.neg_fuzzies: dict[str, int] = {}
+        self.regexes: set[str] = set()
+        self.neg_regexes: set[str] = set()
+
+
+# `/pat/` at a token boundary is a regexp term query (Lucene RegexpQuery
+# syntax); `-/pat/` excludes, `/pat/^2` boosts. The pattern body may not
+# contain whitespace or '/'. Extracted BEFORE ordinary tokenization so
+# the pattern's alnum runs never leak in as bare terms.
+_QREGEX_RE = _re.compile(
+    r"(?:^|(?<=\s))(-?)/([^/\s]+)/(\^[0-9]+(?:\.[0-9]+)?)?(?=\s|$)")
 
 
 def _parse_query_full(q: str) -> ParsedQuery:
     pq = ParsedQuery()
-    for tok in _QTOK_RE.findall(q.lower()):
+    ql = q.lower()
+
+    def _take_regex(m: "_re.Match") -> str:
+        neg, pat, boost = m.group(1), m.group(2), m.group(3)
+        if neg:
+            pq.neg_regexes.add(pat)
+        else:
+            pq.regexes.add(pat)
+            if boost:
+                pq.boosts[pat] = max(float(boost[1:]),
+                                     pq.boosts.get(pat, 0.0))
+        return " "
+
+    ql = _QREGEX_RE.sub(_take_regex, ql)
+    for tok in _QTOK_RE.findall(ql):
         neg = tok.startswith("-")
         if neg:
             tok = tok[1:]
@@ -298,6 +324,39 @@ def _expand_fuzzy(postings: DataFrame, fuzzies: dict[str, int],
     return out
 
 
+def _reject_regexes(pq: "ParsedQuery", where: str) -> None:
+    """Regexp tokens are a bm25_topk-only surface (v1); paths that would
+    otherwise score '/pat/' fragments as ordinary terms refuse loudly."""
+    if pq.regexes or pq.neg_regexes:
+        raise ValueError(
+            f"regexp tokens (/pat/) are not supported in {where} — run "
+            "them through bm25_topk, or expand into explicit terms")
+
+
+def _expand_regex(postings: DataFrame, patterns: list[str],
+                  max_expansions: int) -> dict[str, list[str]]:
+    """Expand `/pat/` regexp tokens against the term dictionary (Lucene
+    RegexpQuery's rewrite): each pattern matches WHOLE terms (anchored),
+    evaluated JVM-side by rlike over the same column-pruned term-only
+    scan as prefixes/fuzzies — one scan per pattern so expansions assign
+    to their pattern without cross-engine regex re-evaluation. Per-pattern
+    expansions above max_expansions raise (TooManyClauses policy); an
+    invalid pattern surfaces Spark's own parse error."""
+    out: dict[str, list[str]] = {}
+    for pat in sorted(patterns):
+        rows = (postings.filter(
+                    F.col("term").rlike(f"^(?:{pat})$"))
+                .select("term").distinct()
+                .limit(max_expansions + 1).collect())
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"regexp token /{pat}/ expands to more than "
+                f"{max_expansions} dictionary terms — tighten the pattern "
+                "or raise max_expansions")
+        out[pat] = sorted(r["term"] for r in rows)
+    return out
+
+
 def _after_cursor(after) -> tuple[float, int]:
     """Normalize a search-after cursor: a previous-page Row (or mapping)
     with doc_id/score fields, or an explicit (score, doc_id) tuple."""
@@ -478,6 +537,17 @@ def bm25_topk(
     expansion; ``tok~1^2`` boosts every expansion. Not combinable with
     mode='and' (same policy as prefixes).
 
+    ``/pat/`` is a regexp term query (Lucene RegexpQuery syntax): the
+    pattern matches WHOLE dictionary terms (anchored), expanded against
+    the column-pruned term scan (bounded by max_expansions — the
+    TooManyClauses policy) and scored as a disjunction with per-term idf,
+    the same scoring-boolean rewrite as prefixes. ``-/pat/`` excludes
+    every match; ``/pat/^2`` boosts them. Pattern syntax is Java regex
+    (evaluated JVM-side by rlike); no whitespace or '/' inside the
+    fences. Not combinable with mode='and' / min_should_match; a
+    bm25_topk-only surface in v1 (batch/count/facets/sharded refuse
+    loudly).
+
     ``term^2`` / ``pre*^1.5`` are query-time boosts (Lucene syntax): the
     term's contribution is multiplied by the boost before the per-doc sum.
     An explicit term boost beats a matching prefix boost; overlapping
@@ -596,12 +666,12 @@ def bm25_topk(
     nterms, nprefixes = sorted(pq.neg_terms - _stop), sorted(pq.neg_prefixes)
     qboosts = pq.boosts
     explicit_terms = list(terms)
-    if prefixes or pq.fuzzies:
+    if prefixes or pq.fuzzies or pq.regexes:
         if mode == "and" or (min_should_match or 0) > 1:
             raise ValueError(
-                "prefix wildcards / fuzzy tokens are not supported with "
-                "mode='and' / min_should_match — expand into explicit "
-                "terms for conjunctive retrieval")
+                "prefix wildcards / fuzzy / regexp tokens are not "
+                "supported with mode='and' / min_should_match — expand "
+                "into explicit terms for conjunctive retrieval")
     # normalize: m=1 is the disjunctive default (no-op); m above the
     # indexable term count can never be satisfied
     msm = min_should_match if (min_should_match or 0) > 1 else None
@@ -636,9 +706,14 @@ def bm25_topk(
         fmap = _expand_fuzzy(postings, pq.fuzzies, max_expansions)
         terms = sorted(set(terms) |
                        {t for ts in fmap.values() for t in ts})
+    rmap: dict[str, list[str]] = {}
+    if pq.regexes:
+        rmap = _expand_regex(postings, sorted(pq.regexes), max_expansions)
+        terms = sorted(set(terms) |
+                       {t for ts in rmap.values() for t in ts})
     # effective per-term boosts: explicit term boost wins; a prefix boost
-    # (pre*^2) or fuzzy boost (tok~1^2) covers its expansions; the
-    # largest wins on overlap
+    # (pre*^2), fuzzy boost (tok~1^2), or regexp boost (/pat/^2) covers
+    # its expansions; the largest wins on overlap
     boosts: dict[str, float] | None = None
     if qboosts:
         boosts = {t: qboosts[t] for t in explicit_terms if t in qboosts}
@@ -649,6 +724,8 @@ def bm25_topk(
                    if p in qboosts and t.startswith(p)]
             pbs += [qboosts[ftok] for ftok, exps in fmap.items()
                     if ftok in qboosts and t in exps]
+            pbs += [qboosts[pat] for pat, exps in rmap.items()
+                    if pat in qboosts and t in exps]
             # a boost on a query term covers its synonym alternates
             pbs += [qboosts[src] for src, alts in smap.items()
                     if src in qboosts and t in alts]
@@ -663,6 +740,11 @@ def bm25_topk(
         nfmap = _expand_fuzzy(postings, pq.neg_fuzzies, max_expansions)
         nterms = sorted(set(nterms) |
                         {t for ts in nfmap.values() for t in ts})
+    if pq.neg_regexes:
+        nrmap = _expand_regex(postings, sorted(pq.neg_regexes),
+                              max_expansions)
+        nterms = sorted(set(nterms) |
+                        {t for ts in nrmap.values() for t in ts})
     n, avgdl = stats["n_docs"], stats["avgdl"]
     # anomaly/filter/exclusion/tombstone modifiers change the final ranking
     # AFTER raw-BM25 scoring (filtering can promote docs from pruned
@@ -988,6 +1070,8 @@ def bm25_topk_batch(
             "— batch queries share one doc_filter; pass doc_filter= for "
             "the whole batch or run scoped queries via bm25_topk")
     parsed = {qid: _parse_query_full(q) for qid, q in queries.items()}
+    for qid, pq_ in parsed.items():
+        _reject_regexes(pq_, f"bm25_topk_batch (query {qid!r})")
     out_schema = "query_id string, doc_id long, score double, rank int"
     postings, docs, stats = read_index(spark, index_dir)
     all_prefixes = sorted({p for pq_ in parsed.values()
@@ -1273,6 +1357,15 @@ def bm25_oracle(
         if smap:
             terms = sorted(set(terms) |
                            {a for l in smap.values() for a in l})
+    rmap = {pat: sorted(t for t in dfs if re.fullmatch(pat, t))
+            for pat in pq.regexes}
+    if rmap:
+        terms = sorted(set(terms) |
+                       {t for ts in rmap.values() for t in ts})
+    if pq.neg_regexes:
+        nterms = sorted(set(nterms) | {
+            t for pat in pq.neg_regexes
+            for t in dfs if re.fullmatch(pat, t)})
     if nprefixes:
         nterms = sorted(set(nterms) | {t for t in dfs
                                        if any(t.startswith(p)
@@ -1290,6 +1383,8 @@ def bm25_oracle(
                     if ftok in qboosts and t in exps]
             pbs += [qboosts[src] for src, alts in smap.items()
                     if src in qboosts and t in alts]
+            pbs += [qboosts[pat] for pat, exps in rmap.items()
+                    if pat in qboosts and t in exps]
             if pbs:
                 boosts[t] = max(pbs)
     scores: dict[int, float] = {}
@@ -1658,6 +1753,7 @@ def bm25_facets(
             f"facets: {bad!r} not docs-metadata columns "
             f"(have {sorted(set(docs.columns) - {'doc_id'})})")
     pq = _parse_query_full(query)
+    _reject_regexes(pq, "bm25_facets")
     _stop = set(stats.get("stopwords", []))
     terms, prefixes = sorted(pq.terms - _stop), sorted(pq.prefixes)
     nterms, nprefixes = sorted(pq.neg_terms - _stop), sorted(pq.neg_prefixes)
@@ -1797,6 +1893,7 @@ def bm25_explain(
         topk_kwargs.pop("doc_filter", None), _scope)
     postings, docs, stats = read_index(spark, index_dir)
     pq = _parse_query_full(query)
+    _reject_regexes(pq, "bm25_explain")
     _stop = set(stats.get("stopwords", []))
     terms, prefixes, qboosts = (sorted(pq.terms - _stop),
                                 sorted(pq.prefixes), pq.boosts)
@@ -1997,7 +2094,7 @@ def bm25_topk_sharded(
             "analyzers; rebuild with one list")
     pq = _parse_query_full(query)
     if pq.prefixes or pq.neg_prefixes or pq.fuzzies or pq.neg_fuzzies \
-            or pq.boosts:
+            or pq.regexes or pq.neg_regexes or pq.boosts:
         raise ValueError(
             "bm25_topk_sharded: wildcard/fuzzy/boost tokens are not "
             "supported across shards — pre-expand the query or use "
@@ -2258,6 +2355,7 @@ def _matched_ids(
     doc_filter = _merge_doc_filter(doc_filter, _scope)
     postings, docs, stats = read_index(spark, index_dir)
     pq = _parse_query_full(query)
+    _reject_regexes(pq, "bm25_count / bm25_match_ids")
     _stop = set(stats.get("stopwords", []))
     terms = sorted(pq.terms - _stop)
     nterms = sorted(pq.neg_terms - _stop)
@@ -2490,7 +2588,7 @@ def bm25_facets_sharded(
             f"stoplists {sorted(set(stops))!r} — rebuild with one list")
     pq = _parse_query_full(query)
     if pq.prefixes or pq.neg_prefixes or pq.fuzzies or pq.neg_fuzzies \
-            or pq.boosts:
+            or pq.regexes or pq.neg_regexes or pq.boosts:
         raise ValueError(
             "bm25_facets_sharded: wildcard/fuzzy/boost tokens are not "
             "supported across shards — pre-expand the query")

@@ -769,6 +769,22 @@ andq AS (
 -- ranks ≤2-edit neighbours by (distance asc, df desc, term asc)
 dict AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
          FROM toks GROUP BY term),
+-- r5c regexp-term leg: /s(can|ort)/ = anchored whole-term dictionary
+-- expansion scored with 'merge' as a disjunction, per-term idf
+rterms AS (SELECT term FROM dict
+           WHERE regexp_full_match(term, 's(can|ort)') OR term = 'merge'),
+tfr AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+        WHERE term IN (SELECT term FROM rterms) GROUP BY doc_id, term),
+dfsr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         FROM tfr GROUP BY term),
+regq AS (
+  SELECT tfr.doc_id,
+         SUM(ln(1.0 + (consts.n_docs - dfsr.df + 0.5) / (dfsr.df + 0.5))
+             * (tfr.tf * 2.2)
+             / (tfr.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl))) AS s
+  FROM tfr JOIN dfsr USING (term) JOIN dl USING (doc_id), consts
+  GROUP BY tfr.doc_id
+),
 -- r5c minimum_should_match leg: same disjunctive scores, only docs
 -- matching at least 2 distinct query terms rank
 msmq AS (
@@ -878,6 +894,10 @@ SELECT part, doc_id, score FROM (
   -- merged shards == the monolith: same relational BM25 as 'topk'
   SELECT 'merged:merge scan row' AS part, doc_id, ROUND(s, 6) AS score
   FROM scored ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'regex:s(can|ort)+merge' AS part, doc_id, ROUND(s, 6) AS score
+  FROM regq ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'suggest:me:' || term AS part, df AS doc_id, 0.0 AS score

@@ -607,6 +607,62 @@ def test_min_should_match_count_and_validation(spark, corpus):
                         min_should_match=2)
 
 
+# ------------------------------------------- r5: regexp term queries
+
+
+def test_regexp_term_query_rank_identical(spark, corpus):
+    """/pat/ expands against the dictionary (anchored, Java regex) and
+    scores as a disjunction with per-term idf — rank+score identical to
+    the oracle's re.fullmatch expansion (common regex subset); equals the
+    explicitly expanded query bitwise."""
+    import re as _re
+
+    _, out, _, docs = corpus
+    q = "/rare(7|11)/ the"
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, q, k=12).collect()]
+    want = bm25_oracle(docs, q, k=12)
+    assert [d for d, _ in got] == [d for d, _ in want] and got
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    flat = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(spark, out, "rare7 rare11 the", k=12).collect()]
+    assert got == flat
+    # the pattern's alnum fragments never leak in as bare terms
+    vocab_hits = {r["doc_id"] for r in
+                  bm25_topk(spark, out, "/zz(qq|xx)/", k=10).collect()}
+    assert vocab_hits == set()
+
+
+def test_regexp_exclusion_boost_and_guardrails(spark, corpus):
+    """-/pat/ excludes every match; /pat/^2 boosts the expansions; regex
+    tokens refuse mode='and'/msm and the non-topk paths."""
+    from macrobase_spark.index.bm25 import (bm25_count, bm25_facets,
+                                            bm25_topk_batch)
+
+    _, out, _, docs = corpus
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, "the -/rare[0-9]+/", k=8).collect()]
+    want = bm25_oracle(docs, "the -/rare[0-9]+/", k=8)
+    assert [d for d, _ in got] == [d for d, _ in want] and got
+    gotb = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(spark, out, "/rare(7|11)/^2 the", k=8).collect()]
+    wantb = bm25_oracle(docs, "/rare(7|11)/^2 the", k=8)
+    assert [d for d, _ in gotb] == [d for d, _ in wantb]
+    for (_, gs), (_, ws) in zip(gotb, wantb):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    with pytest.raises(ValueError, match="not supported with"):
+        bm25_topk(spark, out, "/rare[0-9]+/ the", mode="and")
+    with pytest.raises(ValueError, match="regexp tokens"):
+        bm25_topk_batch(spark, out, ["/rare[0-9]+/ the"])
+    with pytest.raises(ValueError, match="regexp tokens"):
+        bm25_count(spark, out, "/rare[0-9]+/")
+    with pytest.raises(ValueError, match="regexp tokens"):
+        bm25_facets(spark, out, "/rare[0-9]+/", ["role"])
+    with pytest.raises(ValueError, match="expands to more"):
+        bm25_topk(spark, out, "/.*/", k=5, max_expansions=8)
+
+
 # ------------------------------------------- r5: query-time synonyms
 
 
