@@ -1603,11 +1603,16 @@ def merge_indexes(spark: SparkSession, shard_dirs: list[str],
     avgdl and restores block-max pruning — the same amortized background
     work as post-update compaction.
 
-    v1 constraints (refused loudly): shards must share num_buckets and
+    A positional layer merges the same way (one segment append of the
+    positions blobs — the phrase path already sums df across segment
+    rows), provided EVERY shard carries one; mixed positional and
+    non-positional shards are refused.
+
+    Constraints (refused loudly): shards must share num_buckets and
     stopwords, carry no pending tombstones (compact first — a tombstone's
-    doc ids are meaningless in the merged stats), no positional layer,
-    and their doc_id spaces must be disjoint (validated with one
-    aggregate over the union docs)."""
+    doc ids are meaningless in the merged stats), agree on having a
+    positional layer, and their doc_id spaces must be disjoint
+    (validated with one aggregate over the union docs)."""
     if len(shard_dirs) < 2:
         raise ValueError("merge_indexes needs at least two shard dirs")
     paths = [os.path.abspath(s) for s in shard_dirs]
@@ -1624,11 +1629,6 @@ def merge_indexes(spark: SparkSession, shard_dirs: list[str],
             raise ValueError(f"merge_indexes: no index at {s!r}")
         with open(sp) as f:
             st = json.load(f)
-        if st.get("has_positions"):
-            raise ValueError(
-                f"merge_indexes: shard {s!r} has a positional layer — "
-                "positional merge is not supported; rebuild the merged "
-                "index with positions=True instead")
         if has_tombstones(s):
             raise ValueError(
                 f"merge_indexes: shard {s!r} has pending tombstone "
@@ -1641,6 +1641,14 @@ def merge_indexes(spark: SparkSession, shard_dirs: list[str],
             "— term→bucket routing must align; rebuild to a shared bucket "
             "count")
     num_buckets = nb.pop()
+    pos_flags = {bool(st.get("has_positions")) for st in shard_stats}
+    if len(pos_flags) != 1:
+        raise ValueError(
+            "merge_indexes: some shards carry a positional layer and "
+            "some do not — the merged index cannot answer phrase queries "
+            "over half the corpus; rebuild the non-positional shards "
+            "with positions=True (or all without)")
+    has_pos = pos_flags.pop()
     stops = {tuple(st.get("stopwords", [])) for st in shard_stats}
     if len(stops) != 1:
         raise ValueError(
@@ -1674,6 +1682,16 @@ def merge_indexes(spark: SparkSession, shard_dirs: list[str],
     (post_u.repartition("bucket").sortWithinPartitions("term")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(out_dir, "postings")))
+    if has_pos:
+        # positional layer: same blob-level segment append — the phrase
+        # path already sums df across segment rows per term
+        pos_u = None
+        for s in paths:
+            p = spark.read.parquet(os.path.join(s, "positions"))
+            pos_u = p if pos_u is None else pos_u.unionByName(p)
+        (pos_u.repartition("bucket").sortWithinPartitions("term")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(out_dir, "positions")))
     buckets = sorted({int(d.split("=")[1])
                       for d in (_list_dir(os.path.join(out_dir, "postings"))
                                 or [])
@@ -1690,6 +1708,7 @@ def merge_indexes(spark: SparkSession, shard_dirs: list[str],
             "salt_partitions": max(st.get("salt_partitions", 1)
                                    for st in shard_stats),
             "stopwords": sorted(stops.pop()),
+            "has_positions": has_pos,
             "hot_terms": hot,
             # every bucket holds one segment per shard: the query path's
             # cross-row df sums apply index-wide until compaction

@@ -119,3 +119,46 @@ def test_merge_guardrails(spark, merged, tmp_path):
         merge_indexes(spark, [s1, s2], out)
     with pytest.raises(ValueError, match="at least two"):
         merge_indexes(spark, [s1], str(tmp_path / "m5"))
+
+
+def test_positional_merge_phrase_identity(spark, tmp_path):
+    """Shards built with positions=True merge including the positional
+    layer: phrase queries over the merged index are rank+score identical
+    to a from-scratch positional build, pre- and post-compaction; a
+    mixed positional/non-positional merge refuses."""
+    from macrobase_spark.index.bm25 import bm25_phrase_topk
+
+    df = with_doc_id(synth_transcripts(spark, n_convs=24, seed=13)).cache()
+    full = str(tmp_path / "pfull")
+    s1, s2 = str(tmp_path / "ps1"), str(tmp_path / "ps2")
+    build_index(df, full, num_buckets=4, hot_df_threshold=10 ** 9,
+                positions=True)
+    for i, sd in enumerate([s1, s2]):
+        build_index(df.filter(F.col("doc_id") % 2 == i), sd,
+                    num_buckets=4, hot_df_threshold=10 ** 9,
+                    positions=True)
+    out = str(tmp_path / "pmerged")
+    merge_indexes(spark, [s1, s2], out)
+
+    def phrase_top(idx, q):
+        return [(r["doc_id"], r["score"]) for r in
+                bm25_phrase_topk(spark, idx, q, k=10).collect()]
+
+    for q in ["tok0001 tok0000", "the the"]:
+        got, want = phrase_top(out, q), phrase_top(full, q)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), q
+    compact_index(spark, out)
+    for q in ["tok0001 tok0000", "the the"]:
+        got, want = phrase_top(out, q), phrase_top(full, q)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-12), q
+    # mixed positional/non-positional refuses
+    nopos = str(tmp_path / "nopos")
+    build_index(df.filter(F.col("doc_id") % 2 == 0).limit(5)
+                .withColumn("doc_id", F.col("doc_id") + 50_000_000),
+                nopos, num_buckets=4, hot_df_threshold=10 ** 9)
+    with pytest.raises(ValueError, match="positional"):
+        merge_indexes(spark, [s1, nopos], str(tmp_path / "pm2"))
