@@ -793,9 +793,13 @@ def q26_bm25_index_path(spark, sf):
          .withColumn("conv_id", F.lit("d"))
          .withColumn("turn_idx", F.col("doc_id").cast("int"))
          .withColumn("role", F.element_at(
-             roles, (F.col("doc_id") % 4 + 1).cast("int"))))
+             roles, (F.col("doc_id") % 4 + 1).cast("int")))
+         # synthesized hourly timestamps → the recency-decay leg has a
+         # wide, deterministic age spread (mirrored in the oracle)
+         .withColumn("ts", F.timestamp_seconds(
+             F.lit(1_700_000_000).cast("long") + F.col("doc_id") * 3600)))
     cache = os.path.join(tempfile.gettempdir(),
-                         f"mb_idxp5_{_cache_key(sf, 'documents')}")
+                         f"mb_idxp6_{_cache_key(sf, 'documents')}")
     if not os.path.exists(os.path.join(cache, "stats.json")):
         build_index(d, cache, num_buckets=4, hot_df_threshold=10**9,
                     positions=True)
@@ -815,6 +819,13 @@ def q26_bm25_index_path(spark, sf):
         bm25_topk(spark, cache, "merge scan row", k=10,
                   min_should_match=2).select(
             F.lit("msm2:merge scan row").alias("part"),
+            "doc_id", F.round("score", 6).alias("score")))
+    # r5c: recency-decay scoring — score ×= 0.5^(age_days/7) against the
+    # corpus max ts (hourly synthetic timestamps, exact in the oracle)
+    legs.append(
+        bm25_topk(spark, cache, "merge scan row", k=10,
+                  recency_half_life=7.0).select(
+            F.lit("recency:hl7").alias("part"),
             "doc_id", F.round("score", 6).alias("score")))
     # r5c: regexp term query — /s(can|ort)/ expands against the dictionary
     # (anchored whole-term match) and scores with 'merge' as a disjunction

@@ -495,6 +495,9 @@ def bm25_topk(
     sort_by: str | None = None,
     collapse: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    recency_half_life: float | None = None,
+    recency_ref: float | None = None,
+    recency_col: str = "ts",
 ) -> DataFrame:
     """Top-k (doc_id, score) for the query. Optional anomaly modifier:
     filter docs with anomaly > anomaly_max, and/or down-weight the score by
@@ -614,6 +617,18 @@ def bm25_topk(
     match can win a metadata sort), ties break by ascending doc_id, and
     the BM25 score still rides along in the output together with the
     sort columns.
+
+    ``recency_half_life=7.0`` is recency-decay scoring (the freshness
+    modifier a transcript corpus wants — Elasticsearch's exp/gauss decay
+    family): score ×= 0.5^(age_days / half_life), where age is measured
+    against ``recency_ref`` (epoch seconds) or, when None, the corpus's
+    own max ``recency_col`` — deterministic per index state, no
+    wall-clock in the plan. The timestamp rides the same docs-projection
+    join as the anomaly modifier (column-pruned); docs with a NULL
+    timestamp keep weight 1. Block pruning is disabled (the reweighting
+    reorders), same policy as anomaly_weight. Requires the index to have
+    persisted the ``recency_col`` metadata column (build_index persists
+    ``ts`` when the input carries it).
 
     ``synonyms={"fast": ["quick", "rapid"]}`` is query-time synonym
     expansion (the classic QueryParser expand=true behavior): a query
@@ -757,7 +772,8 @@ def bm25_topk(
     allow_prune = (anomaly_max is None and not anomaly_weight
                    and doc_filter is None and not nterms and tomb is None
                    and after is None and sort_by is None
-                   and collapse is None and msm is None)
+                   and collapse is None and msm is None
+                   and recency_half_life is None)
     if terms and "num_buckets" in stats:
         # partition pruning: term → bucket = pmod(xxhash64(term), B), computed
         # driver-side (pure-Python XXH64, no Spark round trip) so only the
@@ -888,6 +904,34 @@ def bm25_topk(
                 "score", F.col("score") * (1.0 - anomaly_weight * F.col("anomaly"))
             )
         scored = scored.drop("anomaly")
+    if recency_half_life is not None:
+        if not recency_half_life > 0:
+            raise ValueError("recency_half_life must be > 0 (days), got "
+                             f"{recency_half_life!r}")
+        if recency_col not in docs.columns:
+            raise ValueError(
+                f"recency: {recency_col!r} is not a docs-metadata column "
+                f"(have {sorted(set(docs.columns) - {'doc_id'})}) — the "
+                "index must persist the timestamp at build time")
+        ref = recency_ref
+        if ref is None:
+            row = docs.agg(F.max(F.unix_timestamp(F.col(recency_col)))
+                           .alias("m")).collect()[0]
+            if row["m"] is None:
+                raise ValueError(
+                    f"recency: every {recency_col!r} in the docs table is "
+                    "NULL — pass recency_ref explicitly")
+            ref = float(row["m"])
+        age_days = ((F.lit(float(ref))
+                     - F.unix_timestamp(F.col(recency_col)).cast("double"))
+                    / 86400.0)
+        weight = F.coalesce(
+            F.pow(F.lit(0.5), age_days / float(recency_half_life)),
+            F.lit(1.0))
+        scored = (scored.join(docs.select("doc_id", recency_col), "doc_id",
+                              "left")
+                  .withColumn("score", F.col("score") * weight)
+                  .drop(recency_col))
     if sort_by is not None:
         cols, names = _sort_columns(sort_by)
         missing = [c for c in names

@@ -496,7 +496,7 @@ def build_index(
     # transcript metadata (input_hint columns) rides into the docs table so
     # queries can push doc-level predicates (bm25_topk doc_filter — e.g.
     # role = 'assistant') into top-k without touching the source table
-    meta_cols = [c for c in ("conv_id", "turn_idx", "role", "tool")
+    meta_cols = [c for c in ("conv_id", "turn_idx", "role", "tool", "ts")
                  if c in df.columns]
     src = df.select(doc_id_col, *meta_cols, text_col)
     # parallelism floor: small inputs (few parquet files / coalesced splits)
@@ -1072,7 +1072,8 @@ def update_index(
         docs_path = os.path.join(out_dir, "docs.parquet")
         base_docs_cols = set(
             spark.read.parquet(docs_path).schema.fieldNames())
-        meta_cols = [c for c in ("conv_id", "turn_idx", "role", "tool")
+        meta_cols = [c for c in ("conv_id", "turn_idx", "role", "tool",
+                              "ts")
                      if c in df_new.columns and c in base_docs_cols]
         src = df_new.select(doc_id_col, *meta_cols, text_col)
 

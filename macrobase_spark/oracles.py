@@ -769,6 +769,17 @@ andq AS (
 -- ranks ≤2-edit neighbours by (distance asc, df desc, term asc)
 dict AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
          FROM toks GROUP BY term),
+-- r5c recency-decay leg: hourly synthetic timestamps, weight =
+-- 0.5^(age_days / 7) against the corpus max ts, applied to the same
+-- disjunctive scores as 'topk'
+recq AS (
+  SELECT scored.doc_id,
+         scored.s * pow(0.5,
+           (((SELECT MAX(1700000000.0 + doc_id * 3600) FROM documents)
+             - (1700000000.0 + scored.doc_id * 3600)) / 86400.0) / 7.0)
+           AS s
+  FROM scored
+),
 -- r5c regexp-term leg: /s(can|ort)/ = anchored whole-term dictionary
 -- expansion scored with 'merge' as a disjunction, per-term idf
 rterms AS (SELECT term FROM dict
@@ -898,6 +909,10 @@ SELECT part, doc_id, score FROM (
 SELECT part, doc_id, score FROM (
   SELECT 'regex:s(can|ort)+merge' AS part, doc_id, ROUND(s, 6) AS score
   FROM regq ORDER BY s DESC, doc_id ASC LIMIT 10
+) UNION ALL
+SELECT part, doc_id, score FROM (
+  SELECT 'recency:hl7' AS part, doc_id, ROUND(s, 6) AS score
+  FROM recq ORDER BY s DESC, doc_id ASC LIMIT 10
 ) UNION ALL
 SELECT part, doc_id, score FROM (
   SELECT 'suggest:me:' || term AS part, df AS doc_id, 0.0 AS score

@@ -607,6 +607,54 @@ def test_min_should_match_count_and_validation(spark, corpus):
                         min_should_match=2)
 
 
+# ------------------------------------------- r5: recency-decay scoring
+
+
+def test_recency_decay_matches_python_recount(spark, corpus):
+    """recency_half_life: score ×= 0.5^(age_days/half_life) against the
+    corpus max ts (or an explicit recency_ref) — recount pinned at 1e-12;
+    the modifier reorders fresh-but-weaker docs above stale-but-stronger
+    ones when half_life is small."""
+    df, out, _, docs = corpus
+    ts_map = {r["doc_id"]: r["ts"].timestamp() for r in
+              df.select("doc_id", "ts").collect()}
+    base = {d: s for d, s in bm25_oracle(docs, "the call", k=10**9)}
+    ref = max(ts_map[d] for d in base)
+    hl = 2.0
+    want = sorted(
+        ((d, s * 0.5 ** ((ref - ts_map[d]) / 86400.0 / hl))
+         for d, s in base.items()),
+        key=lambda kv: (-kv[1], kv[0]))[:12]
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk(spark, out, "the call", k=12, recency_half_life=hl,
+                     recency_ref=ref).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    # default ref = corpus max ts — same ranking as the explicit ref
+    got_def = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(spark, out, "the call", k=12,
+                         recency_half_life=hl).collect()]
+    ref_all = max(ts_map.values())
+    want_def = sorted(
+        ((d, s * 0.5 ** ((ref_all - ts_map[d]) / 86400.0 / hl))
+         for d, s in base.items()),
+        key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert [d for d, _ in got_def] == [d for d, _ in want_def]
+    # a small half-life must actually change the ranking vs raw BM25
+    raw = [r["doc_id"] for r in
+           bm25_topk(spark, out, "the call", k=12).collect()]
+    tiny = [r["doc_id"] for r in
+            bm25_topk(spark, out, "the call", k=12,
+                      recency_half_life=0.01).collect()]
+    assert tiny != raw
+    with pytest.raises(ValueError, match="half_life"):
+        bm25_topk(spark, out, "the", recency_half_life=0.0)
+    with pytest.raises(ValueError, match="not a docs-metadata"):
+        bm25_topk(spark, out, "the", recency_half_life=1.0,
+                  recency_col="nope")
+
+
 # ------------------------------------------- r5: regexp term queries
 
 
