@@ -17,3 +17,4 @@ from macrobase_spark.index.bm25 import (bm25_topk, bm25_oracle,  # noqa: F401
                                         bm25_facets_sharded)
 from macrobase_spark.index.snippets import highlight_topk, index_stats  # noqa: F401
 from macrobase_spark.index.suggest import spellcheck, suggest_terms  # noqa: F401
+from macrobase_spark.index.rank_eval import rank_eval  # noqa: F401

@@ -846,3 +846,53 @@ def test_match_ids_export_equals_count_and_semantics(spark, corpus):
     assert bm25_match_ids(spark, out, "zzznope").count() == 0
     assert bm25_match_ids(spark, out, "tok0042",
                           min_should_match=5).count() == 0
+
+
+# ----------------------------------------- r5: relevance evaluation harness
+
+
+def test_rank_eval_matches_python_recount(spark, corpus):
+    """rank_eval's precision/recall/mrr/ndcg per query equal a pure-Python
+    recount over the same (bitwise-reproducible) rankings."""
+    import math as _m
+
+    from macrobase_spark.index.rank_eval import rank_eval
+
+    _, out, docs, _ = corpus
+    queries = {"a": "tok0042 tok0007", "b": "rare11 the call",
+               "c": "zzznope"}
+    ranked = {qid: [d for d, _ in bm25_oracle(docs, q, k=8)]
+              for qid, q in queries.items()}
+    qrels = {
+        "a": {d: 2 for d in ranked["a"][:3]} | {999999: 1},
+        "b": {d: 1 for d in ranked["b"][1:4]},
+        "c": {123: 1},  # no hits at all
+    }
+    got = {r["query_id"]: r for r in
+           rank_eval(spark, out, queries, qrels, k=8).collect()}
+
+    for qid in queries:
+        hits = [d for d in ranked[qid] if d in qrels[qid]]
+        p = len(hits) / 8.0
+        rec = len(hits) / len(qrels[qid])
+        mrr = 0.0
+        for i, d in enumerate(ranked[qid], start=1):
+            if d in qrels[qid]:
+                mrr = 1.0 / i
+                break
+        dcg = sum((2 ** qrels[qid][d] - 1) / _m.log2(i + 1)
+                  for i, d in enumerate(ranked[qid], start=1)
+                  if d in qrels[qid])
+        idcg = sum((2 ** g - 1) / _m.log2(i + 2) for i, g in
+                   enumerate(sorted(qrels[qid].values(), reverse=True)[:8]))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        r = got[qid]
+        assert _m.isclose(r["precision"], p, rel_tol=1e-12), qid
+        assert _m.isclose(r["recall"], rec, rel_tol=1e-12), qid
+        assert _m.isclose(r["mrr"], mrr, rel_tol=1e-12), qid
+        assert _m.isclose(r["ndcg"], ndcg, rel_tol=1e-12), qid
+    assert got["c"]["n_retrieved"] == 0 and got["c"]["ndcg"] == 0.0
+    with pytest.raises(ValueError, match="no qrels"):
+        rank_eval(spark, out, {"x": "the"}, {}, k=5)
+    with pytest.raises(ValueError, match="grades"):
+        rank_eval(spark, out, {"x": "the"}, {"x": {1: 0}}, k=5)
