@@ -1699,6 +1699,9 @@ def merge_indexes(spark: SparkSession, shard_dirs: list[str],
                       if d.startswith("bucket=")})
     hot = sorted({t for st in shard_stats
                   for t in st.get("hot_terms", [])})
+    # len_med/len_mad feed only future updates' anomaly normalization
+    # (advisory robust stats, not scoring inputs) — carrying the first
+    # shard's values avoids a docs re-scan; an update recomputes its own
     base = shard_stats[0]
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump({

@@ -145,14 +145,14 @@ _PCT_RE = re.compile(r"percentile\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
 _SEARCH_RE = re.compile(
     r"SEARCH\s*\(\s*(?P<idx>\w+)\s*,\s*'(?P<q>[^']*)'\s*"
     r"(?:,\s*(?P<k>\d+)\s*)?"
-    r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP)\s*=\s*[0-9.eE+-]+"
+    r"(?P<opts>(?:,\s*(?:(?:ANOMALY_(?:MAX|WEIGHT)|SLOP|RECENCY)\s*=\s*[0-9.eE+-]+"
     r"|MATCH\s*=\s*(?:ALL|ANY|\d+)"
     r"|(?:SNIPPET|COLLAPSE)\s*=\s*\w+"
     r"|COUNT"
     r"|(?:FILTER|SORT|FACETS|SYNONYMS)\s*=\s*'(?:[^']|'')*')\s*)*)\)",
     re.IGNORECASE)
 _SEARCH_OPT_RE = re.compile(
-    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|MATCH|FILTER|SNIPPET"
+    r"(?P<key>ANOMALY_MAX|ANOMALY_WEIGHT|SLOP|RECENCY|MATCH|FILTER|SNIPPET"
     r"|SORT|FACETS|SYNONYMS|COLLAPSE|COUNT)(?:\s*=\s*"
     r"(?P<val>'(?:[^']|'')*'|[0-9.eE+-]+|ALL|ANY|\w+))?",
     re.IGNORECASE)
@@ -309,6 +309,11 @@ class MacroBaseSQL:
         tokens ending in * are prefix wildcards expanded against the
         term dictionary (bm25_topk semantics).
 
+        RECENCY=<half_life_days> is recency-decay scoring (bm25_topk
+        recency_half_life): scores weighted by 0.5^(age_days/half_life)
+        against the corpus max timestamp. Plain bag-of-words queries on
+        a single index only.
+
         SYNONYMS='fast:quick rapid;big:large' is query-time synonym
         expansion (bm25_topk synonyms): query terms on the left of a
         ':' also match their space-separated alternates, each alternate
@@ -348,6 +353,7 @@ class MacroBaseSQL:
             anomaly_max, anomaly_weight, slop, match = None, 0.0, None, None
             doc_filter, snippet_view, sort_spec, facet_spec = (None,) * 4
             collapse_col, count_flag, syn_map = None, False, None
+            recency_hl = None
             for om in _SEARCH_OPT_RE.finditer(m.group("opts") or ""):
                 key = om.group("key").upper()
                 if key == "COUNT":
@@ -357,6 +363,8 @@ class MacroBaseSQL:
                     raise ValueError(f"SEARCH: {key} requires a value")
                 if key == "COLLAPSE":
                     collapse_col = om.group("val")
+                elif key == "RECENCY":
+                    recency_hl = float(om.group("val"))
                 elif key == "ANOMALY_MAX":
                     anomaly_max = float(om.group("val"))
                 elif key == "ANOMALY_WEIGHT":
@@ -407,6 +415,13 @@ class MacroBaseSQL:
                     or isinstance(target, (list, tuple))):
                 raise ValueError(
                     "SEARCH: SYNONYMS applies to plain bag-of-words "
+                    "queries on a single index")
+            if recency_hl is not None and (
+                    phrase or count_flag or snippet_view is not None
+                    or facet_spec is not None
+                    or isinstance(target, (list, tuple))):
+                raise ValueError(
+                    "SEARCH: RECENCY applies to plain bag-of-words "
                     "queries on a single index")
             if count_flag:
                 if (phrase or snippet_view is not None
@@ -528,6 +543,7 @@ class MacroBaseSQL:
                       mode=s_mode, min_should_match=s_msm,
                       doc_filter=doc_filter, sort_by=sort_spec,
                       collapse=collapse_col, synonyms=syn_map,
+                      recency_half_life=recency_hl,
                       ).createOrReplaceTempView(view)
             return view
 

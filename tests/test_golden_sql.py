@@ -438,6 +438,18 @@ def test_search_match_all(spark, tmp_path):
         mb.execute("SELECT * FROM SEARCH(tr, 'tok0042', 8, "
                    "SYNONYMS='justaterm');")
 
+    # RECENCY=<half_life_days> routes to bm25_topk(recency_half_life=)
+    rc = mb.execute(
+        "SELECT doc_id, score FROM SEARCH(tr, 'tok0042 the', 8, "
+        "RECENCY=0.5) ORDER BY score DESC;").collect()
+    want_rc = bm25_topk(spark, idx, "tok0042 the", k=8,
+                        recency_half_life=0.5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rc] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want_rc]
+    with pytest.raises(ValueError, match="RECENCY applies to plain"):
+        mb.execute("SELECT * FROM SEARCH(tr, 'tok0042', 8, RECENCY=1, "
+                   "COUNT);")
+
 
 def test_search_filter_and_wildcard_options(spark, tmp_path):
     """SEARCH FILTER='<expr>' (with '' quote escaping) equals bm25_topk
