@@ -158,6 +158,12 @@ _SEARCH_OPT_RE = re.compile(
     re.IGNORECASE)
 
 
+_SUGGEST_RE = re.compile(
+    r"(?P<kind>SUGGEST|SPELLCHECK)\s*\(\s*(?P<idx>\w+)\s*,\s*"
+    r"'(?P<q>[^']*)'\s*(?:,\s*(?P<a>\d+)\s*)?(?:,\s*(?P<b>\d+)\s*)?\)",
+    re.IGNORECASE)
+
+
 class MacroBaseSQL:
     """Executes MacroBase SQL text against a SparkSession.
 
@@ -280,6 +286,7 @@ class MacroBaseSQL:
 
     def _plain_query(self, stmt: str) -> DataFrame:
         stmt = self._rewrite_search(stmt)
+        stmt = self._rewrite_suggest(stmt)
         stmt = _BARE_ON_RE.sub(lambda m: f"{m.group(1)} USING ({m.group(2)})", stmt)
         stmt = self._qualify_join_dups(stmt)
         if _PCT_RE.search(stmt):
@@ -548,6 +555,41 @@ class MacroBaseSQL:
             return view
 
         return _SEARCH_RE.sub(sub, stmt)
+
+    def _rewrite_suggest(self, stmt: str) -> str:
+        """Replace SUGGEST(index, 'prefix'[, k]) with a temp view of the
+        prefix-autocomplete relation (term, df) and
+        SPELLCHECK(index, 'token'[, max_edits[, k]]) with the
+        did-you-mean relation (term, df, distance) — the suggestion
+        surface (index/suggest.py) in the SQL dialect."""
+
+        def sub_s(m: re.Match) -> str:
+            name = m.group("idx")
+            if name not in self._indexes:
+                raise ValueError(
+                    f"no index attached as {name!r} — call "
+                    "attach_index(name, index_dir) first")
+            target = self._indexes[name]
+            if isinstance(target, (list, tuple)):
+                raise ValueError(
+                    "SUGGEST/SPELLCHECK need a single physical index — "
+                    "sharded attachments are not supported")
+            from macrobase_spark.index.suggest import (spellcheck,
+                                                       suggest_terms)
+
+            view = self._fresh_view("suggest")
+            if m.group("kind").upper() == "SUGGEST":
+                k = int(m.group("a") or 10)
+                suggest_terms(self.spark, target, m.group("q"),
+                              k=k).createOrReplaceTempView(view)
+            else:
+                me = int(m.group("a") or 2)
+                k = int(m.group("b") or 5)
+                spellcheck(self.spark, target, m.group("q"), max_edits=me,
+                           k=k).createOrReplaceTempView(view)
+            return view
+
+        return _SUGGEST_RE.sub(sub_s, stmt)
 
     def _qualify_join_dups(self, stmt: str) -> str:
         """`SELECT * FROM a JOIN b USING (c)` where a and b share NON-join

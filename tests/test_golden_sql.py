@@ -653,3 +653,39 @@ def test_search_count_and_collapse_options(spark, tmp_path):
     with pytest.raises(ValueError, match="COLLAPSE applies"):
         mb.execute("SELECT * FROM SEARCH(tr, '\"the the\"', 5, "
                    "COLLAPSE=conv_id) s;")
+
+
+def test_sql_suggest_and_spellcheck_relations(spark, tmp_path):
+    """SUGGEST(idx, 'prefix', k) and SPELLCHECK(idx, 'token', edits, k)
+    are FROM-able relations equal to the Python API; both compose with
+    ordinary SQL (WHERE/ORDER/LIMIT); unattached index errors."""
+    from macrobase_spark.fixtures.transcripts import synth_transcripts, with_doc_id
+    from macrobase_spark.index.build import build_index
+    from macrobase_spark.index.suggest import spellcheck, suggest_terms
+    from macrobase_spark.sql import MacroBaseSQL
+
+    t = with_doc_id(synth_transcripts(spark, n_convs=30, seed=42)).cache()
+    idx = str(tmp_path / "sugg_idx")
+    build_index(t, idx, num_buckets=4, hot_df_threshold=10 ** 9)
+    mb = MacroBaseSQL(spark, base_dir=str(tmp_path))
+    mb.attach_index("tr", idx)
+
+    got = mb.execute("SELECT * FROM SUGGEST(tr, 'rar', 5);").collect()
+    want = suggest_terms(spark, idx, "rar", k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+    got2 = mb.execute(
+        "SELECT term, distance FROM SPELLCHECK(tr, 'rarr7', 2, 3) "
+        "WHERE distance <= 2;").collect()
+    want2 = spellcheck(spark, idx, "rarr7", max_edits=2, k=3).collect()
+    assert [(r["term"], r["distance"]) for r in got2] == \
+           [(r["term"], r["distance"]) for r in want2] and got2
+
+    # joins like any relation
+    j = mb.execute(
+        "SELECT s.term, s.df FROM SUGGEST(tr, 'rar', 50) s "
+        "ORDER BY s.df DESC, s.term LIMIT 3;").collect()
+    assert len(j) == 3
+
+    with pytest.raises(ValueError, match="no index attached"):
+        mb.execute("SELECT * FROM SUGGEST(nope, 'a', 5);")
