@@ -516,14 +516,17 @@ def test_range_facets_match_python_recount(spark, corpus):
 def test_randomized_micro_syntax_rank_identity(spark, corpus):
     """Seeded random sweep over the query micro-syntax surface: random
     combinations of plain terms, exclusions, prefix wildcards, boosts,
-    and fuzzy tokens must stay rank+score identical to the pure-Python
-    oracle (both engines parse independently)."""
+    fuzzy tokens, and regexp tokens must stay rank+score identical to
+    the pure-Python oracle (both engines parse independently)."""
     import random
 
     _, out, docs, _ = corpus
     rng = random.Random(2026)
     vocab = ["tok0001", "tok0042", "tok0007", "the", "rare7",
              "tok0100", "call", "tok0009"]
+    # regex bodies from the Java/Python/RE2-common subset, narrow enough
+    # to stay under max_expansions on this corpus
+    regexes = ["rare(7|11)", "tok000[17]", "cal.", "rare[0-9]"]
     n_checked = 0
     for _trial in range(14):
         toks = []
@@ -539,6 +542,10 @@ def test_randomized_micro_syntax_rank_identity(spark, corpus):
                 t = f"{t}^{rng.choice(['1.5', '2', '3'])}"
             elif deco < 0.55:
                 t = t + "~1"
+            elif deco < 0.65:
+                t = "/" + rng.choice(regexes) + "/"
+                if rng.random() < 0.3:
+                    t = rng.choice(["-" + t, t + "^2"])
             toks.append(t)
         q = " ".join(toks)
         got = [(r["doc_id"], r["score"]) for r in
