@@ -1042,6 +1042,7 @@ def bm25_topk_batch(
     min_should_match: int | None = None,
     doc_filter: str | None = None,
     max_expansions: int = 128,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k for MANY queries in ONE scoring job — the throughput shape for
     query serving: a single pass over the union of all query terms'
@@ -1078,6 +1079,13 @@ def bm25_topk_batch(
     Same v1 restrictions as bm25_topk: not with mode='and', not with
     prefix/fuzzy tokens; WAND batch pruning and the single-term fast
     path are disabled when m > 1 (the filter changes which docs rank).
+
+    synonyms (one corpus-wide map, see bm25_topk) applies to every
+    query in the batch: a query term present in the map also matches
+    its alternates, each scored with its own idf; a boost on the term
+    covers its alternates; entries absent from a query are ignored —
+    exactly the per-query bm25_topk semantics, pytest-pinned bitwise.
+    Not with mode='and' / min_should_match (same policy as bm25_topk).
 
     doc_filter (SQL expression over docs metadata, see bm25_topk) applies
     to EVERY query in the batch: one filtered docs projection, one
@@ -1154,6 +1162,16 @@ def bm25_topk_batch(
                       if _edit_distance(tok, t, nv) <= nv]
                 for tok, nv in fz.items()}
 
+    syn_norm: dict[str, list[str]] = {}
+    if synonyms:
+        if mode == "and" or msm is not None:
+            raise ValueError(
+                "synonyms are not supported with mode='and' / "
+                "min_should_match — expand into explicit terms for "
+                "conjunctive retrieval")
+        syn_norm = {src.strip().lower():
+                    sorted({a.strip().lower() for a in alts} - {""})
+                    for src, alts in synonyms.items()}
     q_terms: dict[str, list[str]] = {}
     q_negs: dict[str, list[str]] = {}
     q_boosts: dict[str, dict[str, float]] = {}
@@ -1169,8 +1187,13 @@ def bm25_topk_batch(
                 f"than {max_expansions} terms — narrow the prefix or raise "
                 "max_expansions")
         fex = _fuzzy_terms(pq_.fuzzies)
+        # per-query synonym alternates from the shared corpus-wide map
+        sm = {s: [a for a in alts if a not in _stop]
+              for s, alts in syn_norm.items() if s in pq_.terms}
+        sm = {s: alts for s, alts in sm.items() if alts}
         q_terms[qid] = sorted(set(ts) | ex |
-                              {t for l in fex.values() for t in l})
+                              {t for l in fex.values() for t in l} |
+                              {a for l in sm.values() for a in l})
         q_negs[qid] = sorted(
             set(ns)
             | {e for e in expansions if any(e.startswith(p) for p in nps)}
@@ -1178,7 +1201,7 @@ def bm25_topk_batch(
                for t in l})
         # effective per-term boosts (same precedence as bm25_topk:
         # explicit term boost wins, then the largest matching
-        # prefix/fuzzy boost)
+        # prefix/fuzzy/synonym boost)
         eff = {t: qb[t] for t in ts if t in qb}
         for t in q_terms[qid]:
             if t in eff:
@@ -1186,6 +1209,7 @@ def bm25_topk_batch(
             pbs = [qb[p] for p in ps if p in qb and t.startswith(p)]
             pbs += [qb[tok] for tok, l in fex.items()
                     if tok in qb and t in l]
+            pbs += [qb[s] for s, l in sm.items() if s in qb and t in l]
             if pbs:
                 eff[t] = max(pbs)
         q_boosts[qid] = eff

@@ -741,6 +741,26 @@ def test_synonym_expansion_rank_identical(spark, corpus):
     assert bare_ids < syn_ids
 
 
+def test_synonym_batch_matches_single(spark, corpus):
+    """One corpus-wide synonym map over a batch: per-query identical to
+    bm25_topk with the same map, bitwise — including a query the map
+    doesn't touch and a boosted source term."""
+    _, out, _, _ = corpus
+    syn = {"rare7": ["rare11"], "tok0042": ["tok0007", "the"]}
+    qs = {"a": "rare7^2 call", "b": "tok0042", "c": "tok0100"}
+    batch = bm25_topk_batch(spark, out, qs, k=8, synonyms=syn).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: r["rank"]):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(spark, out, q, k=8, synonyms=syn).collect()]
+        assert by_q.get(qid, []) == want, qid
+    with pytest.raises(ValueError, match="synonyms are not supported"):
+        bm25_topk_batch(spark, out, ["rare7 the"], mode="and",
+                        synonyms=syn)
+
+
 def test_synonym_boost_coverage_and_validation(spark, corpus):
     """A boost on the query term covers its alternates; synonyms refuse
     mode='and'/min_should_match (per-slot conjunctive semantics)."""
