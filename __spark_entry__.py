@@ -460,8 +460,8 @@ def q15_text_features(spark, sf):
     recursive CTE per shard."""
     from macrobase_spark.functions import fingerprint, lang_id, quality_score, token_count
     from macrobase_spark.functions.text import (
-        duplicate_line_char_fraction, duplicate_line_fraction, scrub_pii,
-        top_ngram_char_fraction)
+        duplicate_line_char_fraction, duplicate_line_fraction,
+        gopher_keep, gopher_signals, scrub_pii, top_ngram_char_fraction)
     from macrobase_spark.pipelines.pack import pack_sequences
 
     d = _t(spark, sf, "documents")
@@ -484,6 +484,11 @@ def q15_text_features(spark, sf):
             duplicate_line_fraction(ml).alias("rep_line_frac"),
             duplicate_line_char_fraction(ml).alias("rep_char_frac"),
             top_ngram_char_fraction("text", 2).alias("top2_frac"),
+            # r5c Gopher rule-filter legs: signals + the keep boolean
+            gopher_signals("text")["n_words"].alias("gop_words"),
+            gopher_signals("text")["mean_word_len"].alias("gop_mwl"),
+            gopher_signals("text")["n_required"].alias("gop_req"),
+            gopher_keep("text").alias("gop_keep"),
             # planted deterministic PII (the corpus has none) so the scrub
             # hash-leg is non-vacuous — mirrored verbatim in the oracle
             F.md5(scrub_pii(F.concat(

@@ -9,4 +9,6 @@ from macrobase_spark.functions.text import (  # noqa: F401
     duplicate_line_fraction,
     duplicate_line_char_fraction,
     top_ngram_char_fraction,
+    gopher_signals,
+    gopher_keep,
 )

@@ -166,6 +166,97 @@ def top_ngram_char_fraction(col: str | Column = "text", n: int = 2) -> Column:
     ).otherwise(0.0)
 
 
+# Gopher quality-filter stopwords (Rae et al. 2021 §A1.1: a document must
+# contain at least 2 of these to pass the "required words" rule)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(col: str | Column = "text") -> Column:
+    """The Gopher rule-based quality signals (Rae et al. 2021 §A1.1) as
+    ONE struct column — each field is a per-row Catalyst expression (no
+    shuffle, no Python), so the whole battery rides a single projection:
+
+      n_words            whitespace-token count
+      mean_word_len      mean characters per whitespace token
+      symbol_ratio       '#' + '...' occurrences / words
+      bullet_line_frac   fraction of lines starting with a bullet mark
+      ellipsis_line_frac fraction of lines ending with '...' or '…'
+      alpha_word_frac    fraction of words containing ≥1 [a-z] char
+      n_required         how many of the 8 Gopher stopwords appear
+
+    Whitespace tokens (not the BM25 tokenizer) — the paper's rules count
+    raw words; empty documents yield zeros."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.aggregate(words, F.lit(0).cast("long"),
+                             lambda a, w: a + F.length(w))
+    lines = _lines(c)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^(\-|\*|•|●|‣)")))
+    ellipsis = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(
+        words, lambda w: F.lower(w).rlike("[a-z]")))
+    toks = tokenize_expr(c)
+    required = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])))
+    hashes = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    dots = (F.length(c)
+            - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / F.lit(3)
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0,
+               F.round(word_chars.cast("double") / nw, 6))
+        .otherwise(0.0).alias("mean_word_len"),
+        F.round((hashes + dots).cast("double") / nw, 6)
+        .alias("symbol_ratio"),
+        F.round(bullet.cast("double") / n_lines, 6)
+        .alias("bullet_line_frac"),
+        F.round(ellipsis.cast("double") / n_lines, 6)
+        .alias("ellipsis_line_frac"),
+        F.when(n_words > 0, F.round(alpha.cast("double") / nw, 6))
+        .otherwise(0.0).alias("alpha_word_frac"),
+        required.cast("int").alias("n_required"),
+    )
+
+
+def gopher_keep(
+    col: str | Column = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> Column:
+    """Boolean keep decision under the Gopher quality rules (paper
+    defaults; every threshold overridable). Compose with the repetition
+    signals for the full filter:
+
+        df.filter(gopher_keep("text")
+                  & (duplicate_line_fraction("text") <= 0.30)
+                  & (top_ngram_char_fraction("text", 2) <= 0.20))
+
+    A pure codegen'd boolean — the filter pushes to the scan and drops
+    rows before anything downstream shuffles."""
+    s = gopher_signals(col)
+    return ((s["n_words"] >= min_words) & (s["n_words"] <= max_words)
+            & (s["mean_word_len"] >= min_mean_word_len)
+            & (s["mean_word_len"] <= max_mean_word_len)
+            & (s["symbol_ratio"] <= max_symbol_ratio)
+            & (s["bullet_line_frac"] <= max_bullet_line_frac)
+            & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+            & (s["alpha_word_frac"] >= min_alpha_word_frac)
+            & (s["n_required"] >= min_required_words))
+
+
 # PII patterns: RE2-compatible (no lookaround/backrefs) so the same pattern
 # text runs identically under Spark's Java regex and DuckDB's RE2 — keeps
 # the scrubbing oracle-checkable. Ordering matters: emails/IPs/SSNs before

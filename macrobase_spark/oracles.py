@@ -379,6 +379,39 @@ rep AS (
                              ELSE 0 END) AS DOUBLE)
                / CAST(SUM(c * length(line)) AS DOUBLE), 6) AS rep_char_frac
   FROM lcount GROUP BY doc_id),
+-- r5c Gopher rule-filter legs: whitespace-word stats, required-stopword
+-- count, and the keep boolean under the paper-default thresholds (this
+-- corpus is single-line, so the line rules hold trivially)
+gop AS (
+  SELECT doc_id AS gp_doc,
+         CAST(len(w) AS BIGINT) AS gop_words,
+         CASE WHEN len(w) > 0
+              THEN ROUND(CAST(list_sum(list_transform(w, x -> length(x)))
+                              AS DOUBLE) / len(w), 6)
+              ELSE 0.0 END AS gop_mwl,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with']))
+              AS INT) AS gop_req,
+         ROUND((CAST(length(text) - length(replace(text, '#', ''))
+                     AS DOUBLE)
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / GREATEST(len(w), 1), 6) AS gop_sym,
+         CASE WHEN len(w) > 0
+              THEN ROUND(CAST(len(list_filter(w,
+                   x -> regexp_matches(lower(x), '[a-z]'))) AS DOUBLE)
+                   / len(w), 6)
+              ELSE 0.0 END AS gop_alpha
+  FROM (SELECT doc_id, text, toks,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS w
+        FROM t)),
+gopk AS (
+  SELECT gp_doc, gop_words, gop_mwl, gop_req,
+         (gop_words >= 50 AND gop_words <= 100000
+          AND gop_mwl >= 3.0 AND gop_mwl <= 10.0
+          AND gop_sym <= 0.1 AND gop_alpha >= 0.8
+          AND gop_req >= 2) AS gop_keep
+  FROM gop),
 -- top-2-gram char fraction over the raw text (deterministic tie: the
 -- lexicographically smallest gram among the most frequent)
 g2 AS (
@@ -423,6 +456,7 @@ SELECT s.doc_id,
             ELSE 'de' END AS lang_pred,
        fp,
        rep.rep_line_frac, rep.rep_char_frac, topg.top2_frac,
+       gopk.gop_words, gopk.gop_mwl, gopk.gop_req, gopk.gop_keep,
        CONCAT(CAST(g.shard AS VARCHAR), ':', CAST(g.pidx AS VARCHAR))
          AS pack_id,
        g.ppos AS pack_pos,
@@ -431,6 +465,7 @@ FROM s JOIN (SELECT doc_id AS g_doc, shard, pidx, ppos, ntok FROM g) g
   ON g.g_doc = s.doc_id
   JOIN rep ON rep.rp_doc = s.doc_id
   JOIN topg ON topg.tg_doc = s.doc_id
+  JOIN gopk ON gopk.gp_doc = s.doc_id
 ORDER BY s.doc_id LIMIT 500
 """
 

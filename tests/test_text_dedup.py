@@ -1067,3 +1067,62 @@ def test_repetition_signals_match_python_recount(spark):
     g3 = df.filter("doc_id = 4").select(
         top_ngram_char_fraction("text", 3).alias("c")).collect()[0]["c"]
     assert g3 == pytest.approx(_rep_expected(rows[4][1], 3)[2], abs=1e-9)
+
+
+def _gopher_expected(text):
+    """Pure-Python recount of the Gopher rule signals."""
+    import re as _re
+
+    words = [w for w in _re.split(r"\s+", text) if w]
+    nw = max(len(words), 1)
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    nl = max(len(lines), 1)
+    toks = set(_re.findall("[a-z0-9]+", text.lower()))
+    req = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    return {
+        "n_words": len(words),
+        "mean_word_len": (round(sum(len(w) for w in words) / nw, 6)
+                          if words else 0.0),
+        "symbol_ratio": round((text.count("#") + text.count("...")) / nw, 6),
+        "bullet_line_frac": round(
+            sum(bool(_re.match(r"^(\-|\*|•|●|‣)", l)) for l in lines) / nl, 6),
+        "ellipsis_line_frac": round(
+            sum(bool(_re.search(r"(\.\.\.|…)$", l)) for l in lines) / nl, 6),
+        "alpha_word_frac": (round(
+            sum(bool(_re.search("[a-z]", w.lower())) for w in words) / nw, 6)
+            if words else 0.0),
+        "n_required": len(toks & req),
+    }
+
+
+def test_gopher_signals_and_keep(spark):
+    from macrobase_spark.functions.text import gopher_keep, gopher_signals
+
+    good = ("the quick brown fox likes to run with friends and they have "
+            "seen that many good things come of patient daily work " * 3)
+    rows = [
+        (0, good),                                  # passes every rule
+        (1, "too short to pass"),                   # word count
+        (2, "- bullet\n- bullet\n- bullet"),        # bullets + count
+        (3, "wait...\nmore...\nhmm...\nok..."),     # ellipsis lines
+        (4, "#### " * 60 + good),                   # symbol ratio
+        (5, "12 34 " * 40),                         # alpha fraction
+        (6, ""),                                    # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", gopher_signals("text").alias("s"),
+        gopher_keep("text").alias("keep")).select(
+            "doc_id", "s.*", "keep").collect()}
+    for d, text in rows:
+        want = _gopher_expected(text)
+        for k, v in want.items():
+            assert got[d][k] == pytest.approx(v, abs=1e-9), (d, k)
+    assert got[0]["keep"] is True
+    for d in (1, 2, 3, 4, 5, 6):
+        assert got[d]["keep"] is False, d
+    # thresholds are overridable
+    relaxed = df.filter(gopher_keep("text", min_words=1,
+                                    min_required_words=0,
+                                    min_alpha_word_frac=0.0)).count()
+    assert relaxed > 1
