@@ -14,6 +14,10 @@ of the Lucene-class query engine this graft adds on top (Lucene
 `PrefixQuery`-backed suggesters and `DirectSpellChecker`'s
 dictionary-intersection rewrite, re-expressed as DataFrame plans).
 
+Both accept a LIST of index dirs too (time-partitioned shards): the
+dictionaries union and df sums globally, so the suggestion ranking over
+shards equals the merged monolith's (pytest-pinned).
+
 Semantics notes shared by both functions:
 - A segmented index (post-update, pre-compaction) may carry one row per
   (term, segment); df is summed across segments before ranking.
@@ -37,9 +41,27 @@ def _dictionary(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.sum("df").alias("df"))
 
 
+def _open_dictionary(spark: SparkSession,
+                     index_dir: str | list[str]) -> DataFrame:
+    """One (term, df) dictionary over a single index OR a list of
+    physical shards — the sharded case unions the shards' postings
+    (term+df columns only) and sums df per term, the same
+    global-statistics treatment bm25_topk_sharded gives scoring: an
+    autocomplete ranking over era shards equals the merged monolith's."""
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    if not dirs:
+        raise ValueError("suggest: empty shard list")
+    u = None
+    for d in dirs:
+        postings, _docs, _stats = read_index(spark, d)
+        p = postings.select("term", "df")
+        u = p if u is None else u.unionByName(p)
+    return _dictionary(u)
+
+
 def suggest_terms(
     spark: SparkSession,
-    index_dir: str,
+    index_dir: str | list[str],
     prefix: str,
     k: int = 10,
 ) -> DataFrame:
@@ -51,8 +73,7 @@ def suggest_terms(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k!r}")
     prefix = prefix.strip().lower()
-    postings, _docs, _stats = read_index(spark, index_dir)
-    d = _dictionary(postings)
+    d = _open_dictionary(spark, index_dir)
     if prefix:
         d = d.filter(F.col("term").startswith(prefix))
     return d.orderBy(F.col("df").desc(), F.col("term").asc()).limit(k)
@@ -60,7 +81,7 @@ def suggest_terms(
 
 def spellcheck(
     spark: SparkSession,
-    index_dir: str,
+    index_dir: str | list[str],
     token: str,
     max_edits: int = 2,
     k: int = 5,
@@ -88,8 +109,7 @@ def spellcheck(
     token = token.strip().lower()
     if not token:
         raise ValueError("spellcheck token must be non-empty")
-    postings, _docs, _stats = read_index(spark, index_dir)
-    d = _dictionary(postings)
+    d = _open_dictionary(spark, index_dir)
     band = ((F.length("term") >= len(token) - max_edits)
             & (F.length("term") <= len(token) + max_edits))
     d = (d.filter(band)

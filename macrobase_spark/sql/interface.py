@@ -570,10 +570,8 @@ class MacroBaseSQL:
                     f"no index attached as {name!r} — call "
                     "attach_index(name, index_dir) first")
             target = self._indexes[name]
-            if isinstance(target, (list, tuple)):
-                raise ValueError(
-                    "SUGGEST/SPELLCHECK need a single physical index — "
-                    "sharded attachments are not supported")
+            if isinstance(target, tuple):
+                target = list(target)
             from macrobase_spark.index.suggest import (spellcheck,
                                                        suggest_terms)
 

@@ -903,3 +903,24 @@ def test_rank_eval_matches_python_recount(spark, corpus):
         rank_eval(spark, out, {"x": "the"}, {}, k=5)
     with pytest.raises(ValueError, match="grades"):
         rank_eval(spark, out, {"x": "the"}, {"x": {1: 0}}, k=5)
+
+
+def test_suggest_sharded_equals_monolith(spark, shards):
+    """Suggestion over a LIST of shards: dictionaries union, df sums
+    globally — identical ranking to the monolithic index (the MultiReader
+    property the scoring path already has)."""
+    from macrobase_spark.index.suggest import spellcheck, suggest_terms
+
+    _, full, parts = shards
+    got = [tuple(r) for r in
+           suggest_terms(spark, parts, "tok00", k=8).collect()]
+    want = [tuple(r) for r in
+            suggest_terms(spark, full, "tok00", k=8).collect()]
+    assert got == want and got
+    got2 = [tuple(r) for r in
+            spellcheck(spark, parts, "tok0041", max_edits=1, k=5).collect()]
+    want2 = [tuple(r) for r in
+             spellcheck(spark, full, "tok0041", max_edits=1, k=5).collect()]
+    assert got2 == want2 and got2
+    with pytest.raises(ValueError, match="empty shard list"):
+        suggest_terms(spark, [], "a")
