@@ -689,7 +689,20 @@ def q21_ngram_jaccard(spark, sf):
         F.col("train_id").alias("id_a"),
         F.col("eval_id").alias("id_b"),
         F.round("overlap", 6).alias("metric"))
-    return pairs.unionByName(cont).orderBy("part", "id_a", "id_b")
+    # r5c: RAG chunking leg — 32-token windows with overlap 8 over a doc
+    # subset; the chunk text itself is hash-verified (md5 in `part`), the
+    # token count rides as the metric
+    from macrobase_spark.pipelines.pack import chunk_documents
+
+    ch = chunk_documents(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 50),
+        max_tokens=32, overlap=8).select(
+        F.concat(F.lit("chunk:"), F.md5("chunk_text")).alias("part"),
+        F.col("id").alias("id_a"),
+        F.col("chunk_idx").cast("long").alias("id_b"),
+        F.col("chunk_tokens").cast("double").alias("metric"))
+    return (pairs.unionByName(cont).unionByName(ch)
+            .orderBy("part", "id_a", "id_b"))
 
 
 def q22_diff_mean(spark, sf):

@@ -670,10 +670,29 @@ contam AS (
          ROUND(shared / esz.sz, 6) AS metric
   FROM cinter JOIN esz USING (eval_id)
   WHERE shared >= 1
+),
+-- r5c chunking leg: 32-token windows, overlap 8 (stride 24); chunk i
+-- covers tokens [i*24, i*24+32); the chunk TEXT is hashed into `part`
+cd AS (SELECT doc_id, {TOKS} AS toks, len({TOKS}) AS n FROM documents
+       WHERE doc_id < 50),
+cidx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= 32 THEN 1
+                         ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1
+                         END)) AS ci
+  FROM cd WHERE n > 0),
+chunks AS (
+  SELECT 'chunk:' || md5(array_to_string(
+             toks[ci * 24 + 1 : ci * 24 + 32], ' ')) AS part,
+         doc_id AS id_a, ci AS id_b,
+         CAST(LEAST(32, n - ci * 24) AS DOUBLE) AS metric
+  FROM cidx
 )
 SELECT part, id_a, id_b, metric FROM jac
 UNION ALL
 SELECT part, id_a, id_b, metric FROM contam
+UNION ALL
+SELECT part, id_a, id_b, metric FROM chunks
 ORDER BY part, id_a, id_b
 """
 

@@ -22,3 +22,5 @@ from macrobase_spark.pipelines.decontam import (  # noqa: F401
     find_contamination, drop_contaminated)
 from macrobase_spark.pipelines.sample import (  # noqa: F401
     deterministic_sample, sample_mixture, seeded_shuffle, split_train_eval)
+from macrobase_spark.pipelines.pack import (  # noqa: F401
+    chunk_documents, pack_sequences)

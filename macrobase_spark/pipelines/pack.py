@@ -130,3 +130,58 @@ def pack_stats(packed: DataFrame, token_col: str,
              F.sum(F.col(token_col).cast("long")).alias("pack_tokens"))
         .withColumn("fill", F.col("pack_tokens") / F.lit(float(max_tokens)))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into overlapping fixed-token windows — the
+    retrieval/RAG chunking step (and packing's sibling: packing merges
+    short docs up to the budget, chunking splits long ones down to it).
+
+    Windows are taken over the canonical token stream (tokenize_expr —
+    the BM25 analyzer, so a chunk's tokens are exactly what the index
+    would see) at stride = max_tokens − overlap: chunk i covers tokens
+    [i·stride, i·stride + max_tokens). The last chunk may be shorter;
+    every token is covered; consecutive chunks share `overlap` tokens.
+    Output: one row per chunk — (id, chunk_idx, n_chunks, chunk_tokens,
+    chunk_text with tokens re-joined by single spaces).
+
+    Entirely per-row Catalyst (tokenize → window starts via sequence →
+    slice/array_join → posexplode): no shuffle, no Python — each input
+    partition chunks independently, the 100 TB shape. Token-less
+    documents produce no chunks (filter them through gopher_keep /
+    quality gates first)."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens!r}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap!r}")
+    from macrobase_spark.functions.text import tokenize_expr
+
+    stride = max_tokens - overlap
+    toks = tokenize_expr(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= max_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - max_tokens).cast("double") / float(stride)) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, i * stride + 1, max_tokens), " ")
+            .alias("chunk_text"),
+            F.least(F.lit(max_tokens), n - i * stride)
+            .cast("int").alias("chunk_tokens")))
+    out = (df.filter(n > 0)
+           .select(F.col(id_col).alias("id"), n_chunks.alias("n_chunks"),
+                   F.posexplode(chunks).alias("chunk_idx", "c"))
+           .select("id", F.col("chunk_idx").cast("int"), "n_chunks",
+                   F.col("c.chunk_tokens").alias("chunk_tokens"),
+                   F.col("c.chunk_text").alias("chunk_text")))
+    return out

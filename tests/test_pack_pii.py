@@ -192,3 +192,63 @@ def test_pack_sequences_shard_col(spark):
     b = {(r["doc_id"], r["pack_id"], r["pack_pos"])
          for r in via_hash.collect()}
     assert a == b
+
+
+# ----------------------------------------------- r5: document chunking
+
+
+def _chunks_expected(text, max_tokens, overlap):
+    import re as _re
+
+    toks = [t for t in _re.split("[^a-z0-9]+", text.lower()) if t]
+    if not toks:
+        return []
+    stride = max_tokens - overlap
+    n = len(toks)
+    n_chunks = 1 if n <= max_tokens else -(-(n - max_tokens) // stride) + 1
+    return [(" ".join(toks[i * stride:i * stride + max_tokens]),
+             min(max_tokens, n - i * stride), n_chunks)
+            for i in range(n_chunks)]
+
+
+def test_chunk_documents_matches_python_recount(spark):
+    from macrobase_spark.pipelines.pack import chunk_documents
+
+    rows = [
+        (0, "one two three four five six seven eight nine ten"),
+        (1, "short doc"),
+        (2, " ".join(f"w{i}" for i in range(25))),
+        (3, ""),
+        (4, "exact four word doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mt, ov in [(4, 0), (4, 1), (7, 3), (10, 0)]:
+        got = {}
+        for r in chunk_documents(df, mt, overlap=ov).collect():
+            got.setdefault(r["id"], []).append(
+                (r["chunk_idx"], r["chunk_text"], r["chunk_tokens"],
+                 r["n_chunks"]))
+        for d, text in rows:
+            want = _chunks_expected(text, mt, ov)
+            gl = sorted(got.get(d, []))
+            assert [(i, t, n, nc) for i, (t, n, nc) in enumerate(want)] \
+                == gl, (d, mt, ov)
+            # coverage: concatenating stride prefixes re-yields the stream
+            if want and ov == 0:
+                joined = " ".join(t for t, _, _ in want).split()
+                import re as _re
+                assert joined == [x for x in _re.split(
+                    "[^a-z0-9]+", text.lower()) if x]
+    # chunks feed packing: same token column shapes compose
+    ch = chunk_documents(df, 4)
+    from macrobase_spark.pipelines.pack import pack_sequences
+
+    packed = pack_sequences(
+        ch.select(F.monotonically_increasing_id().alias("doc_id"),
+                  "chunk_tokens"),
+        "chunk_tokens", max_tokens=8)
+    assert packed.count() == ch.count()
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, 4, overlap=4)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, 0)
