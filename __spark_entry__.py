@@ -460,8 +460,9 @@ def q15_text_features(spark, sf):
     recursive CTE per shard."""
     from macrobase_spark.functions import fingerprint, lang_id, quality_score, token_count
     from macrobase_spark.functions.text import (
-        duplicate_line_char_fraction, duplicate_line_fraction,
-        gopher_keep, gopher_signals, scrub_pii, top_ngram_char_fraction)
+        bpe_token_count, duplicate_line_char_fraction,
+        duplicate_line_fraction, gopher_keep, gopher_signals, scrub_pii,
+        top_ngram_char_fraction)
     from macrobase_spark.pipelines.pack import pack_sequences
 
     d = _t(spark, sf, "documents")
@@ -478,6 +479,7 @@ def q15_text_features(spark, sf):
         d.select(
             "doc_id",
             token_count("text").cast("long").alias("n_tokens"),
+            bpe_token_count("text").cast("long").alias("n_bpe"),
             quality_score("text").alias("quality"),
             lang_id("text").alias("lang_pred"),
             fingerprint("text").alias("fp"),

@@ -36,6 +36,29 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokenize_expr(col))
 
 
+# GPT-2-style pre-tokenizer shapes, simplified to the lookaround-free
+# Java-regex/RE2 common subset (same portability contract as the PII
+# patterns): contractions, space-prefixed letter runs, digit runs, and
+# punctuation runs. Alternation order matters (leftmost-first agrees
+# between engines for lookaround-free patterns): contractions before the
+# generic punctuation run, so "don't" counts as ["don", "'t"].
+_BPE_TOKEN_RE = (r"'(?:s|d|m|t|ll|ve|re)"
+                 r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """BPE-ish token estimate: the number of GPT-2-style pre-tokenizer
+    pieces (word / number / punctuation runs, apostrophe contractions) —
+    a closer proxy for subword-tokenizer budgets than the whitespace
+    count, since punctuation and contractions cost their own tokens.
+    True BPE splits long words further, so this is a lower bound; use it
+    for packing/chunking budgets where a deterministic, model-free
+    estimate is the requirement. One codegen'd regexp_count — no
+    Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_BPE_TOKEN_RE))
+
+
 def quality_score(col: str | Column = "text") -> Column:
     """Heuristic document quality in [0,1]: penalize extreme length, high
     punctuation ratio, low lexical diversity (repetition)."""

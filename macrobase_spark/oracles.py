@@ -445,6 +445,9 @@ g AS (
 SELECT s.doc_id,
        {_scrub_fp_sql} AS scrub_fp,
        CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(s.text,
+            '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+            AS BIGINT) AS n_bpe,
        ROUND(GREATEST(0.0, LEAST(1.0,
            (CASE WHEN n > 0 THEN nu / n ELSE 0.0 END)
          * (1.0 - CASE WHEN n_chars > 0 THEN 1.0 - n_alnum / n_chars ELSE 1.0 END)

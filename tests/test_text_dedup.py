@@ -1126,3 +1126,32 @@ def test_gopher_signals_and_keep(spark):
                                     min_required_words=0,
                                     min_alpha_word_frac=0.0)).count()
     assert relaxed > 1
+
+
+def test_bpe_token_count_matches_python_recount(spark):
+    """BPE-ish pre-tokenizer count: Spark regexp_count equals a Python
+    re.findall recount of the identical pattern, and behaves like a
+    subword-budget proxy (punctuation and contractions cost tokens;
+    whitespace doesn't)."""
+    import re as _re
+
+    from macrobase_spark.functions.text import _BPE_TOKEN_RE, bpe_token_count, token_count
+
+    rows = [
+        (0, "don't stop believing!"),
+        (1, "a1 b2 3.14159, x-ray..."),
+        (2, "hello   world"),
+        (3, ""),
+        (4, "it'll we've 'quoted' -- dashes--everywhere"),
+        (5, "plain words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["b"], r["w"]) for r in df.select(
+        "doc_id", bpe_token_count("text").alias("b"),
+        token_count("text").alias("w")).collect()}
+    for d, text in rows:
+        want = len(_re.findall(_BPE_TOKEN_RE, text))
+        assert got[d][0] == want, (d, text)
+    # punctuation-heavy text costs more BPE-ish tokens than words
+    assert got[1][0] > got[1][1]
+    assert got[5][0] == got[5][1]  # plain words: the proxies agree
