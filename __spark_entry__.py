@@ -541,6 +541,7 @@ def q16_dedup_exact(spark, sf):
     # replays them byte-for-byte (pipelines/sample.py)
     from macrobase_spark.pipelines.sample import (deterministic_sample,
                                                   sample_mixture,
+                                                  sample_n_per_domain,
                                                   seeded_shuffle)
 
     dom = d.withColumn(
@@ -558,6 +559,11 @@ def q16_dedup_exact(spark, sf):
         F.col("doc_id").cast("string").alias("key"),
         F.lit(1).cast("long").alias("n_copies"),
         F.col("doc_id").alias("rep_id"))
+    strat = sample_n_per_domain(dom, 5, seed=9).select(
+        F.concat(F.lit("strat:"), "domain").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col("doc_id").alias("rep_id"))
     shuf = (seeded_shuffle(d.select("doc_id"), seed=11).limit(20)
             .select(
         F.lit("shuffle:head20").alias("part"),
@@ -566,7 +572,7 @@ def q16_dedup_exact(spark, sf):
         .cast("long").alias("n_copies"),
         F.col("doc_id").alias("rep_id")))
     return (exact.unionByName(clusters).unionByName(samp)
-            .unionByName(mix).unionByName(shuf)
+            .unionByName(mix).unionByName(strat).unionByName(shuf)
             .orderBy("part", "rep_id", "key"))
 
 

@@ -528,6 +528,21 @@ mix AS (
   WHERE (domain = 'wiki')
      OR (domain = 'web'  AND u < '80000000')
      OR (domain = 'logs' AND u < '19999999')),
+doms9 AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'wiki' WHEN 1 THEN 'web'
+              ELSE 'logs' END AS domain
+  FROM documents),
+strat AS (
+  SELECT 'strat:' || domain AS part, CAST(doc_id AS VARCHAR) AS key,
+         CAST(1 AS BIGINT) AS n_copies, doc_id AS rep_id
+  FROM (SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY substr(md5('9:' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 8),
+                                  doc_id) AS rnk
+        FROM doms9)
+  WHERE rnk <= 5),
 shuf AS (
   SELECT 'shuffle:head20' AS part, u AS key,
          CAST(row_number() OVER (ORDER BY u, doc_id) AS BIGINT) AS n_copies,
@@ -538,7 +553,7 @@ shuf AS (
   ORDER BY u, doc_id LIMIT 20)
 SELECT * FROM exact UNION ALL SELECT * FROM clusters
 UNION ALL SELECT * FROM samp UNION ALL SELECT * FROM mix
-UNION ALL SELECT * FROM shuf
+UNION ALL SELECT * FROM strat UNION ALL SELECT * FROM shuf
 ORDER BY part, rep_id, key
 """
 

@@ -21,6 +21,7 @@ from macrobase_spark.pipelines.runner import run_pipeline  # noqa: F401
 from macrobase_spark.pipelines.decontam import (  # noqa: F401
     find_contamination, drop_contaminated)
 from macrobase_spark.pipelines.sample import (  # noqa: F401
-    deterministic_sample, sample_mixture, seeded_shuffle, split_train_eval)
+    deterministic_sample, sample_mixture, sample_n_per_domain,
+    seeded_shuffle, split_train_eval)
 from macrobase_spark.pipelines.pack import (  # noqa: F401
     chunk_documents, pack_sequences)

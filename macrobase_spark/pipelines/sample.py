@@ -145,3 +145,64 @@ def split_train_eval(
     u = _unit_hash(seed, F.col(id_col))
     thr = F.lit(_threshold_hex(eval_fraction))
     return df.filter(u >= thr), df.filter(u < thr)
+
+
+def sample_n_per_domain(
+    df: DataFrame,
+    n: int,
+    domain_col: str = "domain",
+    seed: int | str = 0,
+    id_col: str = "doc_id",
+    margin: int = 50,
+) -> DataFrame:
+    """Exactly min(n, |domain|) rows per domain — the stratified
+    fixed-count sample (balanced eval sets, per-source caps). Selection
+    is the n smallest unit hashes within each domain (ties by id):
+    hash order is a uniform random order, so this is a uniform
+    without-replacement sample, deterministic in (seed, ids) like the
+    rest of this module.
+
+    Scale shape: a naive per-domain window sorts EVERY row of a hot
+    domain in one task. Instead a per-domain hash THRESHOLD prefilter
+    (expected 3n+margin survivors per domain, from one tiny counts
+    aggregate broadcast back) cuts each domain to O(n) rows before the
+    exact top-n window — the window then never sees more than a few
+    thousand rows per domain regardless of domain size. Exactness is
+    guaranteed, not probabilistic: if at least n rows of a domain pass
+    the threshold, the n smallest hashes are provably among them; the
+    (astronomically rare, but checked) deficient domains are re-ranked
+    without the prefilter."""
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n!r}")
+    u = _unit_hash(seed, F.col(id_col))
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_cnt"))
+    rows = counts.collect()
+    thr = {}
+    for r in rows:
+        cnt = r["_cnt"]
+        f = min(1.0, (3.0 * n + margin) / cnt)
+        thr[r[domain_col]] = "ffffffff" if f >= 1.0 else _threshold_hex(f)
+    thr_expr = F.lit("ffffffff")
+    for d in sorted((k for k in thr if k is not None), reverse=True):
+        thr_expr = F.when(F.col(domain_col) == d, F.lit(thr[d])) \
+                    .otherwise(thr_expr)
+    pre = df.filter(u <= thr_expr)
+    w = W.partitionBy(domain_col).orderBy(u.asc(), F.col(id_col).asc())
+    ranked = (pre.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= n).drop("_rn"))
+    # exactness audit: a domain whose prefilter kept fewer than
+    # min(n, cnt) rows cannot prove containment — re-rank it unfiltered
+    got = {r[domain_col]: r["_g"] for r in
+           ranked.groupBy(domain_col).agg(F.count("*").alias("_g"))
+           .collect()}
+    deficient = [r[domain_col] for r in rows
+                 if got.get(r[domain_col], 0) < min(n, r["_cnt"])]
+    if deficient:
+        full = (df.filter(F.col(domain_col).isin(deficient))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= n).drop("_rn"))
+        ranked = (ranked.filter(~F.col(domain_col).isin(deficient))
+                  .unionByName(full))
+    return ranked

@@ -103,3 +103,36 @@ def test_split_train_eval_disjoint_exhaustive_stable(spark, ids):
            {i for i in tr if i < 500}
     with pytest.raises(ValueError, match="eval_fraction"):
         split_train_eval(ids, 0.0)
+
+
+def test_sample_n_per_domain_exact_ids(spark, ids):
+    from macrobase_spark.pipelines.sample import sample_n_per_domain
+
+    want = {}
+    for i in range(2000):
+        d = ["wiki", "web", "logs"][i % 3]
+        want.setdefault(d, []).append((_u(9, i), i))
+    want = {d: {i for _, i in sorted(v)[:7]} for d, v in want.items()}
+
+    got = {}
+    for r in sample_n_per_domain(ids, 7, seed=9).collect():
+        got.setdefault(r["domain"], set()).add(r["doc_id"])
+    assert got == want
+    # partition-independence
+    got13 = {}
+    for r in sample_n_per_domain(ids.repartition(13), 7, seed=9).collect():
+        got13.setdefault(r["domain"], set()).add(r["doc_id"])
+    assert got13 == want
+    # a domain smaller than n returns whole
+    small = ids.filter((F.col("doc_id") < 4) | (F.col("domain") == "wiki"))
+    out = sample_n_per_domain(small, 500, seed=9)
+    assert out.filter(F.col("domain") == "web").count() == \
+        small.filter(F.col("domain") == "web").count()
+    # the deficient-domain fallback (forced via a hostile margin) still
+    # returns the exact per-domain top-n
+    got_fb = {}
+    for r in sample_n_per_domain(ids, 7, seed=9, margin=-20).collect():
+        got_fb.setdefault(r["domain"], set()).add(r["doc_id"])
+    assert got_fb == want
+    with pytest.raises(ValueError, match="n must be"):
+        sample_n_per_domain(ids, 0)
