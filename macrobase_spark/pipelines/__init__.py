@@ -25,3 +25,4 @@ from macrobase_spark.pipelines.sample import (  # noqa: F401
     seeded_shuffle, split_train_eval)
 from macrobase_spark.pipelines.pack import (  # noqa: F401
     chunk_documents, pack_sequences)
+from macrobase_spark.pipelines.profile import corpus_report  # noqa: F401

@@ -1,0 +1,97 @@
+"""Corpus profiling: one aggregate pass that answers "what is in this
+corpus?" before any curation decision — the report a pipeline operator
+reads before choosing dedup thresholds, mixture weights, and quality
+cutoffs.
+
+Everything is computed in ONE job over per-row Catalyst expressions
+(the same column functions the q15 gate verifies individually), so the
+profile costs a single scan at 100 TB:
+
+  n_docs                  row count
+  token percentiles       exact p25/p50/p75/p95 of token_count
+  bpe_tokens_total        Σ bpe_token_count (the training-budget number)
+  exact_dup_fraction      1 − distinct(md5(text))/n  (corpus-level)
+  mean_quality            mean quality_score
+  dup_line_frac_mean      mean duplicate_line_fraction
+  top2gram_frac_mean      mean top_ngram_char_fraction(n=2)
+  gopher_keep_fraction    fraction passing gopher_keep
+  pii_docs_fraction       fraction with any PII pattern hit
+  lang:<code>             per-language document fractions (lang_id)
+
+Exact percentiles (not approx) so the report is reproducible and
+oracle-checkable; at cluster scale swap `percentile` for
+`percentile_approx` via exact=False if the exact sort-based percentile
+ever dominates (it is one extra shuffle of a single numeric column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _any_pii(c: Column) -> Column:
+    """True iff any PII pattern hits (pii_counts returns one struct
+    field per pattern; sum them)."""
+    from macrobase_spark.functions.text import PII_PATTERNS, pii_counts
+
+    s = pii_counts(c)
+    total = None
+    for name, _pat in PII_PATTERNS:
+        f = s[name].cast("long")
+        total = f if total is None else total + f
+    return total > 0
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """The corpus profile as a (metric string, value double) relation —
+    tiny, deterministic, and shaped for diffing two corpus versions with
+    an anti-join. See module docstring for the metric inventory."""
+    from macrobase_spark.functions.text import (bpe_token_count,
+                                                duplicate_line_fraction,
+                                                gopher_keep, lang_id,
+                                                pii_counts, quality_score,
+                                                token_count,
+                                                top_ngram_char_fraction)
+
+    c = F.col(text_col)
+    tc = token_count(c).cast("double")
+    pct = (F.percentile if exact else
+           (lambda col, ps: F.percentile_approx(col, ps)))
+    base = df.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        pct(tc, F.array(F.lit(0.25), F.lit(0.5),
+                        F.lit(0.75), F.lit(0.95))).alias("tok_pcts"),
+        F.sum(bpe_token_count(c)).cast("double").alias("bpe_total"),
+        (1.0 - F.countDistinct(F.md5(c)).cast("double")
+         / F.count("*")).alias("dup_frac"),
+        F.avg(quality_score(c)).alias("mean_quality"),
+        F.avg(duplicate_line_fraction(c)).alias("dup_line_mean"),
+        F.avg(top_ngram_char_fraction(c, 2)).alias("top2_mean"),
+        F.avg(gopher_keep(c).cast("double")).alias("gopher_frac"),
+        F.avg(_any_pii(c).cast("double")).alias("pii_frac"),
+    ).collect()[0]
+    langs = (df.groupBy(lang_id(c).alias("lang"))
+             .agg((F.count("*") / base["n_docs"]).alias("frac"))
+             .collect())
+    rows = [
+        ("n_docs", float(base["n_docs"])),
+        ("tokens_p25", float(base["tok_pcts"][0])),
+        ("tokens_p50", float(base["tok_pcts"][1])),
+        ("tokens_p75", float(base["tok_pcts"][2])),
+        ("tokens_p95", float(base["tok_pcts"][3])),
+        ("bpe_tokens_total", float(base["bpe_total"])),
+        ("exact_dup_fraction", round(float(base["dup_frac"]), 9)),
+        ("mean_quality", round(float(base["mean_quality"]), 9)),
+        ("dup_line_frac_mean", round(float(base["dup_line_mean"]), 9)),
+        ("top2gram_frac_mean", round(float(base["top2_mean"]), 9)),
+        ("gopher_keep_fraction", round(float(base["gopher_frac"]), 9)),
+        ("pii_docs_fraction", round(float(base["pii_frac"]), 9)),
+    ] + sorted((f"lang:{r['lang']}", round(float(r["frac"]), 9))
+               for r in langs)
+    return df.sparkSession.createDataFrame(
+        rows, "metric string, value double")

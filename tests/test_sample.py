@@ -136,3 +136,46 @@ def test_sample_n_per_domain_exact_ids(spark, ids):
     assert got_fb == want
     with pytest.raises(ValueError, match="n must be"):
         sample_n_per_domain(ids, 0)
+
+
+def test_corpus_report_matches_python_recount(spark):
+    """corpus_report's metrics equal a pure-Python recount over a small
+    corpus with planted duplicates, PII, quality spread, and languages."""
+    import re as _re
+    from collections import Counter
+
+    from macrobase_spark.pipelines.profile import corpus_report
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and then it"
+            " rests easily under that big shady tree with friends"),
+        (1, "el gato que esta en la casa de los vecinos por la tarde"),
+        (2, "contact me at someone@example.com for the files"),
+        (3, "dup dup dup dup dup"),
+        (4, "dup dup dup dup dup"),
+        (5, "short one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+
+    toks = {d: [t for t in _re.split("[^a-z0-9]+", t_.lower()) if t]
+            for d, t_ in rows}
+    counts = sorted(len(v) for v in toks.values())
+    assert got["n_docs"] == 6.0
+    # exact percentile (linear interpolation) recount for p50
+    import numpy as np
+
+    for p, key in [(0.25, "tokens_p25"), (0.5, "tokens_p50"),
+                   (0.95, "tokens_p95")]:
+        assert got[key] == pytest.approx(
+            float(np.percentile(counts, p * 100, method="linear")),
+            abs=1e-9), key
+    assert got["exact_dup_fraction"] == pytest.approx(1 - 5 / 6, abs=1e-9)
+    assert got["pii_docs_fraction"] == pytest.approx(1 / 6, abs=1e-9)
+    langs = Counter()
+    # lang fractions sum to 1 and spanish doc detected
+    lang_keys = {k for k in got if k.startswith("lang:")}
+    assert sum(got[k] for k in lang_keys) == pytest.approx(1.0, abs=1e-9)
+    assert got.get("lang:es", 0) >= 1 / 6 - 1e-9
+    assert 0.0 <= got["gopher_keep_fraction"] <= 1.0
+    assert got["bpe_tokens_total"] > 0
