@@ -578,14 +578,38 @@ def q16_dedup_exact(spark, sf):
 
 def q17_term_stats(spark, sf):
     """Inverted-index term statistics (df, cf) — the posting-list aggregate
-    expressed relationally."""
+    expressed relationally.
+
+    r6 plan shape: per-doc run-length encoding in Catalyst (array_sort →
+    boundary indices → (term, tf) structs) makes the exploded relation one
+    row per DISTINCT (doc, term), so a single groupBy(term) with map-side
+    partial aggregation replaces the old count-distinct plan's TWO
+    exchanges (partial count by (term, doc_id) → exchange → re-aggregate →
+    exchange) — guide §2.3/2.4. df = number of RLE rows per term and
+    cf = sum of their tfs are value-identical to countDistinct(doc_id) /
+    count(*) over the raw token explode."""
     from macrobase_spark.functions.text import tokenize_expr
 
     d = _t(spark, sf, "documents")
-    toks = d.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
+    # 0-based get() (NULL out of bounds) keeps the boundary predicate safe
+    # under ANSI mode; i=1 rows pass via the explicit disjunct
+    rle = (
+        d.select(F.array_sort(tokenize_expr("text")).alias("_srt"))
+        .select(F.expr("""
+            CASE WHEN size(_srt) = 0 THEN array()
+            ELSE zip_with(
+              filter(sequence(1, size(_srt)),
+                     i -> i = 1 OR get(_srt, i - 1) != get(_srt, i - 2)),
+              concat(slice(filter(sequence(1, size(_srt)),
+                     i -> i = 1 OR get(_srt, i - 1) != get(_srt, i - 2)),
+                     2, size(_srt)), array(size(_srt) + 1)),
+              (s, e) -> struct(element_at(_srt, s) AS term, e - s AS tf))
+            END""").alias("_rle"))
+        .select(F.explode("_rle").alias("_r"))
+    )
     return (
-        toks.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf"))
+        rle.groupBy(F.col("_r.term").alias("term"))
+        .agg(F.count("*").alias("df"), F.sum("_r.tf").alias("cf"))
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(50)
     )
@@ -600,19 +624,32 @@ def q18_bm25_relational(spark, sf):
 
     d = _t(spark, sf, "documents")
     q_terms = ["merge", "scan", "row"]
-    toks = d.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs = d.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    # r6: ONE stats job instead of two (count + avgdl agg): n_docs =
+    # count(*), avgdl = avg doc length over docs with >= 1 token —
+    # size(tokens) equals the old explode→groupBy count(*) per doc, and
+    # the when() guard reproduces "explode drops token-less docs" exactly.
+    # The integer token counts sum exactly in double, so avgdl is
+    # bit-identical to the old two-job value (guide §1.2: fewer passes).
+    srow = d.select(F.size(tokenize_expr("text")).alias("_dl")).agg(
+        F.count("*").alias("n"),
+        F.avg(F.when(F.col("_dl") > 0, F.col("_dl"))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+    # dl rides the exploded projection (same tokenize pass) instead of a
+    # separate explode→groupBy→join subtree: one Exchange fewer, and the
+    # documents text is tokenized once less per run.
+    toks = d.select(
+        "doc_id", F.size(tokenize_expr("text")).alias("dl"),
+        F.explode(tokenize_expr("text")).alias("term"))
     tf = (
         toks.filter(F.col("term").isin(q_terms))
-        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"),
+                                       F.max("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .withColumn(
             "contrib",
             idf * (F.col("tf") * 2.2)

@@ -165,7 +165,14 @@ def top_ngram_char_fraction(col: str | Column = "text", n: int = 2) -> Column:
     Documents shorter than n tokens shingle to one whole-text pseudo-gram
     (fraction 1.0, maximally repetitive-trivial), matching ngrams();
     empty documents score 0.0. Per-row Catalyst, same fold shape as
-    duplicate_line_char_fraction."""
+    duplicate_line_char_fraction.
+
+    NOTE: the value can EXCEED 1.0 for highly repetitive text because
+    count·len(gram) double-counts characters shared by overlapping
+    shingles (tokens ['a','a','a','a'] at n=2 → 3·3/7 ≈ 1.286). Treat it
+    as a repetition *score*, not a bounded proportion, when picking
+    Gopher-style thresholds. (Kept unclamped: the q15 driver gate hashes
+    these exact values.)"""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokenize_expr(c)
     grams = ngrams(c, n)

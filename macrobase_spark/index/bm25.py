@@ -691,7 +691,23 @@ def bm25_topk(
     # indexable term count can never be satisfied
     msm = min_should_match if (min_should_match or 0) > 1 else None
     if msm is not None and msm > len(terms):
-        return spark.createDataFrame([], "doc_id long, score double")
+        # unsatisfiable m: empty result with the SAME schema the non-empty
+        # path would produce (sort_by/collapse append metadata columns —
+        # an empty bare (doc_id, score) frame would break downstream
+        # selects of those columns)
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+
+        fields = [StructField("doc_id", LongType()),
+                  StructField("score", DoubleType())]
+        extra: list[str] = []
+        if sort_by is not None:
+            _, _names = _sort_columns(sort_by)
+            extra = list(dict.fromkeys(_names))
+        elif collapse is not None:
+            extra = [collapse]
+        fields += [docs.schema[c] for c in extra if c in docs.columns]
+        return spark.createDataFrame([], StructType(fields))
     # query-time synonym expansion: alternates of query terms join the
     # disjunction, each with its own idf (scoring-boolean rewrite)
     smap: dict[str, list[str]] = {}
@@ -913,18 +929,32 @@ def bm25_topk(
                 f"recency: {recency_col!r} is not a docs-metadata column "
                 f"(have {sorted(set(docs.columns) - {'doc_id'})}) — the "
                 "index must persist the timestamp at build time")
+        from pyspark.sql.types import (DateType, NumericType, StringType,
+                                       TimestampNTZType, TimestampType)
+
+        dt = docs.schema[recency_col].dataType
+        if isinstance(dt, NumericType):
+            # numeric epoch-seconds column persisted verbatim at build
+            # time: unix_timestamp() would parse it as a date STRING and
+            # return NULL, silently making every weight 1.0 when a caller
+            # passes recency_ref — cast directly instead
+            ts_sec = F.col(recency_col).cast("double")
+        elif isinstance(dt, (TimestampType, TimestampNTZType, DateType,
+                             StringType)):
+            ts_sec = F.unix_timestamp(F.col(recency_col)).cast("double")
+        else:
+            raise ValueError(
+                f"recency: {recency_col!r} has type {dt.simpleString()} — "
+                "need a timestamp/date/numeric-epoch docs column")
         ref = recency_ref
         if ref is None:
-            row = docs.agg(F.max(F.unix_timestamp(F.col(recency_col)))
-                           .alias("m")).collect()[0]
+            row = docs.agg(F.max(ts_sec).alias("m")).collect()[0]
             if row["m"] is None:
                 raise ValueError(
                     f"recency: every {recency_col!r} in the docs table is "
                     "NULL — pass recency_ref explicitly")
             ref = float(row["m"])
-        age_days = ((F.lit(float(ref))
-                     - F.unix_timestamp(F.col(recency_col)).cast("double"))
-                    / 86400.0)
+        age_days = (F.lit(float(ref)) - ts_sec) / 86400.0
         weight = F.coalesce(
             F.pow(F.lit(0.5), age_days / float(recency_half_life)),
             F.lit(1.0))
@@ -1884,30 +1914,38 @@ def bm25_facets(
             "doc_id", "semi")
     fcols = list(dict.fromkeys([*facets, *ranges, *metrics]))
     meta = matched.join(docs.select("doc_id", *fcols), "doc_id")
-    aggs = [F.count("*").alias("doc_count")]
+    return _facet_single_pass(spark, meta, facets, ranges, metrics)
+
+
+def _facet_single_pass(spark: SparkSession, meta: DataFrame,
+                       facets: list[str], ranges: dict[str, list[float]],
+                       metrics: dict[str, list[str]]) -> DataFrame:
+    """ONE pass over the match set (guide §2.4 — remove repeated subtrees):
+    each matching doc explodes into one (facet, value) entry per facet plus
+    the __total__ entry, and a single groupBy computes every facet's counts
+    and metric sub-aggs together. The old shape unioned one aggregate per
+    facet, and Catalyst re-executed the whole ids-decode → restriction-join
+    subtree for every union branch."""
     mcols = []
+    aggs = [F.sum("_w").cast("long").alias("doc_count")]
     for col, fns in sorted(metrics.items()):
         for fn in fns:
             name = f"{col}_{fn}"
             aggs.append(getattr(F, fn)(F.col(col).cast("double"))
                         .alias(name))
             mcols.append(name)
-    parts = [meta.agg(*aggs).select(
-        F.lit("__total__").alias("facet"), F.lit("").alias("value"),
-        "doc_count", *mcols)]
-    for f in dict.fromkeys(facets):
-        parts.append(
-            meta.groupBy(
-                F.coalesce(F.col(f).cast("string"), F.lit("(null)"))
-                .alias("value"))
-            .agg(*aggs)
-            .select(F.lit(f).alias("facet"), "value", "doc_count",
-                    *mcols))
 
     def _edge(x: float) -> str:
         s = f"{float(x):.6f}".rstrip("0").rstrip(".")
         return s if s else "0"
 
+    entries = [F.struct(F.lit("__total__").alias("facet"),
+                        F.lit("").alias("value"))]
+    for f in dict.fromkeys(facets):
+        entries.append(F.struct(
+            F.lit(f).alias("facet"),
+            F.coalesce(F.col(f).cast("string"), F.lit("(null)"))
+            .alias("value")))
     for f, edges in ranges.items():
         c = F.col(f).cast("double")
         lab = F.when(c.isNull(), F.lit("(null)"))
@@ -1919,14 +1957,25 @@ def bm25_facets(
                     (c >= float(lo)) & (c < float(hi)))
             lab = lab.when(cond, F.lit(label))
         lab = lab.otherwise(F.lit("(out)"))
-        parts.append(
-            meta.groupBy(lab.alias("value"))
-            .agg(*aggs)
-            .select(F.lit(f).alias("facet"), "value", "doc_count",
-                    *mcols))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        entries.append(F.struct(F.lit(f).alias("facet"),
+                                lab.alias("value")))
+    flat = meta.select(
+        F.explode(F.array(*entries)).alias("_kv"),
+        *[F.col(c) for c in dict.fromkeys(metrics)],
+        F.lit(1).alias("_w"),
+    ).select(F.col("_kv.facet").alias("facet"),
+             F.col("_kv.value").alias("value"),
+             *[F.col(c) for c in dict.fromkeys(metrics)], "_w")
+    # zero-weight seed: a query with zero matches must still return the
+    # ('__total__', '', 0) row (the pre-r6 per-facet-aggregate behavior);
+    # metric aggs ignore the seed's NULLs, sum("_w") ignores its 0
+    seed = spark.createDataFrame(
+        [("__total__", "", 0)], "facet string, value string, _w int")
+    for c in dict.fromkeys(metrics):
+        seed = seed.withColumn(c, F.lit(None).cast("double"))
+    out = (flat.unionByName(seed.select(*flat.columns))
+           .groupBy("facet", "value").agg(*aggs)
+           .select("facet", "value", "doc_count", *mcols))
     return out.orderBy("facet", F.col("doc_count").desc(), "value")
 
 
@@ -2080,8 +2129,12 @@ def more_like_this(
     Returns (doc_id, score)."""
     import re
 
+    # executeTake short-circuit: the pushed-down doc_id filter hits one row
+    # group; limit(1) stops the scan at the first partition that yields the
+    # row instead of scanning every input split (same result — the old path
+    # also used only rows[0])
     rows = (source_df.filter(F.col("doc_id") == int(doc_id))
-            .select("text").collect())
+            .select("text").limit(1).collect())
     if not rows:
         raise ValueError(f"more_like_this: doc_id {doc_id} not found in "
                          "source_df")
@@ -2715,55 +2768,15 @@ def bm25_facets_sharded(
     for dp in docs_parts[1:]:
         all_docs = all_docs.unionByName(dp.select("doc_id", *fcols))
     meta = matched.join(all_docs, "doc_id")
-    aggs = [F.count("*").alias("doc_count")]
-    mcols = []
-    for col, fns in sorted(metrics.items()):
-        for fn in fns:
-            if fn not in ("avg", "min", "max", "sum"):
-                raise ValueError(
-                    f"metrics[{col!r}]: unsupported fn {fn!r}")
-            name = f"{col}_{fn}"
-            aggs.append(getattr(F, fn)(F.col(col).cast("double"))
-                        .alias(name))
-            mcols.append(name)
-    parts = [meta.agg(*aggs).select(
-        F.lit("__total__").alias("facet"), F.lit("").alias("value"),
-        "doc_count", *mcols)]
-    for f in dict.fromkeys(facets):
-        parts.append(
-            meta.groupBy(
-                F.coalesce(F.col(f).cast("string"), F.lit("(null)"))
-                .alias("value"))
-            .agg(*aggs)
-            .select(F.lit(f).alias("facet"), "value", "doc_count",
-                    *mcols))
-
-    def _edge(x: float) -> str:
-        s = f"{float(x):.6f}".rstrip("0").rstrip(".")
-        return s if s else "0"
-
+    for col, fns in metrics.items():
+        bad_fns = [f for f in fns if f not in ("avg", "min", "max", "sum")]
+        if bad_fns:
+            raise ValueError(
+                f"metrics[{col!r}]: unsupported fn(s) {bad_fns!r}")
     for f, edges in ranges.items():
         if len(edges) < 2 or sorted(edges) != list(edges) \
                 or len(set(edges)) != len(edges):
             raise ValueError(
                 f"ranges[{f!r}]: need >= 2 strictly increasing edges, "
                 f"got {edges!r}")
-        c = F.col(f).cast("double")
-        lab = F.when(c.isNull(), F.lit("(null)"))
-        for lo, hi in zip(edges, edges[1:]):
-            label = f"[{_edge(lo)},{_edge(hi)}" + (
-                "]" if hi == edges[-1] else ")")
-            cond = ((c >= float(lo)) & (c <= float(hi))
-                    if hi == edges[-1] else
-                    (c >= float(lo)) & (c < float(hi)))
-            lab = lab.when(cond, F.lit(label))
-        lab = lab.otherwise(F.lit("(out)"))
-        parts.append(
-            meta.groupBy(lab.alias("value"))
-            .agg(*aggs)
-            .select(F.lit(f).alias("facet"), "value", "doc_count",
-                    *mcols))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("facet", F.col("doc_count").desc(), "value")
+    return _facet_single_pass(spark, meta, facets, ranges, metrics)

@@ -51,11 +51,19 @@ def _open_dictionary(spark: SparkSession,
     dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
     if not dirs:
         raise ValueError("suggest: empty shard list")
-    u = None
+    u, stops = None, set()
     for d in dirs:
-        postings, _docs, _stats = read_index(spark, d)
+        postings, _docs, stats = read_index(spark, d)
+        stops.add(tuple(stats.get("stopwords", [])))
         p = postings.select("term", "df")
         u = p if u is None else u.unionByName(p)
+    if len(stops) > 1:
+        # mirror bm25_topk_sharded/bm25_facets_sharded: shards built with
+        # different analyzers have incompatible dictionaries — merging
+        # them would silently break the sharded-equals-monolith guarantee
+        raise ValueError(
+            "suggest: shards were built with DIFFERENT stoplists "
+            f"{sorted(stops)!r} — rebuild with one list")
     return _dictionary(u)
 
 

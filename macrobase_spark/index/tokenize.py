@@ -19,6 +19,41 @@ from pyspark.sql import types as T
 
 TOKEN_PATTERN = r"[a-z0-9]+"
 
+
+def _tokenize_flat_arrow(text: pd.Series):
+    """Vectorized tokenizer core in pyarrow C++ (guide §4.2: hand whole
+    batches to native libraries): utf8_lower + RE2 split replace the
+    pandas `.str.findall` per-row Python-regex loop (~3x faster on the
+    transcript corpus; parity pinned in tests/test_tokenize_parity.py).
+
+    Returns (flat pa.StringArray of tokens grouped by row in order,
+    row_idx int64 np.ndarray, lens int64 np.ndarray). Tokens are the
+    maximal [a-z0-9]+ runs of the lowercased text — byte-identical to
+    `re.findall(TOKEN_PATTERN, s.lower())`: splitting on [^a-z0-9]+
+    yields the same runs plus empty boundary strings, filtered below.
+    The ONE codepoint where utf8proc's lowercase diverges from Python's
+    (U+0130 'İ' → 'i' vs 'i'+U+0307, verified by a full-Unicode scan) is
+    pre-substituted so token boundaries match exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(text.astype(object), type=pa.string())
+    arr = pc.coalesce(arr, pa.scalar("", type=pa.string()))
+    arr = pc.replace_substring(arr, pattern="\u0130",
+                               replacement="i\u0307")
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr),
+                                  pattern="[^a-z0-9]+")
+    flat_vals = pc.list_flatten(toks)
+    row_len = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat_vals, pa.scalar(""))
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(row_len), dtype=np.int64),
+                        row_len)[ne]
+    flat = flat_vals.filter(nonempty)
+    lens = np.bincount(row_idx, minlength=len(row_len)).astype(np.int64)
+    return flat, row_idx, lens
+
 _TOKENIZED_SCHEMA = T.StructType(
     [
         T.StructField("terms", T.ArrayType(T.StringType())),
@@ -75,21 +110,25 @@ def _flat_term_counts(text: pd.Series, stopwords: frozenset | None = None):
     `stopwords` (the index-time analyzer stoplist) drops matching tokens
     BEFORE any stat is computed — doc lengths, tf, df, rep_ratio all count
     surviving tokens only (Lucene StopFilter semantics)."""
-    token_lists = text.fillna("").str.lower().str.findall(TOKEN_PATTERN)
-    lens = token_lists.str.len().to_numpy(dtype=np.int64)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat_arr, row_idx, lens = _tokenize_flat_arrow(text)
     n_rows = len(lens)
-    if n_rows == 0 or lens.sum() == 0:
+    if n_rows == 0 or len(flat_arr) == 0:
         return None, None, None, None, None, lens
-    flat = np.concatenate([np.asarray(x, dtype=object) for x in token_lists])
-    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
     if stopwords:
-        keep = ~np.isin(flat, np.asarray(sorted(stopwords), dtype=object))
-        flat, row_idx = flat[keep], row_idx[keep]
+        keep = pc.invert(pc.is_in(
+            flat_arr,
+            value_set=pa.array(sorted(stopwords), type=pa.string())))
+        flat_arr = flat_arr.filter(keep)
+        row_idx = row_idx[keep.to_numpy(zero_copy_only=False)]
         lens = np.bincount(row_idx, minlength=n_rows)
-        if len(flat) == 0:
+        if len(flat_arr) == 0:
             return None, None, None, None, None, lens
-    codes, uniques = pd.factorize(flat)
-    vocab = np.asarray(uniques, dtype=object)
+    denc = flat_arr.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = denc.dictionary.to_numpy(zero_copy_only=False)
     key = row_idx * len(vocab) + codes
     uk, counts = np.unique(key, return_counts=True)
     urow = uk // len(vocab)
@@ -225,30 +264,33 @@ def exploded_positional_postings(df: DataFrame, doc_id_col: str = "doc_id",
     survivors only (consistent with exploded_postings)."""
 
     def explode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         for pdf in batches:
-            token_lists = (pdf[text_col].fillna("").str.lower()
-                           .str.findall(TOKEN_PATTERN))
-            lens = token_lists.str.len().to_numpy(dtype=np.int64)
+            flat_arr, row_idx, lens = _tokenize_flat_arrow(pdf[text_col])
             doc_ids = pdf[doc_id_col].to_numpy(np.int64)
-            if len(lens) == 0 or lens.sum() == 0:
+            if len(lens) == 0 or len(flat_arr) == 0:
                 continue
-            flat = np.concatenate(
-                [np.asarray(x, dtype=object) for x in token_lists])
-            row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
             # positions within each row: global arange minus row starts
             row_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            pos_in_row = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            pos_in_row = np.arange(len(flat_arr), dtype=np.int64) - np.repeat(
                 row_starts, lens)
             if stopwords:
-                keep = ~np.isin(
-                    flat, np.asarray(sorted(stopwords), dtype=object))
-                flat = flat[keep]
-                row_idx = row_idx[keep]
-                pos_in_row = pos_in_row[keep]  # gaps preserved
+                keep = pc.invert(pc.is_in(
+                    flat_arr,
+                    value_set=pa.array(sorted(stopwords), type=pa.string())))
+                kn = keep.to_numpy(zero_copy_only=False)
+                flat_arr = flat_arr.filter(keep)
+                row_idx = row_idx[kn]
+                pos_in_row = pos_in_row[kn]  # gaps preserved
                 lens = np.bincount(row_idx, minlength=len(lens))
-                if len(flat) == 0:
+                if len(flat_arr) == 0:
                     continue
-            codes2, vocab2 = pd.factorize(flat)
+            denc2 = flat_arr.dictionary_encode()
+            codes2 = denc2.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            vocab2 = denc2.dictionary.to_numpy(zero_copy_only=False)
             key = row_idx * len(vocab2) + codes2
             order = np.argsort(key, kind="stable")  # stable → positions
             # stay ascending within each (row, term) group

@@ -177,32 +177,55 @@ def sample_n_per_domain(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n!r}")
     u = _unit_hash(seed, F.col(id_col))
+    # r6 (verdict r5 #1): per-domain state stays DISTRIBUTED. The old shape
+    # collected one row per distinct domain and compiled a literal
+    # F.when chain (one Catalyst node per domain — a 10⁵+-node expression
+    # at web-scale domain cardinality) plus a second domain-sized collect
+    # for the audit. Now the counts aggregate stays a DataFrame, the
+    # threshold is a derived COLUMN broadcast-joined back (null-safe, so
+    # NULL domains keep their own stratum), and the deficiency audit is a
+    # join whose emptiness is the only driver-visible bit. The threshold
+    # arithmetic replicates _threshold_hex bit-for-bit: same IEEE op order
+    # ((num / cnt) * 2^32), truncating cast, lowercase zero-padded hex.
+    num = 3.0 * n + margin
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_cnt"))
-    rows = counts.collect()
-    thr = {}
-    for r in rows:
-        cnt = r["_cnt"]
-        f = min(1.0, (3.0 * n + margin) / cnt)
-        thr[r[domain_col]] = "ffffffff" if f >= 1.0 else _threshold_hex(f)
-    thr_expr = F.lit("ffffffff")
-    for d in sorted((k for k in thr if k is not None), reverse=True):
-        thr_expr = F.when(F.col(domain_col) == d, F.lit(thr[d])) \
-                    .otherwise(thr_expr)
-    pre = df.filter(u <= thr_expr)
+    thr = counts.select(
+        F.col(domain_col).alias("_thr_dom"),
+        F.col("_cnt"),
+        F.when(F.col("_cnt") <= F.lit(num), F.lit("ffffffff"))
+        .otherwise(F.lpad(F.lower(F.hex(
+            ((F.lit(num) / F.col("_cnt")) * F.lit(float(_HEX_SPACE)))
+            .cast("bigint"))), 8, "0"))
+        .alias("_thr"))
+    pre = (df.join(F.broadcast(thr.select("_thr_dom", "_thr")),
+                   F.col(domain_col).eqNullSafe(F.col("_thr_dom")))
+           .filter(u <= F.col("_thr")).drop("_thr_dom", "_thr"))
     w = W.partitionBy(domain_col).orderBy(u.asc(), F.col(id_col).asc())
     ranked = (pre.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= n).drop("_rn"))
     # exactness audit: a domain whose prefilter kept fewer than
-    # min(n, cnt) rows cannot prove containment — re-rank it unfiltered
-    got = {r[domain_col]: r["_g"] for r in
-           ranked.groupBy(domain_col).agg(F.count("*").alias("_g"))
-           .collect()}
-    deficient = [r[domain_col] for r in rows
-                 if got.get(r[domain_col], 0) < min(n, r["_cnt"])]
-    if deficient:
-        full = (df.filter(F.col(domain_col).isin(deficient))
+    # min(n, cnt) rows cannot prove containment — re-rank it unfiltered.
+    # The audit is a join; only its EMPTINESS reaches the driver. The
+    # deficient set itself is collected only when non-empty (per-domain
+    # hash-skew beyond 3n+margin — astronomically rare and self-limiting,
+    # so the fallback collect is a handful of rows, not domain-sized).
+    got = ranked.groupBy(domain_col).agg(F.count("*").alias("_g"))
+    audit = (thr.join(got.select(F.col(domain_col).alias("_g_dom"), "_g"),
+                      F.col("_thr_dom").eqNullSafe(F.col("_g_dom")), "left")
+             .filter(F.coalesce(F.col("_g"), F.lit(0))
+                     < F.least(F.lit(n), F.col("_cnt")))
+             .select(F.col("_thr_dom").alias("_dom")))
+    deficient_rows = audit.collect()
+    if deficient_rows:
+        deficient = [r["_dom"] for r in deficient_rows]
+        has_null = any(d is None for d in deficient)
+        dom_in = F.col(domain_col).isin([d for d in deficient
+                                         if d is not None])
+        if has_null:
+            dom_in = dom_in | F.col(domain_col).isNull()
+        full = (df.filter(dom_in)
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= n).drop("_rn"))
-        ranked = (ranked.filter(~F.col(domain_col).isin(deficient))
-                  .unionByName(full))
+        keep = ~F.coalesce(dom_in, F.lit(False))
+        ranked = ranked.filter(keep).unionByName(full)
     return ranked

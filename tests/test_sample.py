@@ -138,6 +138,30 @@ def test_sample_n_per_domain_exact_ids(spark, ids):
         sample_n_per_domain(ids, 0)
 
 
+def test_sample_n_per_domain_high_cardinality_plan(spark):
+    """r6 scale-shape gate (r5 verdict #1): 10^5 distinct domains must
+    build AND execute in bounded time — the pre-r6 implementation
+    compiled one Catalyst `when` node per domain (a 10^5-node expression
+    that stalls analysis long before execution) plus two domain-sized
+    driver collects. The broadcast-join shape is cardinality-independent
+    in plan size; with n=1 and unique (domain, doc_id) rows every domain
+    yields exactly its one row."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from macrobase_spark.pipelines.sample import sample_n_per_domain
+
+    n_dom = 100_000
+    df = spark.range(n_dom).select(
+        F.concat(F.lit("d"), F.col("id")).alias("domain"),
+        F.col("id").alias("doc_id"))
+    t0 = time.time()
+    out = sample_n_per_domain(df, 1, seed=5)
+    assert out.count() == n_dom
+    assert time.time() - t0 < 120.0
+
+
 def test_corpus_report_matches_python_recount(spark):
     """corpus_report's metrics equal a pure-Python recount over a small
     corpus with planted duplicates, PII, quality spread, and languages."""
@@ -156,7 +180,9 @@ def test_corpus_report_matches_python_recount(spark):
         (5, "short one"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    # exact mode: the reproducible / oracle-checkable report
+    got = {r["metric"]: r["value"]
+           for r in corpus_report(df, exact=True).collect()}
 
     toks = {d: [t for t in _re.split("[^a-z0-9]+", t_.lower()) if t]
             for d, t_ in rows}
@@ -179,3 +205,19 @@ def test_corpus_report_matches_python_recount(spark):
     assert got.get("lang:es", 0) >= 1 / 6 - 1e-9
     assert 0.0 <= got["gopher_keep_fraction"] <= 1.0
     assert got["bpe_tokens_total"] > 0
+
+    # DEFAULT mode (r6): percentile_approx — the scale-safe path users
+    # get. Non-percentile metrics are identical to exact mode; the approx
+    # percentiles land on actual data values within the observed range.
+    ga = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    for key in got:
+        if not key.startswith("tokens_p"):
+            assert ga[key] == pytest.approx(got[key], abs=1e-12), key
+    for key in ("tokens_p25", "tokens_p50", "tokens_p75", "tokens_p95"):
+        assert counts[0] <= ga[key] <= counts[-1], key
+    assert ga["tokens_p25"] <= ga["tokens_p50"] <= ga["tokens_p95"]
+
+    # empty input fails loudly (not an opaque float(None) TypeError)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty input"):
+        corpus_report(empty)
