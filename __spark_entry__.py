@@ -580,36 +580,28 @@ def q17_term_stats(spark, sf):
     """Inverted-index term statistics (df, cf) — the posting-list aggregate
     expressed relationally.
 
-    r6 plan shape: per-doc run-length encoding in Catalyst (array_sort →
-    boundary indices → (term, tf) structs) makes the exploded relation one
-    row per DISTINCT (doc, term), so a single groupBy(term) with map-side
-    partial aggregation replaces the old count-distinct plan's TWO
-    exchanges (partial count by (term, doc_id) → exchange → re-aggregate →
-    exchange) — guide §2.3/2.4. df = number of RLE rows per term and
-    cf = sum of their tfs are value-identical to countDistinct(doc_id) /
-    count(*) over the raw token explode."""
-    from macrobase_spark.functions.text import tokenize_expr
+    r6 plan shape: the exploded relation comes from the index build's OWN
+    vectorized Arrow pass (tokenize.exploded_postings: one mapInPandas,
+    flat numpy factorize — already one row per DISTINCT (doc, term) with
+    its tf), so a single groupBy(term) with map-side partial aggregation
+    replaces the old count-distinct plan's TWO exchanges (partial count by
+    (term, doc_id) → exchange → re-aggregate → exchange) — guide §2.3/2.4
+    + §4.2 (batches to native code). df = rows per term and cf = Σtf are
+    value-identical to countDistinct(doc_id) / count(*) over the raw token
+    explode; tokenizer parity with the oracle's regexp tokenization is
+    pinned by this gate's own hash and the index parity tests.
+
+    (A Catalyst-only RLE via nested higher-order functions was tried first
+    and abandoned: ProjectCollapse inlines the array_sort(tokenize) child
+    into every lambda reference, re-evaluating it per element — O(n²) per
+    row, ~50x slower than this shape at sf0.1.)"""
+    from macrobase_spark.index.tokenize import exploded_postings
 
     d = _t(spark, sf, "documents")
-    # 0-based get() (NULL out of bounds) keeps the boundary predicate safe
-    # under ANSI mode; i=1 rows pass via the explicit disjunct
-    rle = (
-        d.select(F.array_sort(tokenize_expr("text")).alias("_srt"))
-        .select(F.expr("""
-            CASE WHEN size(_srt) = 0 THEN array()
-            ELSE zip_with(
-              filter(sequence(1, size(_srt)),
-                     i -> i = 1 OR get(_srt, i - 1) != get(_srt, i - 2)),
-              concat(slice(filter(sequence(1, size(_srt)),
-                     i -> i = 1 OR get(_srt, i - 1) != get(_srt, i - 2)),
-                     2, size(_srt)), array(size(_srt) + 1)),
-              (s, e) -> struct(element_at(_srt, s) AS term, e - s AS tf))
-            END""").alias("_rle"))
-        .select(F.explode("_rle").alias("_r"))
-    )
     return (
-        rle.groupBy(F.col("_r.term").alias("term"))
-        .agg(F.count("*").alias("df"), F.sum("_r.tf").alias("cf"))
+        exploded_postings(d)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(50)
     )

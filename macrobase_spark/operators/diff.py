@@ -222,10 +222,46 @@ def diff(
         (o if outlier_is_count else o * w).alias("_ocnt"),
         w.alias("_tcnt"),
     )
+    all_absent = (1 << len(attrs)) - 1
+    attr_list = ", ".join(_bt(a) for a in attrs)
 
-    # ONE narrow pre-pass: exact global outlier/total weights (sums of
-    # integer-valued doubles — exact under any aggregation order) + approx
-    # per-attr cardinalities that drive the collect-vs-distributed decision.
+    # FUSED single-pass path: the grand-total () grouping set rides the SAME
+    # GROUPING SETS shuffle that builds the lattice, so g_out/g_tot need no
+    # separate full-data pre-pass (its grouping_id is all_absent, dropped by
+    # the existing gid filter downstream). One probe collect bounds driver
+    # traffic: an explanation-scale lattice (the operator's contract) fits
+    # and continues driver-local; an oversized one falls back to the
+    # two-pass encoder-prefilter shape below. Sums of integer-valued doubles
+    # are exact under any aggregation order, so g_out/g_tot are identical to
+    # the old dedicated aggregate.
+    if not containment and not (prefilter_min_support and min_support > 0.0):
+        sets_sql = ", ".join(
+            ["(" + ", ".join(_bt(a) for a in c) + ")" for c in combos]
+            + ["()"])
+        grouped = _sql_over_view(base, "diff", lambda view: f"""
+            SELECT {attr_list},
+                   sum(_ocnt) AS outlier_count,
+                   sum(_tcnt) AS total_count,
+                   grouping_id({attr_list}) AS _gid
+            FROM {view}
+            GROUP BY GROUPING SETS ({sets_sql})
+            """)
+        rows = grouped.limit(collect_threshold + 2).collect()
+        if len(rows) <= collect_threshold + 1:
+            total_row = next(r for r in rows if r["_gid"] == all_absent)
+            g_out = float(total_row["outlier_count"] or 0.0)
+            g_tot = float(total_row["total_count"] or 0.0)
+            if g_out == 0.0:
+                raise ValueError("no outliers — nothing to explain")
+            grouped = df.sparkSession.createDataFrame(rows, grouped.schema)
+            return _diff_result(grouped, attrs, all_absent, ratio_metric,
+                                min_support, min_ratio, g_out, g_tot)
+        # lattice overflowed the probe: re-plan with the encoder prefilter
+        # (high-cardinality attributes); result-identical (q46 contract)
+        prefilter_min_support = True
+
+    # TWO-PASS path (explicit/auto prefilter, or containment): narrow
+    # pre-pass for the global weights + approx per-attr cardinalities.
     pre = base.agg(
         F.sum("_ocnt").alias("_go"), F.sum("_tcnt").alias("_gt"),
         *[F.approx_count_distinct(a).alias(f"_c{i}") for i, a in enumerate(attrs)],
@@ -281,7 +317,6 @@ def diff(
 
     sets_sql = ", ".join(
         "(" + ", ".join(_bt(a) for a in c) + ")" for c in combos)
-    attr_list = ", ".join(_bt(a) for a in attrs)
     grouped = _sql_over_view(base, "diff", lambda view: f"""
         SELECT {attr_list},
                sum(_ocnt) AS outlier_count,
@@ -290,7 +325,6 @@ def diff(
         FROM {view}
         GROUP BY GROUPING SETS ({sets_sql})
         """)
-    all_absent = (1 << len(attrs)) - 1
     small = _est_lattice(card) <= collect_threshold
     if containment:
         # the emit/explore pass is a driver-side post-pass by nature, but the
@@ -314,10 +348,20 @@ def diff(
         # cache entry is left behind (no persist leak).
         grouped = df.sparkSession.createDataFrame(grouped.collect(),
                                                   grouped.schema)
-    # grouping_id disambiguates "NULL because attribute absent from this
-    # grouping set" from a genuine NULL data value: keep only rows where every
-    # NULL attr is a grouped-out attr, and null-valued groups are dropped
-    # (reference encoder never emits a NULL item).
+    return _diff_result(grouped, attrs, all_absent, ratio_metric,
+                        min_support, min_ratio, g_out, g_tot)
+
+
+def _diff_result(grouped: DataFrame, attrs: list[str], all_absent: int,
+                 ratio_metric: str, min_support: float, min_ratio: float,
+                 g_out: float, g_tot: float) -> DataFrame:
+    """Shared tail: gid disambiguation, metric expressions, thresholds,
+    ordering — applied to the grouped lattice (driver-local or distributed).
+    grouping_id disambiguates "NULL because attribute absent from this
+    grouping set" from a genuine NULL data value: keep only rows where every
+    NULL attr is a grouped-out attr, and null-valued groups are dropped
+    (reference encoder never emits a NULL item); the grand-total () row
+    (gid == all_absent) is dropped by the same condition."""
     present = [
         (a, F.when(F.shiftright("_gid", len(attrs) - 1 - i).bitwiseAND(F.lit(1)) == 0, True)
              .otherwise(False))
@@ -629,15 +673,23 @@ def diff_join(
     outlier/inlier sides; (2) keep only keys passing the ratio threshold;
     (3) join the small surviving-key set against the dimension.
 
-    Spark plan: two tiny pre-aggregations (map-side combined) → union →
-    per-key counts → broadcast-join the survivors against `dim` → the normal
-    grouping-sets DIFF over attrs runs on (keys × attrs) weighted by counts.
-    The row tables are touched exactly once each, aggregated by FK — this is
-    the skew-safe version of the PK-FK join (hot FKs collapse map-side).
+    Spark plan (r6, guide §2.4 — remove shuffles outright): the two sides
+    are tagged (1/0) and UNIONED so ONE groupBy(fk) with map-side partial
+    aggregation produces both counts — replacing the old two-aggregation +
+    full_outer-join shape (two shuffles + a join) with a single fk shuffle;
+    sums of 1.0/0.0 doubles are exact, so the counts are bit-identical to
+    the old count()+fillna(0) pair. Survivors then join `dim` (broadcast
+    when small) and the normal grouping-sets DIFF over attrs runs on
+    (keys × attrs) weighted by counts. The row tables are touched exactly
+    once each, aggregated by FK — this is the skew-safe version of the
+    PK-FK join (hot FKs collapse map-side).
     """
-    o_cnt = outlier_fk.groupBy(fk_col).agg(F.count(F.lit(1)).cast("double").alias("_ocnt"))
-    i_cnt = inlier_fk.groupBy(fk_col).agg(F.count(F.lit(1)).cast("double").alias("_icnt"))
-    keys = o_cnt.join(i_cnt, fk_col, "full_outer").fillna(0.0, ["_ocnt", "_icnt"])
+    tagged = outlier_fk.select(
+        F.col(fk_col), F.lit(1.0).alias("_o"), F.lit(0.0).alias("_i"),
+    ).unionByName(inlier_fk.select(
+        F.col(fk_col), F.lit(0.0).alias("_o"), F.lit(1.0).alias("_i")))
+    keys = tagged.groupBy(fk_col).agg(F.sum("_o").alias("_ocnt"),
+                                      F.sum("_i").alias("_icnt"))
     with_dim = keys.join(dim.select(fk_col, *attrs), fk_col, "inner")
     weighted = with_dim.select(
         *attrs,
