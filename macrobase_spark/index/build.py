@@ -111,88 +111,211 @@ def _block_max(impact: np.ndarray) -> list[float]:
             for i in range(n_blocks)]
 
 
+def _run_starts_arrow(tbl) -> np.ndarray:
+    """Run boundaries on (term, salt) over a single-chunk Arrow table —
+    adjacent-element comparison in pyarrow C++ (no string boxing)."""
+    import pyarrow.compute as pc
+
+    terms = tbl.column("term").chunk(0)
+    salts = tbl.column("salt").chunk(0).to_numpy(zero_copy_only=False)
+    n = len(terms)
+    if n <= 1:
+        return np.zeros(1, dtype=np.int64)
+    t_neq = pc.not_equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False)
+    change = np.flatnonzero(t_neq | (salts[1:] != salts[:-1])) + 1
+    return np.concatenate(([0], change)).astype(np.int64)
+
+
+def _encode_runs_flat(run_terms, ids: np.ndarray, tfs: np.ndarray,
+                      dls: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                      hot_terms: set[str] | None, avgdl: float):
+    """Shared vectorized encode core: flat doc-sorted posting arrays +
+    [starts, ends) run boundaries → one _ENC_SCHEMA Arrow batch. Whole-
+    array varint streams (codec.encode_run_batch), reduceat per-run and
+    per-block maxima, Arrow-native output assembly — no Python loop over
+    runs. `ids/tfs/dls` must be sliced to exactly ends[-1] values and
+    ascending in doc_id within each run."""
+    import pyarrow as pa
+
+    from macrobase_spark.index.codec import encode_run_batch
+
+    blobs = encode_run_batch(ids, tfs, dls, starts, ends)
+    dfs = (ends - starts).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    cfs = csum[ends] - csum[starts]
+    impact_all = _impact(tfs, dls, avgdl)
+
+    if hot_terms:
+        import pyarrow.compute as pc
+
+        final = pc.invert(pc.is_in(
+            run_terms,
+            value_set=pa.array(sorted(hot_terms), type=pa.string()))
+        ).to_numpy(zero_copy_only=False)
+    elif hot_terms is not None:  # empty set: every run finalizes here
+        final = np.ones(len(starts), dtype=bool)
+    else:  # None → every run is a mergeable partial (update path)
+        final = np.zeros(len(starts), dtype=bool)
+
+    # per-run max impact: every run start is a reduceat boundary, so each
+    # segment is exactly one run
+    per_run_max = np.maximum.reduceat(impact_all, starts)
+    max_impact = np.where(final, per_run_max, 0.0)
+
+    # block maxima for ALL runs in one reduceat (block boundaries inside
+    # each run every BLOCK_SIZE rows; run starts are boundaries too, so no
+    # segment crosses a run); non-final runs contribute 0-length lists
+    nb = ((dfs + BLOCK_SIZE - 1) // BLOCK_SIZE).astype(np.int64)
+    run_of_block = np.repeat(np.arange(len(starts)), nb)
+    first_block = np.concatenate(([0], np.cumsum(nb)))[:-1]
+    block_in_run = (np.arange(int(nb.sum()), dtype=np.int64)
+                    - first_block[run_of_block])
+    bnds = starts[run_of_block] + BLOCK_SIZE * block_in_run
+    bm_flat = np.maximum.reduceat(impact_all, bnds)
+    lengths = np.where(final, nb, 0)
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    block_max = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(bm_flat[final[run_of_block]], type=pa.float64()))
+
+    return pa.RecordBatch.from_arrays(
+        [run_terms,
+         pa.array(dfs, type=pa.int64()),
+         pa.array(cfs, type=pa.int64()),
+         pa.array(np.ones(len(starts), dtype=np.int32), type=pa.int32()),
+         pa.array(max_impact, type=pa.float64()),
+         block_max,
+         pa.array([len(b) for b in blobs], type=pa.int64()),
+         pa.array(blobs, type=pa.binary()),
+         pa.array(final)],
+        names=["term", "df", "cf", "fan_in", "max_impact", "block_max",
+               "blob_len", "blob", "final"])
+
+
+def _encode_tbl_slice(tbl, starts: np.ndarray, ends: np.ndarray,
+                      hot_terms: set[str] | None, avgdl: float):
+    """Encode all (term, salt) runs of an exploded-row Arrow table slice
+    (one row per posting, pre-sorted by (term, salt, doc_id))."""
+    import pyarrow as pa
+
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n = int(ends[-1])
+    ids_all = tbl.column("doc_id").chunk(0).to_numpy(
+        zero_copy_only=False)[:n].astype(np.uint64)
+    tfs_all = tbl.column("tf").chunk(0).to_numpy(
+        zero_copy_only=False)[:n].astype(np.uint64)
+    dls_all = tbl.column("dl").chunk(0).to_numpy(
+        zero_copy_only=False)[:n].astype(np.uint64)
+    run_terms = tbl.column("term").chunk(0).take(pa.array(starts))
+    return _encode_runs_flat(run_terms, ids_all, tfs_all, dls_all,
+                             starts, ends, hot_terms, avgdl)
+
+
 def _encode_sorted_runs(hot_terms: set[str] | None, avgdl: float):
-    """Phase 1 kernel as a mapInPandas over partitions pre-sorted by
+    """Phase 1 kernel as a mapInArrow over partitions pre-sorted by
     (term, salt, doc_id): encode each (term, salt) run with numpy slices —
-    no per-group applyInPandas dispatch. Runs never span partitions (the
-    shuffle key is (term, salt)); runs spanning Arrow batches are carried.
-    Cold terms (single shard) are finalized here, skipping phase 2."""
+    no per-group applyInPandas dispatch, and (r6, guide §4.2) no pandas
+    boundary: the posting rows' term strings are never boxed into Python
+    objects (the pandas path paid one PyObject per posting row — the
+    dominant cost of the encode stage at 22M rows), run detection /
+    aggregates / block maxima are single pyarrow-C++/numpy calls, and the
+    output is assembled as Arrow arrays directly. Runs never span
+    partitions (the shuffle key is (term, salt)); runs spanning Arrow
+    batches are carried. Cold terms (single shard) are finalized here,
+    skipping phase 2."""
+    import pyarrow as pa
 
     def fn(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
+        carry = None  # pa.Table holding the last (possibly incomplete) run
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            terms = pdf["term"].to_numpy(object)
-            salts = pdf["salt"].to_numpy(np.int64)
-            # run boundaries on (term, salt)
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-            starts = np.concatenate(([0], change))
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            if tbl.num_rows == 0:
+                carry = None
+                continue
+            starts = _run_starts_arrow(tbl)
             # hold back the last (possibly incomplete) run
             if len(starts) == 1:
-                carry = pdf
+                carry = tbl
                 continue
-            last_start = starts[-1]
-            carry = pdf.iloc[last_start:]
-            rows = _encode_slice(pdf, starts[:-1],
-                                 np.concatenate((starts[1:],)), hot_terms, avgdl)
-            if rows:
-                yield pd.DataFrame(rows)
-        if carry is not None and len(carry):
-            terms = carry["term"].to_numpy(object)
-            salts = carry["salt"].to_numpy(np.int64)
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((starts[1:], [len(carry)]))
-            rows = _encode_slice(carry, starts, ends, hot_terms, avgdl)
-            if rows:
-                yield pd.DataFrame(rows)
+            carry = tbl.slice(int(starts[-1]))
+            yield _encode_tbl_slice(tbl, starts[:-1], starts[1:],
+                                    hot_terms, avgdl)
+        if carry is not None and carry.num_rows:
+            starts = _run_starts_arrow(carry)
+            ends = np.concatenate((starts[1:], [carry.num_rows]))
+            yield _encode_tbl_slice(carry, starts, ends, hot_terms, avgdl)
 
     return fn
 
 
-def _encode_slice(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray,
-                  hot_terms: set[str] | None, avgdl: float) -> list[dict]:
-    """Encode all runs of a batch at once: whole-array varint streams
-    (codec.encode_run_batch) + reduceat aggregates; the only Python loop is
-    the final row assembly."""
-    from macrobase_spark.index.codec import encode_run_batch
+def _merge_partial_runs(hot_terms: set[str] | None, avgdl: float):
+    """Phase 1 kernel over MAP-SIDE-COMBINED partial rows (one row per
+    (term, salt) per upstream Arrow batch, carrying doc-sorted ids/tfs/dls
+    LIST columns — tokenize.partial_postings), pre-sorted by (term, salt):
+    concatenate each run's list segments (zero-copy child-array slices),
+    one lexsort restores global doc order per run (partials from different
+    map tasks interleave doc ranges; ids are unique per run because a doc
+    lives in exactly one upstream batch), then the shared flat encode core
+    emits final/partial blobs — bit-identical to the exploded-row path.
+    Runs never span partitions (the shuffle key is (term, salt)); runs
+    spanning Arrow batches are carried."""
+    import pyarrow as pa
 
-    ids_all = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
-    tfs_all = pdf["tf"].to_numpy(np.int64).astype(np.uint64)
-    dls_all = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
-    terms = pdf["term"].to_numpy(object)
-    starts = np.asarray(starts, dtype=np.int64)
-    ends = np.asarray(ends, dtype=np.int64)
+    def encode_slice(tbl, starts: np.ndarray, ends: np.ndarray):
+        import pyarrow.compute as pc
 
-    blobs = encode_run_batch(ids_all, tfs_all, dls_all, starts, ends)
-    dfs = (ends - starts).astype(np.int64)
-    # explicit [start, end) sums — reduceat would leak the carried tail of
-    # the batch into the last run's cf
-    csum = np.concatenate(([0], np.cumsum(tfs_all.astype(np.int64))))
-    cfs = csum[ends] - csum[starts]
-    impact_all = _impact(tfs_all, dls_all, avgdl)
+        ids_col = tbl.column("ids").chunk(0)
+        row_lens = pc.list_value_length(ids_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_flat = np.concatenate(([0], np.cumsum(row_lens)))
+        flat_starts = row_flat[starts]
+        flat_ends = row_flat[ends]
+        nflat = int(flat_ends[-1])
+        ids_flat = ids_col.flatten().to_numpy(zero_copy_only=False)[:nflat]
+        tfs_flat = tbl.column("tfs").chunk(0).flatten().to_numpy(
+            zero_copy_only=False)[:nflat]
+        dls_flat = tbl.column("dls").chunk(0).flatten().to_numpy(
+            zero_copy_only=False)[:nflat]
+        run_of_value = np.repeat(np.arange(len(starts)),
+                                 flat_ends - flat_starts)
+        # primary key run_of_value is already nondecreasing, so run
+        # boundaries in the sorted space are unchanged
+        order = np.lexsort((ids_flat, run_of_value))
+        run_terms = tbl.column("term").chunk(0).take(pa.array(starts))
+        return _encode_runs_flat(
+            run_terms,
+            ids_flat[order].astype(np.uint64),
+            tfs_flat[order].astype(np.uint64),
+            dls_flat[order].astype(np.uint64),
+            flat_starts, flat_ends, hot_terms, avgdl)
 
-    rows = []
-    for i in range(len(starts)):
-        t = terms[starts[i]]
-        # hot_terms None → every run is a mergeable partial (update path)
-        final = hot_terms is not None and t not in hot_terms
-        if final:
-            imp = impact_all[starts[i]:ends[i]]
-            rows.append(dict(term=t, df=int(dfs[i]), cf=int(cfs[i]), fan_in=1,
-                             max_impact=float(imp.max()),
-                             block_max=_block_max(imp),
-                             blob_len=len(blobs[i]), blob=blobs[i],
-                             final=True))
-        else:
-            rows.append(dict(term=t, df=int(dfs[i]), cf=int(cfs[i]), fan_in=1,
-                             max_impact=0.0, block_max=[],
-                             blob_len=len(blobs[i]), blob=blobs[i],
-                             final=False))
-    return rows
+    def fn(batches):
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            if tbl.num_rows == 0:
+                carry = None
+                continue
+            starts = _run_starts_arrow(tbl)
+            if len(starts) == 1:
+                carry = tbl
+                continue
+            carry = tbl.slice(int(starts[-1]))
+            yield encode_slice(tbl, starts[:-1], starts[1:])
+        if carry is not None and carry.num_rows:
+            starts = _run_starts_arrow(carry)
+            ends = np.concatenate((starts[1:], [carry.num_rows]))
+            yield encode_slice(carry, starts, ends)
+
+    return fn
 
 
 def _decode_partial(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -599,20 +722,26 @@ def build_index(
                    "stopwords": sorted(stop or ()),
                    "segmented_buckets": []}, f)
 
-    # single fused Arrow pass text → exploded (doc_id, term, tf, dl);
-    # persisted only when multiple groups would otherwise re-tokenize
-    postings = exploded_postings(src, doc_id_col, text_col,
-                                 stopwords=stop).withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
-    if num_groups > 1:
-        postings = postings.persist()
-
     _tp = time.time()
     hot_thread.join()
     phases["hot_join_wait"] = round(time.time() - _tp, 3)
     if "error" in hot_result:
         raise hot_result["error"]
     hot_set = set(hot_result["terms"])
+    # single fused Arrow pass text → MAP-SIDE-COMBINED partial rows (one
+    # per (term, salt) per batch, posting arrays packed as list columns —
+    # tokenize.partial_postings, guide §2.3): the encode shuffle ships
+    # ~vocabulary-count rows instead of one row per posting. Persisted
+    # only when multiple groups would otherwise re-tokenize.
+    from macrobase_spark.index.tokenize import partial_postings
+
+    partials = partial_postings(
+        src, doc_id_col, text_col, hot_terms=hot_set,
+        salt_partitions=salt_partitions, stopwords=stop,
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+    if num_groups > 1:
+        partials = partials.persist()
     # persist the hot-term set: the incremental-update path salts its
     # encoding shuffle with it (same skew story as the fresh build)
     stats_path = os.path.join(out_dir, "stats.json")
@@ -631,16 +760,12 @@ def build_index(
         todo = [b for b in buckets if b not in done]
         if not todo:
             continue
-        part = postings.filter(F.col("bucket").isin(todo))
-        salted = part.withColumn(
-            "salt",
-            F.when(
-                F.col("term").isin(list(hot_set)) if hot_set else F.lit(False),
-                F.pmod(F.col("doc_id"), F.lit(salt_partitions)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        # phase 1: shuffle on (term, salt), sort runs, encode in-place;
-        # cold terms finalize here (fan_in 1), hot partials go to phase 2.
+        part = partials.filter(F.col("bucket").isin(todo)).drop("bucket")
+        # phase 1: shuffle the packed partial rows on (term, salt), sort
+        # runs, merge+encode in-place; cold terms finalize here (fan_in 1),
+        # hot partials go to phase 2. The salt was computed inside the
+        # map-side combine (doc_id % S for hot terms), so the skew story is
+        # unchanged while the shuffle carries ~30x fewer rows.
         # PERSISTED: the finals and hot-merge branches below would otherwise
         # each recompute the whole tokenize→shuffle→sort→encode subtree
         # (Catalyst does not reuse the exchange across the union's branches
@@ -650,9 +775,10 @@ def build_index(
         from pyspark import StorageLevel
 
         encoded = (
-            salted.repartition(n_shuffle, "term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_encode_sorted_runs(hot_set, avgdl), schema=_ENC_SCHEMA)
+            part.repartition(n_shuffle, "term", "salt")
+            .sortWithinPartitions("term", "salt")
+            .mapInArrow(_merge_partial_runs(hot_set, avgdl),
+                        schema=_ENC_SCHEMA)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if os.environ.get("MB_ENC_MAT") == "1":
@@ -763,7 +889,7 @@ def build_index(
         if "error" in docs_result:
             raise docs_result["error"]
     if num_groups > 1:
-        postings.unpersist()
+        partials.unpersist()
     invalidate_index_cache(out_dir)
     elapsed = time.time() - t0
     return {
@@ -1141,7 +1267,7 @@ def update_index(
         new_enc = (
             salted.repartition(n_shuffle, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_encode_sorted_runs(set(), avgdl), schema=_ENC_SCHEMA)
+            .mapInArrow(_encode_sorted_runs(set(), avgdl), schema=_ENC_SCHEMA)
             .drop("final")
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
             .repartition("bucket")

@@ -20,11 +20,14 @@ from pyspark.sql import types as T
 TOKEN_PATTERN = r"[a-z0-9]+"
 
 
-def _tokenize_flat_arrow(text: pd.Series):
+def _tokenize_flat_arrow(text):
     """Vectorized tokenizer core in pyarrow C++ (guide §4.2: hand whole
     batches to native libraries): utf8_lower + RE2 split replace the
     pandas `.str.findall` per-row Python-regex loop (~3x faster on the
     transcript corpus; parity pinned in tests/test_tokenize_parity.py).
+
+    `text` is a pd.Series or (r6) a pa.Array/ChunkedArray — the Arrow
+    path skips the pandas round-trip entirely for mapInArrow callers.
 
     Returns (flat pa.StringArray of tokens grouped by row in order,
     row_idx int64 np.ndarray, lens int64 np.ndarray). Tokens are the
@@ -37,7 +40,14 @@ def _tokenize_flat_arrow(text: pd.Series):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_pandas(text.astype(object), type=pa.string())
+    if isinstance(text, pa.ChunkedArray):
+        arr = text.combine_chunks()
+    elif isinstance(text, pa.Array):
+        arr = text
+    else:
+        arr = pa.Array.from_pandas(text.astype(object), type=pa.string())
+    if not pa.types.is_string(arr.type):
+        arr = arr.cast(pa.string())
     arr = pc.coalesce(arr, pa.scalar("", type=pa.string()))
     arr = pc.replace_substring(arr, pattern="\u0130",
                                replacement="i\u0307")
@@ -220,6 +230,96 @@ def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
 
     return df.select(doc_id_col, text_col).mapInPandas(
         explode, schema="doc_id long, term string, tf int, dl int")
+
+
+def partial_postings(df: DataFrame, doc_id_col: str = "doc_id",
+                     text_col: str = "text",
+                     hot_terms: set[str] | frozenset | None = None,
+                     salt_partitions: int = 8,
+                     stopwords: frozenset | None = None) -> DataFrame:
+    """text → ONE row per (term, salt) per Arrow batch carrying the
+    batch-local posting arrays (ids/tfs/dls as Arrow LIST columns, doc-
+    sorted) — the map-side combine of the index build (guide §2.3
+    "aggregate before you shuffle" / §8 "move the heavy bytes packed"):
+    the encode shuffle ships ~vocabulary-count rows of packed arrays
+    instead of one row per posting (~30x fewer rows), and both Python
+    boundary crossings shrink accordingly. `salt` splits hot terms'
+    entries by doc_id % salt_partitions exactly like the exploded path,
+    so the downstream (term, salt) shuffle keeps the same skew story.
+    The per-batch arrays are ascending in doc_id, so the phase-1 merge
+    (build._merge_partial_runs) reproduces the exploded path's globally
+    doc-sorted runs — and therefore bit-identical posting blobs."""
+    import pyarrow as pa
+
+    hot_sorted = sorted(hot_terms) if hot_terms else []
+    S = int(salt_partitions)
+    stop_sorted = sorted(stopwords) if stopwords else []
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            text_arr = rb.column(names.index(text_col))
+            doc_ids = rb.column(names.index(doc_id_col)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat_arr, row_idx, _lens = _tokenize_flat_arrow(text_arr)
+            if len(flat_arr) == 0:
+                continue
+            if stop_sorted:
+                keep = pc.invert(pc.is_in(
+                    flat_arr,
+                    value_set=pa.array(stop_sorted, type=pa.string())))
+                flat_arr = flat_arr.filter(keep)
+                row_idx = row_idx[keep.to_numpy(zero_copy_only=False)]
+                if len(flat_arr) == 0:
+                    continue
+            lens = np.bincount(row_idx, minlength=rb.num_rows)
+            denc = flat_arr.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            vocab = denc.dictionary
+            # one entry per (doc, term): unique over (row, code) keys
+            key = row_idx * len(vocab) + codes
+            uk, counts = np.unique(key, return_counts=True)
+            urow = uk // len(vocab)
+            ucode = uk % len(vocab)
+            ids_e = doc_ids[urow]
+            dls_e = lens[urow].astype(np.int32)
+            tfs_e = counts.astype(np.int32)
+            if hot_sorted:
+                hot_code = pc.is_in(
+                    vocab, value_set=pa.array(hot_sorted, type=pa.string())
+                ).to_numpy(zero_copy_only=False)
+                salt_e = np.where(hot_code[ucode], ids_e % S, 0).astype(
+                    np.int32)
+            else:
+                salt_e = np.zeros(len(ids_e), dtype=np.int32)
+            # group entries by (code, salt), ascending doc within group
+            order = np.lexsort((ids_e, salt_e, ucode))
+            c_s, s_s = ucode[order], salt_e[order]
+            change = np.flatnonzero(
+                (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1])) + 1
+            starts = np.concatenate(([0], change)).astype(np.int64)
+            offsets = pa.array(
+                np.concatenate((starts, [len(c_s)])).astype(np.int32),
+                type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [vocab.take(pa.array(c_s[starts])),
+                 pa.array(s_s[starts], type=pa.int32()),
+                 pa.ListArray.from_arrays(
+                     offsets, pa.array(ids_e[order], type=pa.int64())),
+                 pa.ListArray.from_arrays(
+                     offsets, pa.array(tfs_e[order], type=pa.int32())),
+                 pa.ListArray.from_arrays(
+                     offsets, pa.array(dls_e[order], type=pa.int32()))],
+                names=["term", "salt", "ids", "tfs", "dls"])
+
+    return df.select(doc_id_col, text_col).mapInArrow(
+        fn, schema=("term string, salt int, ids array<long>, "
+                    "tfs array<int>, dls array<int>"))
 
 
 def with_anomaly_score(df: DataFrame, exact: bool = False) -> DataFrame:
