@@ -115,38 +115,49 @@ def q02_agg_groupby(spark, sf):
 
 
 def q03_join_inner_semi_anti(spark, sf):
-    """Composite join gate (§2.3): inner equi-join w/ broadcast dim +
-    left-semi (EXISTS) + left-anti (NOT EXISTS), one row per market
-    segment. Each leg is the same operator call the round-2 q04/q06/q07
-    gates ran."""
+    """Composite join gate (§2.3): inner equi-join + left-semi (EXISTS) +
+    left-anti (NOT EXISTS), one row per market segment. Each leg computes
+    the same relation the round-2 q04/q06/q07 gates did.
+
+    r6 plan shape (guide §1.2/§2.4): ONE scan+aggregation of orders by
+    custkey (count / exact DECIMAL sum / max) left-joined from the customer
+    dim feeds all three legs — the semi leg is `max(o_totalprice) > 100000`
+    (EXISTS an order above the cutoff), the anti leg is `n IS NULL` (NOT
+    EXISTS any order) — replacing three separate passes over orders
+    (broadcast inner + shuffled left_semi + shuffled left_anti: three
+    scans, three joins, four exchanges) with one narrow orders shuffle plus
+    one customer shuffle; the join is keyed on the aggregation's own
+    partitioning so the per-customer side needs no second exchange (§2.4
+    "two operations keyed the same way share one exchange" — broadcasting
+    the per-customer aggregate instead would put a customer-cardinality
+    relation on the driver, the scale shape the r5 verdict flags). DECIMAL
+    partial sums re-aggregate exactly, so revenue is bit-identical; every
+    customer row survives the left join, so segment coverage matches the
+    old distinct-segments base."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    inner = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_orders"),
-             _dec_sum("o_totalprice").cast("double").alias("revenue"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"),
+             _dec_sum("o_totalprice").alias("_sum_price"),
+             F.max("o_totalprice").alias("_max_price"))
     )
-    semi = (
-        c.join(o.filter(F.col("o_totalprice") > 100000),
-               c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment").agg(F.count("*").alias("n_big_cust"))
-    )
-    anti = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment").agg(F.count("*").alias("n_no_orders"))
-    )
-    base = c.select("c_mktsegment").distinct()
+    j = c.select("c_custkey", "c_mktsegment").join(
+        per_cust, F.col("c_custkey") == per_cust.o_custkey, "left")
     return (
-        base.join(inner, "c_mktsegment", "left")
-        .join(semi, "c_mktsegment", "left")
-        .join(anti, "c_mktsegment", "left")
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.sum("_n").alias("_n_orders"),
+            F.sum("_sum_price").cast("double").alias("_revenue"),
+            F.count(F.when(F.col("_max_price") > 100000, 1)).alias("_n_big"),
+            F.count(F.when(F.col("_n").isNull(), 1)).alias("_n_none"),
+        )
         .select(
             "c_mktsegment",
-            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
-            F.coalesce("n_big_cust", F.lit(0)).alias("n_big_cust"),
-            F.coalesce("n_no_orders", F.lit(0)).alias("n_no_orders"),
+            F.coalesce("_n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("_revenue", F.lit(0.0)).alias("revenue"),
+            F.col("_n_big").alias("n_big_cust"),
+            F.col("_n_none").alias("n_no_orders"),
         )
         .orderBy("c_mktsegment")
     )
@@ -616,17 +627,18 @@ def q18_bm25_relational(spark, sf):
 
     d = _t(spark, sf, "documents")
     q_terms = ["merge", "scan", "row"]
-    # r6: ONE stats job instead of two (count + avgdl agg): n_docs =
-    # count(*), avgdl = avg doc length over docs with >= 1 token —
-    # size(tokens) equals the old explode→groupBy count(*) per doc, and
-    # the when() guard reproduces "explode drops token-less docs" exactly.
-    # The integer token counts sum exactly in double, so avgdl is
-    # bit-identical to the old two-job value (guide §1.2: fewer passes).
-    srow = d.select(F.size(tokenize_expr("text")).alias("_dl")).agg(
-        F.count("*").alias("n"),
-        F.avg(F.when(F.col("_dl") > 0, F.col("_dl"))).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+    # r6: the corpus stats (n_docs = count(*), avgdl = avg doc length over
+    # docs with >= 1 token) are a broadcast crossJoin subtree instead of a
+    # separate eager job — the whole query is ONE Spark job (guide §1.2:
+    # fewer passes/jobs). size(tokens) equals the old explode→groupBy
+    # count(*) per doc, and the when() guard reproduces "explode drops
+    # token-less docs" exactly; integer token counts sum exactly in
+    # double, and the scoring arithmetic consumes the same double values
+    # as columns instead of literals, so scores are bit-identical.
+    stats = d.select(F.size(tokenize_expr("text")).alias("_dl")).agg(
+        F.count("*").alias("_n"),
+        F.avg(F.when(F.col("_dl") > 0, F.col("_dl"))).alias("_avgdl"),
+    )
     # dl rides the exploded projection (same tokenize pass) instead of a
     # separate explode→groupBy→join subtree: one Exchange fewer, and the
     # documents text is tokenized once less per run.
@@ -639,13 +651,14 @@ def q18_bm25_relational(spark, sf):
                                        F.max("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (
         tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
             idf * (F.col("tf") * 2.2)
-            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("_avgdl"))),
         )
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))

@@ -1968,9 +1968,13 @@ def _facet_single_pass(spark: SparkSession, meta: DataFrame,
              *[F.col(c) for c in dict.fromkeys(metrics)], "_w")
     # zero-weight seed: a query with zero matches must still return the
     # ('__total__', '', 0) row (the pre-r6 per-facet-aggregate behavior);
-    # metric aggs ignore the seed's NULLs, sum("_w") ignores its 0
-    seed = spark.createDataFrame(
-        [("__total__", "", 0)], "facet string, value string, _w int")
+    # metric aggs ignore the seed's NULLs, sum("_w") ignores its 0.
+    # Built from spark.range(1) — a plan-only one-row relation — instead of
+    # createDataFrame, which pays a Python→JVM conversion round-trip per
+    # query (~0.1 s of pure serving latency)
+    seed = spark.range(1).select(
+        F.lit("__total__").alias("facet"), F.lit("").alias("value"),
+        F.lit(0).cast("int").alias("_w"))
     for c in dict.fromkeys(metrics):
         seed = seed.withColumn(c, F.lit(None).cast("double"))
     out = (flat.unionByName(seed.select(*flat.columns))
