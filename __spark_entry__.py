@@ -635,6 +635,10 @@ def q18_bm25_relational(spark, sf):
     # token-less docs" exactly; integer token counts sum exactly in
     # double, and the scoring arithmetic consumes the same double values
     # as columns instead of literals, so scores are bit-identical.
+    # (An Arrow-kernel variant — turn_features + exploded_postings with
+    # the query terms pushed into the kernel — was A/B'd and REJECTED: it
+    # ships the full text column into Python twice, which loses to the
+    # in-JVM tokenizer at 10x scale; guide §4.1, fewer boundary bytes.)
     stats = d.select(F.size(tokenize_expr("text")).alias("_dl")).agg(
         F.count("*").alias("_n"),
         F.avg(F.when(F.col("_dl") > 0, F.col("_dl"))).alias("_avgdl"),

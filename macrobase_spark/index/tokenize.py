@@ -186,7 +186,8 @@ def turn_features(df: DataFrame, text_col: str = "text",
 def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
                       text_col: str = "text",
                       emit_empty_docs: bool = False,
-                      stopwords: frozenset | None = None) -> DataFrame:
+                      stopwords: frozenset | None = None,
+                      keep_terms: frozenset | None = None) -> DataFrame:
     """text → exploded (doc_id, term, tf, dl) in ONE Arrow pass, skipping
     per-row array assembly entirely (the index-build hot path: flat numpy →
     flat output frame, no Python loop over rows OR tokens).
@@ -196,7 +197,13 @@ def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
     single-tokenize build) still covers every document; filter
     `term IS NOT NULL` for the pure postings view. `stopwords` drops
     tokens before any stat (see _flat_term_counts) — a doc whose every
-    token is a stopword counts as token-less."""
+    token is a stopword counts as token-less.
+
+    keep_terms (r6, guide §4.1 — pass only what the caller needs across
+    the boundary) restricts the OUTPUT rows to the given terms AFTER all
+    stats are computed (dl still counts every surviving token), so a
+    term-filtered query ships only its terms' (doc, term, tf, dl) rows
+    out of the kernel instead of the whole vocabulary's."""
 
     def explode(batches):
         for pdf in batches:
@@ -210,6 +217,9 @@ def exploded_postings(df: DataFrame, doc_id_col: str = "doc_id",
                          "tf": np.zeros(len(doc_ids), dtype=np.int32),
                          "dl": np.zeros(len(doc_ids), dtype=np.int32)})
                 continue
+            if keep_terms is not None:
+                kmask = np.isin(vocab, list(keep_terms))[ucode]
+                urow, ucode, counts = urow[kmask], ucode[kmask], counts[kmask]
             out = pd.DataFrame(
                 {
                     "doc_id": doc_ids[urow],

@@ -1057,3 +1057,20 @@ def test_boost_batch_matches_single_bitwise(spark, corpus):
         want = [(r["doc_id"], r["score"]) for r in
                 bm25_topk(spark, out, q, k=5).collect()]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_exploded_postings_keep_terms_pushdown(spark, corpus):
+    """keep_terms restricts OUTPUT rows only: the kept rows' (tf, dl) are
+    identical to the unfiltered relation's rows for those terms (dl still
+    counts every token), and no other term crosses the kernel boundary."""
+    from macrobase_spark.index.tokenize import exploded_postings
+
+    df, _, _, _ = corpus
+    want = frozenset({"the", "rare7"})
+    full = {(r["doc_id"], r["term"]): (r["tf"], r["dl"])
+            for r in exploded_postings(df).filter(
+                F.col("term").isin(list(want))).collect()}
+    kept_rows = exploded_postings(df, keep_terms=want).collect()
+    kept = {(r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in kept_rows}
+    assert kept == full and len(kept_rows) == len(kept)
+    assert {r["term"] for r in kept_rows} <= set(want)
