@@ -5,10 +5,15 @@ Pipeline (all lazy DataFrame stages; Python only inside Arrow batches):
   transcripts (conv_id, turn_idx, role, text, tool, ts)
     → fused Arrow pass: terms+tfs+doc_len+anomaly   (tokenize.py)
     → docs table + global stats (N, avgdl)
-    → explode to (term, doc_id, tf, dl)
+    → MAP-SIDE COMBINE (r6, tokenize.partial_postings): one row per
+      (term, salt) per Arrow batch, doc-sorted ids/tfs/dls packed as list
+      columns — the (term, salt) shuffle ships ~vocabulary-count packed
+      rows instead of one row per posting
     → hot-term detection (sampled approx df counts → broadcast set)
-    → PHASE 1: groupBy(term, salt)   salt = doc_id % S for hot terms else 0
-        applyInPandas → partial posting blob (sorted, delta+varint)
+    → PHASE 1: shuffle+sort on (term, salt)   salt = doc_id % S for hot
+        terms else 0; mapInArrow merges each run's partials (one lexsort
+        restores global doc order) → posting blob (delta+varint); cold
+        terms finalize here
     → PHASE 2: groupBy(term) merge salted partials → final blob
         + df/cf stats + block-max impact metadata (BM25 upper bounds)
     → write parquet range-partitioned & sorted by term (row-group pruning
