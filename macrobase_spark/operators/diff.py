@@ -222,6 +222,17 @@ def diff(
         (o if outlier_is_count else o * w).alias("_ocnt"),
         w.alias("_tcnt"),
     )
+    # r6 (guide §2.3 "aggregate before you shuffle"): collapse to the FULL
+    # attribute tuple first — every requested grouping set is a coarsening
+    # of it, so the GROUPING SETS Expand multiplies the (tiny) finest-grain
+    # group relation instead of every raw row (the Expand×|combos| over 10⁶+
+    # rows was the dominant CPU of the lattice stage). Map-side partial
+    # aggregation makes this pre-pass a near-free narrow shuffle; sums of
+    # the integer-valued count weights re-aggregate exactly, so every
+    # downstream statistic is unchanged (same argument as diff_join's
+    # weighted input).
+    base = base.groupBy(*[F.col(a) for a in attrs]).agg(
+        F.sum("_ocnt").alias("_ocnt"), F.sum("_tcnt").alias("_tcnt"))
     all_absent = (1 << len(attrs)) - 1
     attr_list = ", ".join(_bt(a) for a in attrs)
 
