@@ -442,6 +442,92 @@ def _encode_pos_runs(hot_terms: set[str]):
     return fn
 
 
+def _merge_partial_pos_runs(hot_terms: set[str]):
+    """Phase 1 of the positional layer over MAP-SIDE-COMBINED partial rows
+    (tokenize.partial_positional_postings), pre-sorted by (term, salt):
+    per run, entries re-sort by doc id (one lexsort; position segments
+    follow their entry via a vectorized gather) and each run encodes into
+    one self-contained positional blob — byte-identical to the
+    exploded-row path's output. Carry mirrors _merge_partial_runs."""
+    import pyarrow as pa
+
+    from macrobase_spark.index.codec import encode_positional
+
+    def encode_slice(tbl, starts: np.ndarray, ends: np.ndarray):
+        import pyarrow.compute as pc
+
+        ids_col = tbl.column("ids").chunk(0)
+        row_entries = pc.list_value_length(ids_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_ent = np.concatenate(([0], np.cumsum(row_entries)))
+        e_starts = row_ent[starts]
+        e_ends = row_ent[ends]
+        ne = int(e_ends[-1])
+        ids_flat = ids_col.flatten().to_numpy(zero_copy_only=False)[:ne]
+        tfs_flat = tbl.column("tfs").chunk(0).flatten().to_numpy(
+            zero_copy_only=False)[:ne].astype(np.int64)
+        dls_flat = tbl.column("dls").chunk(0).flatten().to_numpy(
+            zero_copy_only=False)[:ne]
+        pos_flat = tbl.column("pos").chunk(0).flatten().to_numpy(
+            zero_copy_only=False)
+        run_of_entry = np.repeat(np.arange(len(starts)), e_ends - e_starts)
+        order = np.lexsort((ids_flat, run_of_entry))
+        ids_s, tfs_s, dls_s = ids_flat[order], tfs_flat[order], dls_flat[order]
+        # gather each entry's position segment to its new slot
+        seg_starts = np.concatenate(([0], np.cumsum(tfs_flat)))[:-1]
+        new_starts = np.concatenate(([0], np.cumsum(tfs_s)))
+        total = int(new_starts[-1])
+        idx = (np.repeat(seg_starts[order], tfs_s)
+               + (np.arange(total, dtype=np.int64)
+                  - np.repeat(new_starts[:-1], tfs_s)))
+        pos_s = pos_flat[:][idx]
+        # per-run flat position boundaries in the sorted space (run order
+        # is preserved by the lexsort's primary key)
+        run_pos = new_starts[e_starts]
+        run_pos_end = new_starts[e_ends]
+        terms_list = tbl.column("term").chunk(0).take(
+            pa.array(starts)).to_pylist()
+        rows = []
+        for i, t in enumerate(terms_list):
+            fs, fe = int(e_starts[i]), int(e_ends[i])
+            blob = encode_positional(
+                ids_s[fs:fe].astype(np.uint64),
+                tfs_s[fs:fe].astype(np.uint64),
+                dls_s[fs:fe].astype(np.uint64),
+                pos_s[int(run_pos[i]):int(run_pos_end[i])].astype(np.uint64))
+            rows.append((t, fe - fs, len(blob), blob, t not in hot_terms))
+        return pa.RecordBatch.from_arrays(
+            [pa.array([r[0] for r in rows], type=pa.string()),
+             pa.array([r[1] for r in rows], type=pa.int64()),
+             pa.array([r[2] for r in rows], type=pa.int64()),
+             pa.array([r[3] for r in rows], type=pa.binary()),
+             pa.array([r[4] for r in rows], type=pa.bool_())],
+            names=["term", "df", "blob_len", "blob", "final"])
+
+    def fn(batches):
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            if tbl.num_rows == 0:
+                carry = None
+                continue
+            starts = _run_starts_arrow(tbl)
+            if len(starts) == 1:
+                carry = tbl
+                continue
+            carry = tbl.slice(int(starts[-1]))
+            yield encode_slice(tbl, starts[:-1], starts[1:])
+        if carry is not None and carry.num_rows:
+            starts = _run_starts_arrow(carry)
+            ends = np.concatenate((starts[1:], [carry.num_rows]))
+            yield encode_slice(carry, starts, ends)
+
+    return fn
+
+
 def _merge_pos_final(drop_bc=None):
     """Phase 2 of the positional layer: merge one hot term's salted
     positional partials into a single doc-sorted blob. drop_bc purges
@@ -849,22 +935,20 @@ def build_index(
         pos_root = os.path.join(out_dir, "positions")
         if not (resume and os.path.exists(os.path.join(pos_root, "_SUCCESS"))):
             _tp = time.time()
-            pos_rel = exploded_positional_postings(src, doc_id_col,
-                                                   text_col, stopwords=stop)
-            pos_salted = pos_rel.withColumn(
-                "salt",
-                F.when(
-                    F.col("term").isin(list(hot_set)) if hot_set
-                    else F.lit(False),
-                    F.pmod(F.col("doc_id"), F.lit(salt_partitions))
-                    .cast("int"),
-                ).otherwise(F.lit(0)),
-            )
+            # map-side combine (r6): packed (term, salt) partial rows with
+            # entry lists + flat positions — same ~30x shuffle-row
+            # reduction as the main layer; the merge kernel re-sorts
+            # entries per run by doc id and emits byte-identical blobs
+            from macrobase_spark.index.tokenize import partial_positional_postings
+
+            pos_part = partial_positional_postings(
+                src, doc_id_col, text_col, hot_terms=hot_set,
+                salt_partitions=salt_partitions, stopwords=stop)
             pos_enc = (
-                pos_salted.repartition(n_shuffle, "term", "salt")
-                .sortWithinPartitions("term", "salt", "doc_id")
-                .mapInPandas(_encode_pos_runs(hot_set),
-                             schema=_POS_ENC_SCHEMA)
+                pos_part.repartition(n_shuffle, "term", "salt")
+                .sortWithinPartitions("term", "salt")
+                .mapInArrow(_merge_partial_pos_runs(hot_set),
+                            schema=_POS_ENC_SCHEMA)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             pos_finals = pos_enc.filter(F.col("final")).drop("final")

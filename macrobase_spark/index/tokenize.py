@@ -332,6 +332,106 @@ def partial_postings(df: DataFrame, doc_id_col: str = "doc_id",
                     "tfs array<int>, dls array<int>"))
 
 
+def partial_positional_postings(df: DataFrame, doc_id_col: str = "doc_id",
+                                text_col: str = "text",
+                                hot_terms: set[str] | frozenset | None = None,
+                                salt_partitions: int = 8,
+                                stopwords: frozenset | None = None
+                                ) -> DataFrame:
+    """Positional twin of partial_postings: ONE row per (term, salt) per
+    Arrow batch carrying ids/tfs/dls list columns PLUS the run's token
+    positions as one flat list (each entry owns tfs[i] ascending
+    positions, entries concatenated in ids order) — the map-side combine
+    of the positional index build. With `stopwords`, dropped tokens leave
+    POSITION GAPS (surviving tokens keep original in-document positions)
+    while dl/tf count survivors, exactly like
+    exploded_positional_postings."""
+    import pyarrow as pa
+
+    hot_sorted = sorted(hot_terms) if hot_terms else []
+    S = int(salt_partitions)
+    stop_sorted = sorted(stopwords) if stopwords else []
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            text_arr = rb.column(names.index(text_col))
+            doc_ids = rb.column(names.index(doc_id_col)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat_arr, row_idx, lens = _tokenize_flat_arrow(text_arr)
+            if len(flat_arr) == 0:
+                continue
+            row_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            pos_in_row = (np.arange(len(flat_arr), dtype=np.int64)
+                          - np.repeat(row_starts, lens))
+            if stop_sorted:
+                keep = pc.invert(pc.is_in(
+                    flat_arr,
+                    value_set=pa.array(stop_sorted, type=pa.string())))
+                kn = keep.to_numpy(zero_copy_only=False)
+                flat_arr = flat_arr.filter(keep)
+                row_idx = row_idx[kn]
+                pos_in_row = pos_in_row[kn]  # gaps preserved
+                lens = np.bincount(row_idx, minlength=rb.num_rows)
+                if len(flat_arr) == 0:
+                    continue
+            denc = flat_arr.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            vocab = denc.dictionary
+            if hot_sorted:
+                hot_code = pc.is_in(
+                    vocab, value_set=pa.array(hot_sorted, type=pa.string())
+                ).to_numpy(zero_copy_only=False)
+                salt_tok = np.where(hot_code[codes],
+                                    doc_ids[row_idx] % S, 0).astype(np.int64)
+            else:
+                salt_tok = np.zeros(len(codes), dtype=np.int64)
+            order = np.lexsort((pos_in_row, row_idx, salt_tok, codes))
+            c_s, s_s = codes[order], salt_tok[order]
+            r_s, p_s = row_idx[order], pos_in_row[order]
+            e_change = np.flatnonzero(
+                (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1])
+                | (r_s[1:] != r_s[:-1])) + 1
+            e_starts = np.concatenate(([0], e_change)).astype(np.int64)
+            e_ends = np.concatenate((e_starts[1:], [len(c_s)]))
+            e_code, e_salt, e_row = (c_s[e_starts], s_s[e_starts],
+                                     r_s[e_starts])
+            e_tf = (e_ends - e_starts).astype(np.int32)
+            run_change = np.flatnonzero(
+                (e_code[1:] != e_code[:-1]) | (e_salt[1:] != e_salt[:-1])) + 1
+            run_e = np.concatenate(([0], run_change)).astype(np.int64)
+            entry_off = pa.array(
+                np.concatenate((run_e, [len(e_code)])).astype(np.int32),
+                type=pa.int32())
+            pos_off = pa.array(
+                np.concatenate((e_starts[run_e],
+                                [len(p_s)])).astype(np.int32),
+                type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [vocab.take(pa.array(e_code[run_e])),
+                 pa.array(e_salt[run_e].astype(np.int32), type=pa.int32()),
+                 pa.ListArray.from_arrays(
+                     entry_off, pa.array(doc_ids[e_row], type=pa.int64())),
+                 pa.ListArray.from_arrays(
+                     entry_off, pa.array(e_tf, type=pa.int32())),
+                 pa.ListArray.from_arrays(
+                     entry_off, pa.array(lens[e_row].astype(np.int32),
+                                         type=pa.int32())),
+                 pa.ListArray.from_arrays(
+                     pos_off, pa.array(p_s.astype(np.int32),
+                                       type=pa.int32()))],
+                names=["term", "salt", "ids", "tfs", "dls", "pos"])
+
+    return df.select(doc_id_col, text_col).mapInArrow(
+        fn, schema=("term string, salt int, ids array<long>, "
+                    "tfs array<int>, dls array<int>, pos array<int>"))
+
+
 def with_anomaly_score(df: DataFrame, exact: bool = False) -> DataFrame:
     """MAD-normalized per-turn anomaly score from the fused-pass features:
     anomaly = max(rep_ratio, tanh(mad_z(log1p(doc_len)) / 6)) ∈ [0, 1).
