@@ -705,7 +705,7 @@ def build_index(
 
     t0 = time.time()
     phases: dict[str, float] = {}
-    from macrobase_spark.index.tokenize import exploded_postings, turn_features  # noqa: F401
+    from macrobase_spark.index.tokenize import turn_features
 
     # transcript metadata (input_hint columns) rides into the docs table so
     # queries can push doc-level predicates (bm25_topk doc_filter — e.g.
@@ -929,8 +929,6 @@ def build_index(
 
     if positions:
         from pyspark import StorageLevel
-
-        from macrobase_spark.index.tokenize import exploded_positional_postings
 
         pos_root = os.path.join(out_dir, "positions")
         if not (resume and os.path.exists(os.path.join(pos_root, "_SUCCESS"))):
